@@ -1,0 +1,233 @@
+"""Host-side sparse (CSR) utilities over scipy.sparse.
+
+TPU-native equivalent of the reference's C sparse layer and TopologyTable
+helpers (reference: src/hypreExtension/*.c, src/topology/TopologyTable.cpp,
+src/structures/minimalIntersectionSet.cpp, src/structures/transpose.cpp).
+These run in the host setup phase; the device solve phase uses
+parelag_tpu.ops.device_sparse.
+
+Conventions: "oriented tables" are CSR matrices with +-1 entries. Pattern
+(boolean) products always go through absolute values so that orientation
+cancellation can never silently drop structural entries.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def csr(A) -> sp.csr_matrix:
+    """Coerce to csr_matrix (no copy when already CSR)."""
+    return A if isinstance(A, sp.csr_matrix) else sp.csr_matrix(A)
+
+
+def identity_csr(n, dtype=np.float64) -> sp.csr_matrix:
+    """Identity (reference: hypre_IdentityCSRMatrix, hypre_CSRFactory.c:16)."""
+    return sp.identity(n, dtype=dtype, format="csr")
+
+
+def diagonal_csr(d) -> sp.csr_matrix:
+    """Diagonal matrix from vector (reference: hypre_DiagonalCSRMatrix)."""
+    d = np.asarray(d)
+    return sp.diags(d, format="csr")
+
+
+def drop_zeros(A, tol=0.0) -> sp.csr_matrix:
+    """Drop entries with |a_ij| <= tol (hypre_ParCSRMatrixDeleteZeros,
+    deleteZeros.c:16; TopologyTable::DropSmallEntries)."""
+    A = csr(A).copy()
+    A.data[np.abs(A.data) <= tol] = 0.0
+    A.eliminate_zeros()
+    return A
+
+
+def orientation_transform(A, tol=1e-10) -> sp.csr_matrix:
+    """Map every entry to +-1 by sign (TopologyTable::OrientationTransform,
+    TopologyTable.cpp:97-111)."""
+    A = csr(A).copy()
+    A.data = np.where(A.data > 0, 1.0, -1.0)
+    return A
+
+
+def sign_transform(A) -> sp.csr_matrix:
+    """Alias used for ParCSR sign transforms
+    (hypre_ParCSRDataTransformationSign.c:29)."""
+    return orientation_transform(A)
+
+
+def pattern(A) -> sp.csr_matrix:
+    """|A| with unit entries — boolean pattern matrix (BooleanMatrix.hpp:26)."""
+    A = csr(A).copy()
+    A.data = np.ones_like(A.data)
+    return A
+
+
+def abs_csr(A) -> sp.csr_matrix:
+    A = csr(A).copy()
+    A.data = np.abs(A.data)
+    return A
+
+
+def bool_mult(A, B) -> sp.csr_matrix:
+    """Pattern product |A|*|B| with unit entries — cancellation-proof
+    connectivity product (hypre_ParCSRMatrixMatvecBoolInt.c:17)."""
+    return pattern(abs_csr(csr(A)) @ abs_csr(csr(B)))
+
+
+def mult_orientation(A, B, tol=1e-10) -> sp.csr_matrix:
+    """Oriented product: C = A*B, drop |c|<=tol, then sign-transform
+    (TopologyTable MultOrientation, TopologyTable.cpp:131-139)."""
+    C = csr(A) @ csr(B)
+    return orientation_transform(drop_zeros(C, tol))
+
+
+def transpose_orientation(partition, n_parts) -> sp.csr_matrix:
+    """Partition vector -> (n_parts x n) table with +1 entries; entries with
+    partition[i] == -1 are skipped (transpose.hpp:29-37). Column order within
+    each row is ascending."""
+    partition = np.asarray(partition)
+    n = partition.size
+    keep = partition >= 0
+    rows = partition[keep]
+    cols = np.nonzero(keep)[0]
+    data = np.ones(cols.size)
+    return sp.csr_matrix((data, (rows, cols)), shape=(n_parts, n))
+
+
+def wedge_mult(table, weights) -> np.ndarray:
+    """Pattern matvec with integer weights: out[i] = sum_j |T_ij|>0 w[j]
+    (TopologyTable::WedgeMult)."""
+    return pattern(table) @ np.asarray(weights)
+
+
+def find_minimal_intersection_sets(Z, skip_diag_less_than=0.5, tol=1e-10):
+    """Group entities into minimal intersection sets.
+
+    Z is symmetric; entity i enters a MIS iff Z_ii >= skip_diag_less_than.
+    Entities i,j share a MIS iff Z_jj == Z_ii and |Z_ij| == Z_ii; the entry of
+    the output entity_MIS table is Z_ij/Z_ii (+-1 relative orientation).
+    (reference: findMinimalIntersectionSets, minimalIntersectionSet.cpp:44-132)
+
+    Returns entity_MIS csr (n x n_mis) with +-1 entries.
+    """
+    Z = csr(Z)
+    n = Z.shape[0]
+    diag = Z.diagonal()
+    valid = (diag - skip_diag_less_than) > -tol
+
+    mis_of = np.full(n, -1, dtype=np.int64)
+    orient = np.zeros(n)
+    indptr, indices, data = Z.indptr, Z.indices, Z.data
+    current = 0
+    for i in range(n):
+        if not valid[i] or mis_of[i] >= 0:
+            continue
+        zii = diag[i]
+        for k in range(indptr[i], indptr[i + 1]):
+            j = indices[k]
+            zij = data[k]
+            if abs(diag[j] - zii) < tol and (
+                abs(zij - zii) < tol or abs(zij + zii) < tol
+            ):
+                mis_of[j] = current
+                orient[j] = zij / zii
+        current += 1
+
+    keep = mis_of >= 0
+    rows = np.nonzero(keep)[0]
+    return sp.csr_matrix(
+        (orient[keep], (rows, mis_of[keep])), shape=(n, current)
+    )
+
+
+def connected_components(partition, elem_elem, elem_attrib=None):
+    """Split disconnected partitions into separate parts, drop empty parts,
+    renumber contiguously (connectedComponents.hpp:22). If elem_attrib is
+    given, elements of different attribute never share a component
+    (material-interface preservation). Modifies nothing; returns
+    (new_partition, n_parts)."""
+    partition = np.asarray(partition)
+    elem_elem = csr(elem_elem)
+    n = partition.size
+    key = partition.astype(np.int64)
+    if elem_attrib is not None:
+        attr = np.asarray(elem_attrib, dtype=np.int64)
+        key = key * (attr.max() + 1) + attr
+    # mask edges that cross partitions (or attributes)
+    coo = elem_elem.tocoo()
+    same = key[coo.row] == key[coo.col]
+    G = sp.csr_matrix(
+        (np.ones(same.sum()), (coo.row[same], coo.col[same])), shape=(n, n)
+    )
+    n_comp, labels = sp.csgraph.connected_components(G, directed=False)
+    # renumber components so that they are ordered by (partition, first elem).
+    order = np.full(n_comp, -1, dtype=np.int64)
+    nxt = 0
+    for i in range(n):
+        if order[labels[i]] < 0:
+            order[labels[i]] = nxt
+            nxt += 1
+    return order[labels], n_comp
+
+
+def extract_submatrix(A, rows, cols) -> np.ndarray:
+    """Dense submatrix A[rows][:, cols] (SubMatrixExtraction.hpp:27-85)."""
+    return csr(A)[np.asarray(rows)][:, np.asarray(cols)].toarray()
+
+
+def extract_block(A, r0, r1, c0, c1) -> sp.csr_matrix:
+    """Contiguous-range sparse block A[r0:r1, c0:c1]."""
+    return csr(A)[r0:r1, c0:c1]
+
+
+def coo_builder():
+    """Tiny incremental COO accumulator for building sparse matrices."""
+    return _CooBuilder()
+
+
+class _CooBuilder:
+    def __init__(self):
+        self.rows, self.cols, self.vals = [], [], []
+
+    def add_block(self, rows, cols, block):
+        """Scatter dense block (len(rows) x len(cols))."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        block = np.asarray(block)
+        if rows.size == 0 or cols.size == 0:
+            return
+        self.rows.append(np.repeat(rows, cols.size))
+        self.cols.append(np.tile(cols, rows.size))
+        self.vals.append(block.reshape(-1))
+
+    def add_entries(self, rows, cols, vals):
+        self.rows.append(np.asarray(rows))
+        self.cols.append(np.asarray(cols))
+        self.vals.append(np.asarray(vals, dtype=np.float64))
+
+    def tocsr(self, shape, sum_duplicates=False) -> sp.csr_matrix:
+        if not self.rows:
+            return sp.csr_matrix(shape)
+        r = np.concatenate(self.rows)
+        c = np.concatenate(self.cols)
+        v = np.concatenate(self.vals)
+        A = sp.coo_matrix((v, (r, c)), shape=shape)
+        if not sum_duplicates:
+            # duplicate entries would silently sum; catch misuse in debug
+            pass
+        return A.tocsr()
+
+
+def norm_linf(A) -> float:
+    """max row sum of |A| (hypre_ParCSRMatrixNormlinf)."""
+    A = abs_csr(A)
+    return float(A.sum(axis=1).max()) if A.shape[0] else 0.0
+
+
+def max_abs(A) -> float:
+    A = csr(A)
+    return float(np.abs(A.data).max()) if A.nnz else 0.0
+
+
+def matrices_equal(A, B, tol=1e-9) -> bool:
+    """|A - B|_max <= tol (hypre_ParCSRMatrixCompare.c:18)."""
+    return max_abs(csr(A) - csr(B)) <= tol

@@ -1,0 +1,179 @@
+"""Element partitioners for agglomeration.
+
+Rebuild of the reference src/partitioning/ layer:
+  * refined_mesh_partition   — inverse of uniform refinement
+                               (MFEMRefinedMeshPartitioner.cpp:48-91)
+  * cartesian_partition      — IJK box coarsening
+                               (CartesianPartitioner.hpp:43-133)
+  * geometric_box_partition  — boxes from vertex coordinates
+                               (GeometricBoxPartitioner.hpp:27)
+  * graph_partition          — METIS KWAY stand-in: greedy graph-growing
+                               with boundary refinement (MetisGraphPartitioner
+                               .cpp:37-409; METIS itself is not available in
+                               this build, so this is our own partitioner with
+                               the same interface: contiguous, balanced parts)
+  * logical_partition        — user-supplied logical coarsening over the
+                               element_element graph (LogicalPartitioner
+                               .hpp:41-139)
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def refined_mesh_partition(n_elements, n_parts) -> np.ndarray:
+    """partition[e] = e // (n_elements/n_parts). Children of a parent are
+    contiguous after Mesh.uniform_refinement, exactly the MFEM>=4.1 numbering
+    the reference relies on (MFEMRefinedMeshPartitioner.cpp:62-68)."""
+    assert n_elements % n_parts == 0
+    factor = n_elements // n_parts
+    return np.repeat(np.arange(n_parts, dtype=np.int64), factor)
+
+
+def cartesian_partition(ijk_shape, coarsening) -> np.ndarray:
+    """Partition a Cartesian (nx,ny,nz) element grid by coarsening factors
+    (cx,cy,cz). Element order: x fastest (hex_grid_mesh order)."""
+    nx, ny, nz = ijk_shape
+    cx, cy, cz = coarsening
+    mx, my = -(-nx // cx), -(-ny // cy)
+    part = np.empty(nx * ny * nz, dtype=np.int64)
+    e = 0
+    for iz in range(nz):
+        for iy in range(ny):
+            for ix in range(nx):
+                part[e] = (ix // cx) + (iy // cy) * mx + (iz // cz) * mx * my
+                e += 1
+    return part
+
+
+def geometric_box_partition(mesh, n_parts) -> np.ndarray:
+    """Partition by a near-cubical grid of geometric boxes over element
+    centroids (GeometricBoxPartitioner)."""
+    cent = mesh.vertices[mesh.elements].mean(axis=1)
+    lo, hi = cent.min(axis=0), cent.max(axis=0)
+    # choose box counts per axis with product >= n_parts, near-isotropic
+    n = [1, 1, 1]
+    while n[0] * n[1] * n[2] < n_parts:
+        ax = int(np.argmax((hi - lo) / np.array(n)))
+        n[ax] += 1
+    idx = np.zeros(cent.shape[0], dtype=np.int64)
+    mult = 1
+    for ax in range(3):
+        span = max(hi[ax] - lo[ax], 1e-30)
+        k = np.minimum(((cent[:, ax] - lo[ax]) / span * n[ax]).astype(int),
+                       n[ax] - 1)
+        idx += k * mult
+        mult *= n[ax]
+    # compress to used boxes
+    _, part = np.unique(idx, return_inverse=True)
+    return part.astype(np.int64)
+
+
+def logical_partition(elem_elem, logical_info) -> np.ndarray:
+    """Group elements with identical logical info that are connected in the
+    element graph (LogicalPartitioner semantics)."""
+    from parelag_tpu.ops.csr import connected_components
+    info = np.asarray(logical_info)
+    part, _ = connected_components(info, elem_elem)
+    return part
+
+
+def graph_partition(elem_elem, n_parts, weights=None, seed=0,
+                    n_refine_sweeps=4) -> np.ndarray:
+    """Balanced contiguous k-way partition of an element adjacency graph.
+
+    Greedy multi-seed graph growing (BFS from spread seeds, always extending
+    the currently-smallest part) followed by boundary Kernighan-Lin-style
+    refinement sweeps that move boundary elements to reduce edge cut subject
+    to balance. Deterministic for a fixed seed. Serves the role of
+    METIS_PartGraphKway with CONTIG+MINCONN (MetisGraphPartitioner.cpp:37-).
+    """
+    A = sp.csr_matrix(elem_elem)
+    n = A.shape[0]
+    if n_parts <= 1:
+        return np.zeros(n, dtype=np.int64)
+    w = np.ones(n) if weights is None else np.asarray(weights, dtype=float)
+    target = w.sum() / n_parts
+
+    rng = np.random.RandomState(seed)
+    # spread seeds by repeated farthest-point BFS
+    seeds = [int(rng.randint(n))]
+    dist = _bfs_dist(A, seeds[0])
+    for _ in range(n_parts - 1):
+        far = int(np.argmax(np.where(np.isfinite(dist), dist, -1)))
+        seeds.append(far)
+        dist = np.minimum(dist, _bfs_dist(A, far))
+
+    part = np.full(n, -1, dtype=np.int64)
+    size = np.zeros(n_parts)
+    frontiers = []
+    for p, s in enumerate(seeds):
+        part[s] = p
+        size[p] = w[s]
+        frontiers.append([s])
+
+    assigned = n_parts
+    while assigned < n:
+        p = int(np.argmin(np.where(
+            [len(fr) > 0 for fr in frontiers], size, np.inf)))
+        if not np.isfinite(size[p]) or not frontiers[p]:
+            # all frontiers empty but unassigned remain (disconnected):
+            # seed a new BFS in the smallest part from any unassigned elem
+            un = int(np.nonzero(part < 0)[0][0])
+            p = int(np.argmin(size))
+            part[un] = p
+            size[p] += w[un]
+            frontiers[p] = [un]
+            assigned += 1
+            continue
+        new_frontier = []
+        for u in frontiers[p]:
+            for v in A.indices[A.indptr[u]:A.indptr[u + 1]]:
+                if part[v] < 0:
+                    part[v] = p
+                    size[p] += w[v]
+                    new_frontier.append(v)
+                    assigned += 1
+        frontiers[p] = new_frontier
+
+    # boundary refinement: move elements to the neighbor part that reduces
+    # cut, if balance stays within 10% of target
+    for _ in range(n_refine_sweeps):
+        moved = 0
+        for u in range(n):
+            pu = part[u]
+            nbrs = A.indices[A.indptr[u]:A.indptr[u + 1]]
+            nbr_parts, counts = np.unique(part[nbrs[nbrs != u]],
+                                          return_counts=True)
+            if nbr_parts.size <= 1:
+                continue
+            best = nbr_parts[np.argmax(counts)]
+            gain = counts.max() - counts[nbr_parts == pu].sum()
+            if (best != pu and gain > 0 and
+                    size[pu] - w[u] >= 0.5 * target and
+                    size[best] + w[u] <= 1.5 * target):
+                part[u] = best
+                size[pu] -= w[u]
+                size[best] += w[u]
+                moved += 1
+        if moved == 0:
+            break
+    return part
+
+
+def _bfs_dist(A, src):
+    n = A.shape[0]
+    dist = np.full(n, np.inf)
+    dist[src] = 0
+    frontier = [src]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in A.indices[A.indptr[u]:A.indptr[u + 1]]:
+                if dist[v] == np.inf:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist

@@ -1,0 +1,195 @@
+"""Agglomerated mesh topology across coarsening levels.
+
+TPU-native rebuild of the reference AgglomeratedTopology
+(src/topology/Topology.hpp:69-564): a level's topology is the chain of
+oriented boundary operators
+
+    B[0] : element x facet   (+-1, outward orientation)
+    B[1] : facet  x ridge    (+-1, boundary traversal)
+    B[2] : ridge  x peak     (+-1, head/tail)
+
+with B[i] @ B[i+1] == 0, plus entity weights, element attributes, the
+facet x boundary-attribute table, and (after coarsening) the oriented
+AEntity_entity tables linking to the finer level.
+
+Coarsening (CoarsenLocalPartitioning, reference Topology.cpp:686-828):
+  1. connected-components fixup of the partition vector,
+  2. AE_element = TransposeOrientation(partition),
+  3. per codim: AE_fc = MultOrientation(AEntity_entity[c], B[c]); group the
+     surviving fine entities into coarse entities by identical adjacency
+     signature via minimal intersection sets (+ bdr-attribute signature for
+     facets); coarse B[c] = MultOrientation(AE_fc, fc_AF).
+
+Everything is serial-per-partition here; the distributed version shards the
+element set over a device mesh axis (parelag_tpu.parallel).
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+from parelag_tpu.ops import csr as C
+from parelag_tpu.mesh.entities import derive_entities, bdr_face_ids
+
+# entity codims (match reference AgglomeratedTopology::Entity)
+ELEMENT, FACET, RIDGE, PEAK = 0, 1, 2, 3
+
+
+class AgglomeratedTopology:
+    def __init__(self, dim, n_codim=None):
+        self.dim = dim
+        self.n_codim = dim if n_codim is None else n_codim
+        self.B = [None] * self.n_codim          # oriented boundary ops
+        self.weights = [None] * (self.n_codim + 1)
+        self.element_attribute = None
+        self.facet_bdr_attribute = None          # csr facet x nbdrattr, +-1
+        self.AEntity_entity = None               # list per codim (csr, +-1)
+        self.finer = None
+        self.coarser = None
+        self.partition = None
+        self._conn = {}                          # (big, small) -> pattern csr
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_mesh(cls, mesh) -> "AgglomeratedTopology":
+        """Fine-level topology from a mesh (reference Topology.cpp:75-157)."""
+        topo = cls(mesh.dim)
+        ents = derive_entities(mesh)
+        topo.B[0] = ents.B0
+        topo.B[1] = ents.B1
+        topo.B[2] = ents.B2
+        topo.entities = ents
+        ne, nf, nr, nv = (mesh.num_elements, ents.num_faces,
+                          ents.num_edges, mesh.num_vertices)
+        for c, n in enumerate([ne, nf, nr, nv][: topo.n_codim + 1]):
+            topo.weights[c] = np.ones(n, dtype=np.int64)
+        topo.element_attribute = mesh.attrib.copy()
+
+        # facet x bdr-attribute table: entry = -B0[elem, facet] of the unique
+        # adjacent element (reference generateFacetBdrAttributeTable,
+        # Topology.cpp:181-238)
+        fids = bdr_face_ids(mesh, ents)
+        nattr = int(mesh.bdr_attrib.max()) if mesh.bdr_attrib.size else 0
+        B0t = ents.B0.T.tocsr()
+        vals = np.empty(fids.size)
+        for i, f in enumerate(fids):
+            row = slice(B0t.indptr[f], B0t.indptr[f + 1])
+            assert B0t.indptr[f + 1] - B0t.indptr[f] == 1, \
+                "boundary facet adjacent to more than one element"
+            vals[i] = -B0t.data[row][0]
+        topo.facet_bdr_attribute = sp.csr_matrix(
+            (vals, (fids, mesh.bdr_attrib - 1)), shape=(nf, nattr))
+        return topo
+
+    # ------------------------------------------------------------------ #
+    def num_entities(self, codim) -> int:
+        if codim == 0:
+            return self.B[0].shape[0]
+        return self.B[codim - 1].shape[1]
+
+    def entity_counts(self):
+        return [self.num_entities(c) for c in range(self.n_codim + 1)]
+
+    def local_element_element(self) -> sp.csr_matrix:
+        """Element adjacency graph through facets (pattern, incl. diagonal)
+        (reference Topology.hpp:319-329)."""
+        A = C.bool_mult(self.B[0], self.B[0].T)
+        return A
+
+    def connectivity(self, big, small) -> sp.csr_matrix:
+        """Pattern connectivity between entity codims, e.g. element x ridge
+        (reference BuildConnectivity, Topology.cpp:240)."""
+        key = (big, small)
+        if key not in self._conn:
+            assert small > big
+            A = C.pattern(self.B[big])
+            for c in range(big + 1, small):
+                A = C.bool_mult(A, self.B[c])
+            self._conn[key] = A
+        return self._conn[key]
+
+    def boundary_of_entity(self, big, small, ientity) -> np.ndarray:
+        """Entities of codim `small` on the closure of entity `ientity` of
+        codim `big` (reference Topology::GetBoundaryOfEntity)."""
+        conn = self.connectivity(big, small)
+        return conn.indices[conn.indptr[ientity]:conn.indptr[ientity + 1]]
+
+    # ------------------------------------------------------------------ #
+    def coarsen_local_partitioning(self, partitioning, check_topology=False,
+                                   preserve_material_interfaces=False):
+        """Build the next-coarser topology from an element partition vector
+        (reference CoarsenLocalPartitioning, Topology.cpp:686-828)."""
+        from parelag_tpu.topology.betti import mark_bad_agglomerates
+
+        elem_elem = self.local_element_element()
+        part, n_ae = C.connected_components(
+            partitioning, elem_elem,
+            self.element_attribute if preserve_material_interfaces else None)
+        self.partition = part
+
+        coarse = AgglomeratedTopology(self.dim, self.n_codim)
+        coarse.finer = self
+        self.coarser = coarse
+
+        self.AEntity_entity = [None] * (self.n_codim + 1)
+        self.AEntity_entity[0] = C.transpose_orientation(part, n_ae)
+
+        if check_topology:
+            bad = mark_bad_agglomerates(self, 0)
+            if bad.any():
+                self._deagglomerate_bad(bad)
+                n_ae = self.AEntity_entity[0].shape[0]
+
+        # facets (codim 1): include bdr-attribute signature in the grouping
+        AE_fc = C.mult_orientation(self.AEntity_entity[0], self.B[0])
+        Z = (AE_fc.T @ AE_fc).tocsr()
+        if self.facet_bdr_attribute is not None:
+            battr = self.facet_bdr_attribute
+            Z = (Z + battr @ battr.T).tocsr()
+        fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
+        self.AEntity_entity[1] = fc_AF.T.tocsr()
+        coarse.B[0] = C.mult_orientation(AE_fc, fc_AF)
+
+        # ridges / peaks
+        for icodim in range(1, self.n_codim):
+            AE_fc = C.mult_orientation(self.AEntity_entity[icodim],
+                                       self.B[icodim])
+            Z = (AE_fc.T @ AE_fc).tocsr()
+            fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
+            self.AEntity_entity[icodim + 1] = fc_AF.T.tocsr()
+            coarse.B[icodim] = C.mult_orientation(AE_fc, fc_AF)
+
+        if self.facet_bdr_attribute is not None:
+            coarse.facet_bdr_attribute = C.mult_orientation(
+                self.AEntity_entity[1], self.facet_bdr_attribute)
+
+        for c in range(min(self.n_codim + 1, self.dim)):
+            coarse.weights[c] = C.wedge_mult(
+                self.AEntity_entity[c], self.weights[c]).astype(np.int64)
+        if self.n_codim == self.dim:
+            npk = self.AEntity_entity[self.dim].shape[0]
+            coarse.weights[self.dim] = np.ones(npk, dtype=np.int64)
+
+        # coarse element attribute: attribute of any member element
+        # (reference setCoarseElementAttributes)
+        AE_e = self.AEntity_entity[0]
+        first = AE_e.indices[AE_e.indptr[:-1]]
+        coarse.element_attribute = self.element_attribute[first]
+        return coarse
+
+    def _deagglomerate_bad(self, isbad):
+        """Split every bad agglomerate into singleton elements (reference
+        Topology::DeAgglomerateBadAgglomeratedEntities, Topology.hpp:374)."""
+        AE_e = self.AEntity_entity[0]
+        part = np.empty(AE_e.shape[1], dtype=np.int64)
+        nxt = 0
+        for a in range(AE_e.shape[0]):
+            cols = AE_e.indices[AE_e.indptr[a]:AE_e.indptr[a + 1]]
+            if isbad[a]:
+                for c in cols:
+                    part[c] = nxt
+                    nxt += 1
+            else:
+                part[cols] = nxt
+                nxt += 1
+        self.AEntity_entity[0] = C.transpose_orientation(part, nxt)
+        self.partition = part
