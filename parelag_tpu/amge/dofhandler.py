@@ -1,0 +1,194 @@
+"""Dof handlers: fine (FE) and coarse (algebraic) degree-of-freedom tables.
+
+Rebuild of reference src/amge/DofHandler.{hpp,cpp}:
+
+* DofHandlerFE — lowest-order spaces where dofs ARE entities:
+    H1 dofs = vertices, ND0 = edges, RT0 = faces, L2 = elements; per codim the
+    entity_dof lists are fixed-arity arrays aligned with the batched local
+    matrices of parelag_tpu.amge.hexfe.
+
+* DofHandlerALG — coarse levels (reference DofHandler.cpp:870-1413): coarse
+  dofs are numbered codim-descending (trace entities first); every entity of a
+  codim has interior dofs split into RangeTSpace (PV / derivative-image) and
+  NullSpace types; entity_dof rows gather interior dofs of all boundary
+  sub-entities (via topology connectivity) followed by own interior dofs.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+RANGET = 1
+NULLSPACE = 2
+
+
+class DofHandlerBase:
+    def entity_dof_pattern(self, codim) -> sp.csr_matrix:
+        """Pattern CSR (n_entities x ndofs) of the closure dofs."""
+        lists = self.entity_dofs(codim)
+        rows = np.concatenate([
+            np.full(len(d), i) for i, d in enumerate(lists)]) \
+            if len(lists) else np.zeros(0, dtype=np.int64)
+        cols = np.concatenate(lists) if len(lists) else np.zeros(
+            0, dtype=np.int64)
+        return sp.csr_matrix(
+            (np.ones(cols.size), (rows, cols)),
+            shape=(len(lists), self.ndofs))
+
+
+class DofHandlerFE(DofHandlerBase):
+    """Fine-level dof handler for one form on a hex/tet mesh."""
+
+    def __init__(self, form, mesh, ents):
+        self.form = form
+        self.mesh = mesh
+        self.ents = ents
+        self.dim = mesh.dim
+        self.max_codim = self.dim - form
+        ne = mesh.num_elements
+        if form == 0:
+            self.ndofs = mesh.num_vertices
+        elif form == 1:
+            self.ndofs = ents.num_edges
+        elif form == 2:
+            self.ndofs = ents.num_faces
+        else:
+            self.ndofs = ne
+        self._tables = {}
+
+    def entity_dofs(self, codim):
+        """List (or uniform 2D array rows) of dof ids per entity of codim.
+        Order matches hexfe local matrix layouts."""
+        if codim in self._tables:
+            return self._tables[codim]
+        m, e, form = self.mesh, self.ents, self.form
+        if codim == 0:
+            if form == 0:
+                t = m.elements
+            elif form == 1:
+                t = e.elem_edge
+            elif form == 2:
+                t = e.elem_face
+            else:
+                t = np.arange(m.num_elements)[:, None]
+        elif codim == 1:
+            if form == 0:
+                t = np.array([list(c) for c in e.face_verts])
+            elif form == 1:
+                t = e.face_edge
+            elif form == 2:
+                t = np.arange(e.num_faces)[:, None]
+            else:
+                raise ValueError("L2 has no facet dofs")
+        elif codim == 2:
+            if form == 0:
+                t = e.edges
+            elif form == 1:
+                t = np.arange(e.num_edges)[:, None]
+            else:
+                raise ValueError
+        else:
+            if form == 0:
+                t = np.arange(m.num_vertices)[:, None]
+            else:
+                raise ValueError
+        self._tables[codim] = [np.asarray(row) for row in t]
+        return self._tables[codim]
+
+
+class DofHandlerALG(DofHandlerBase):
+    """Coarse-level dof handler built during DeRhamSequence.Coarsen."""
+
+    def __init__(self, form, coarse_topo):
+        self.form = form
+        self.topo = coarse_topo
+        self.dim = coarse_topo.dim
+        self.max_codim = self.dim - form
+        # per codim: per-entity interior dof counts by type
+        self.n_ranget = {}
+        self.n_null = {}
+        # per codim: entity interior dof offsets (after finalize of codim)
+        self.interior_offsets = {}
+        self.entity_ndofs = {}     # cumulative dof count after codim built
+        self.ndofs = 0
+        self.dof_types = []        # per dof: RANGET | NULLSPACE
+        self._entity_dof = {}      # codim -> list of np arrays (closure dofs)
+        self._finalized = set()
+
+    # ------------------------------------------------------------------ #
+    def init_codim(self, codim):
+        n = self.topo.num_entities(codim)
+        self.n_ranget[codim] = np.zeros(n, dtype=np.int64)
+        self.n_null[codim] = np.zeros(n, dtype=np.int64)
+
+    def set_n_ranget(self, codim, ient, n):
+        self.n_ranget[codim][ient] = n
+
+    def set_n_null(self, codim, ient, n):
+        self.n_null[codim][ient] = n
+
+    def append_dof_types(self, types):
+        self.dof_types.extend(types)
+
+    # ------------------------------------------------------------------ #
+    def finalize_codim(self, codim):
+        """Assign interior dof numbers of this codim (computeOffset,
+        reference DofHandler.cpp:1060-1176) and build the entity_dof rows."""
+        assert codim not in self._finalized
+        n = self.topo.num_entities(codim)
+        counts = self.n_ranget[codim] + self.n_null[codim]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        offsets += self.ndofs
+        self.interior_offsets[codim] = offsets
+        self.ndofs = int(offsets[-1])
+        self.entity_ndofs[codim] = self.ndofs
+
+        # entity_dof rows: interior dofs of sub-entities (codim descending:
+        # peaks, ridges, facets), then own interior dofs
+        rows = []
+        for ient in range(n):
+            parts = []
+            for sub in range(self.max_codim, codim, -1):
+                subents = self.topo.boundary_of_entity(codim, sub, ient)
+                for s in subents:
+                    o = self.interior_offsets[sub]
+                    parts.append(np.arange(o[s], o[s + 1]))
+            o = offsets
+            parts.append(np.arange(o[ient], o[ient + 1]))
+            rows.append(np.concatenate(parts) if parts
+                        else np.zeros(0, dtype=np.int64))
+        self._entity_dof[codim] = rows
+        self._finalized.add(codim)
+
+    # ------------------------------------------------------------------ #
+    def entity_dofs(self, codim):
+        return self._entity_dof[codim]
+
+    def interior_dofs(self, codim, ient) -> np.ndarray:
+        o = self.interior_offsets[codim]
+        return np.arange(o[ient], o[ient + 1])
+
+    def ranget_dofs(self, codim, ient) -> np.ndarray:
+        """RangeT-type interior dofs of the entity (first within interior)."""
+        o = self.interior_offsets[codim]
+        return np.arange(o[ient], o[ient] + self.n_ranget[codim][ient])
+
+    def null_dofs(self, codim, ient) -> np.ndarray:
+        o = self.interior_offsets[codim]
+        return np.arange(o[ient] + self.n_ranget[codim][ient], o[ient + 1])
+
+    def dofs_on_bdr(self, codim, ient) -> np.ndarray:
+        """Interior dofs of all higher-codim sub-entities on the closure
+        (reference DofHandlerALG::GetDofsOnBdr, DofHandler.cpp:1013-1049)."""
+        parts = []
+        for sub in range(self.max_codim, codim, -1):
+            for s in self.topo.boundary_of_entity(codim, sub, ient):
+                o = self.interior_offsets[sub]
+                parts.append(np.arange(o[s], o[s + 1]))
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, dtype=np.int64))
+
+    def n_interior(self, codim, ient=None):
+        if ient is None:
+            return int((self.n_ranget[codim] + self.n_null[codim]).sum())
+        return int(self.n_ranget[codim][ient] + self.n_null[codim][ient])

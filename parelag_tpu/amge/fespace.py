@@ -1,0 +1,253 @@
+"""Fine-level de Rham sequence from a mesh (DeRhamSequenceFE rebuild).
+
+Reference: src/amge/DeRhamSequenceFE.{hpp,cpp} — owns the four FE spaces
+H1 -> H(curl) -> H(div) -> L2 at the finest level, the derivative operators
+D0=grad, D1=curl, D2=div as oriented incidence matrices, the 10-slot
+(codim, form) local mass matrices, polynomial upscaling targets
+(SetUpscalingTargets, DeRhamSequenceFE.cpp:927-982) and the PV-trace
+interpolants per codim (DeRhamSequenceFE.cpp:690-930).
+
+All local matrices come from the batched hex kernels in
+parelag_tpu.amge.hexfe, already folded to global dof orientation.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+from parelag_tpu.amge.sequence import DeRhamSequence
+from parelag_tpu.amge.dofhandler import DofHandlerFE
+from parelag_tpu.amge.localmass import LocalMass
+from parelag_tpu.amge import hexfe
+from parelag_tpu.mesh.entities import derive_entities
+
+
+class DeRhamSequenceFE(DeRhamSequence):
+    def __init__(self, topo, mesh):
+        assert mesh.kind == "hex", "tet FE spaces arrive in a later round"
+        super().__init__(topo, mesh.dim + 1)
+        self.mesh = mesh
+        self.ents = topo.entities if hasattr(topo, "entities") else \
+            derive_entities(mesh)
+
+        for j in range(self.nforms):
+            self.dof[j] = DofHandlerFE(j, mesh, self.ents)
+
+        self._geom_cache = {}
+        self._build_derivatives()
+        self._assemble_local_mass()
+
+        # representation of the constant 1 in L2 (cell-value dofs)
+        self.L2_const_rep = np.ones(self.dof[3].ndofs)
+
+    # ------------------------------------------------------------------ #
+    # geometry
+    # ------------------------------------------------------------------ #
+    def _elem_coords(self):
+        if "elem" not in self._geom_cache:
+            self._geom_cache["elem"] = self.mesh.vertices[self.mesh.elements]
+        return self._geom_cache["elem"]
+
+    def _face_coords(self):
+        if "face" not in self._geom_cache:
+            fv = np.array([list(c) for c in self.ents.face_verts])
+            self._geom_cache["face"] = self.mesh.vertices[fv]
+        return self._geom_cache["face"]
+
+    def _edge_coords(self):
+        if "edge" not in self._geom_cache:
+            self._geom_cache["edge"] = self.mesh.vertices[self.ents.edges]
+        return self._geom_cache["edge"]
+
+    def element_quad_points(self):
+        """Physical coordinates of the 2x2x2 quadrature points (ne, nq, 3)."""
+        N = hexfe._q1_shapes(hexfe._Q3)           # (nq, 8)
+        return np.einsum("qi,nic->nqc", N, self._elem_coords())
+
+    # ------------------------------------------------------------------ #
+    # derivative operators (oriented incidence; see hexfe docstring)
+    # ------------------------------------------------------------------ #
+    def _build_derivatives(self):
+        e = self.ents
+        self.D[0] = e.B2.copy()          # grad: circulation = u_head - u_tail
+        self.D[1] = e.B1.copy()          # curl: Stokes over face cycle
+        vols = hexfe.hex_volumes(self._elem_coords())
+        self.D[2] = (sp.diags(1.0 / vols) @ e.B0).tocsr()  # div cell-average
+
+    # ------------------------------------------------------------------ #
+    # local mass matrices, 10 (codim, form) slots
+    # ------------------------------------------------------------------ #
+    def _assemble_local_mass(self, elem_coeffs=None):
+        """elem_coeffs: optional dict form -> (ne, nq) coefficient values
+        (ReplaceMassIntegrator equivalent for codim-0 slots)."""
+        m, e = self.mesh, self.ents
+        ec = self._elem_coords()
+        fc = self._face_coords()
+        rc = self._edge_coords()
+        ne = m.num_elements
+        coeff = elem_coeffs or {}
+
+        # ---- codim 0 (element) blocks for all forms ---- #
+        self.M[(0, 0)] = LocalMass(
+            list(m.elements), list(hexfe.hex_h1_mass(ec, coeff.get(0))))
+        self.M[(0, 1)] = LocalMass(
+            list(e.elem_edge),
+            list(hexfe.hex_nd_mass(ec, e.elem_edge_sign, coeff.get(1))))
+        self.M[(0, 2)] = LocalMass(
+            list(e.elem_face),
+            list(hexfe.hex_rt_mass(ec, e.elem_face_sign, coeff.get(2))))
+        self.M[(0, 3)] = LocalMass(
+            [np.array([i]) for i in range(ne)],
+            list(hexfe.hex_l2_mass(ec, coeff.get(3))))
+
+        # ---- codim 1 (facet) trace masses ---- #
+        fverts = [np.asarray(c) for c in
+                  (np.array([list(c) for c in e.face_verts]))]
+        self.M[(1, 0)] = LocalMass(fverts, list(hexfe.face_h1_mass(fc)))
+        self.M[(1, 1)] = LocalMass(
+            list(e.face_edge),
+            list(hexfe.face_nd_mass(fc, e.face_edge_sign)))
+        self.M[(1, 2)] = LocalMass(
+            [np.array([i]) for i in range(e.num_faces)],
+            list(hexfe.face_rt_trace_mass(fc)))
+
+        # ---- codim 2 (ridge) ---- #
+        self.M[(2, 0)] = LocalMass(list(e.edges),
+                                   list(hexfe.edge_h1_mass(rc)))
+        self.M[(2, 1)] = LocalMass(
+            [np.array([i]) for i in range(e.num_edges)],
+            list(hexfe.edge_nd_trace_mass(rc)))
+
+        # ---- codim 3 (peak) ---- #
+        nv = m.num_vertices
+        self.M[(3, 0)] = LocalMass(
+            [np.array([i]) for i in range(nv)],
+            [np.ones((1, 1)) for _ in range(nv)])
+
+    def replace_mass_integrator(self, form, coeff_fn):
+        """Replace the codim-0 mass coefficient of `form` and reassemble
+        (reference DeRhamSequenceFE::ReplaceMassIntegrator,
+        DeRhamSequenceFE.hpp:101). coeff_fn(points (...,3)) -> scalar array;
+        trace masses keep unit coefficient, matching the reference examples
+        which only replace element integrators."""
+        pts = self.element_quad_points()
+        vals = np.asarray(coeff_fn(pts))
+        self._coeffs = getattr(self, "_coeffs", {})
+        self._coeffs[form] = vals
+        self._assemble_local_mass(self._coeffs)
+
+    # ------------------------------------------------------------------ #
+    # targets (SetUpscalingTargets)
+    # ------------------------------------------------------------------ #
+    def set_upscaling_targets(self, order=0):
+        """Polynomial targets per form: H1 gets all monomials of total degree
+        <= order+1; ND/RT get per-component monomials of degree <= order;
+        L2 gets monomials of degree <= order
+        (reference Coefficient.cpp fill*CoefficientArray +
+        DeRhamSequenceFE::SetUpscalingTargets)."""
+        h1_polys = _monomials3d(order + 1)
+        vec_polys = _vector_monomials3d(order)
+        l2_polys = _monomials3d(order)
+        self.targets[0] = self.interpolate_scalar_targets(0, h1_polys)
+        self.targets[1] = self.interpolate_vector_targets(1, vec_polys)
+        self.targets[2] = self.interpolate_vector_targets(2, vec_polys)
+        self.targets[3] = self.interpolate_scalar_targets(3, l2_polys)
+
+    def interpolate_scalar_targets(self, jform, fns):
+        """Nodal interpolation of scalar functions into H1 (vertex values)
+        or L2 (cell-center values)."""
+        if jform == 0:
+            pts = self.mesh.vertices
+        else:
+            pts = self._elem_coords().mean(axis=1)
+        return np.stack([np.asarray(f(pts)) for f in fns], axis=1) \
+            if fns else np.zeros((pts.shape[0], 0))
+
+    def interpolate_vector_targets(self, jform, fns):
+        """Moment interpolation of vector fields: ND dof = circulation along
+        the edge (2-pt Gauss); RT dof = flux through the face (2x2 Gauss)."""
+        if jform == 1:
+            rc = self._edge_coords()
+            tang = rc[:, 1] - rc[:, 0]                      # global direction
+            g = hexfe._G2
+            pts = (rc[:, 0][:, None, :] * (1 - g)[None, :, None]
+                   + rc[:, 1][:, None, :] * g[None, :, None])
+            cols = []
+            for f in fns:
+                v = np.asarray(f(pts))                      # (nedge, nq, 3)
+                circ = np.einsum("eqc,ec,q->e", v, tang, hexfe._W2)
+                cols.append(circ)
+            return np.stack(cols, axis=1) if fns else np.zeros(
+                (rc.shape[0], 0))
+        elif jform == 2:
+            fc = self._face_coords()
+            X, F = hexfe._face_param(fc, hexfe._Q2)
+            normal = np.cross(F[..., 0], F[..., 1])         # cycle normal
+            cols = []
+            for f in fns:
+                v = np.asarray(f(X))                        # (nf, nq, 3)
+                flux = np.einsum("fqc,fqc,q->f", v, normal, hexfe._QW2)
+                cols.append(flux)
+            return np.stack(cols, axis=1) if fns else np.zeros(
+                (fc.shape[0], 0))
+        raise ValueError(jform)
+
+    # ------------------------------------------------------------------ #
+    # PV traces (DeRhamSequence3D_FE::computePVTraces)
+    # ------------------------------------------------------------------ #
+    def compute_pv_traces(self, codim) -> np.ndarray:
+        jform = self.nforms - 1 - codim
+        pv = np.zeros(self.dof[jform].ndofs)
+        AE_e = self.topo.AEntity_entity[codim].tocsr()
+        if codim == 0:            # L2: interpolant of 1
+            pv[:] = 1.0
+        elif codim == 1:          # Hdiv: oriented face areas
+            areas = hexfe.face_areas(self._face_coords())
+            coo = AE_e.tocoo()
+            pv[coo.col] = coo.data * areas[coo.col]
+        elif codim == 2:          # Hcurl: oriented edge lengths
+            L = hexfe.edge_lengths(self._edge_coords())
+            coo = AE_e.tocoo()
+            pv[coo.col] = coo.data * L[coo.col]
+        else:                     # H1: ones at agglomerated peaks
+            pv[AE_e.indices] = 1.0
+        return pv
+
+
+# -------------------------------------------------------------------- #
+def _monomials3d(max_order):
+    """All monomials x^i y^j z^k with i+j+k <= max_order, ordered by total
+    degree then x-order (reference fill3DCoefficientArray)."""
+    fns = []
+    for total in range(max_order + 1):
+        for i in range(total + 1):
+            for j in range(total - i + 1):
+                k = total - i - j
+                fns.append(_mono(i, j, k))
+    return fns
+
+
+def _mono(i, j, k):
+    def f(p):
+        return (p[..., 0] ** i) * (p[..., 1] ** j) * (p[..., 2] ** k)
+    return f
+
+
+def _vector_monomials3d(max_order):
+    """Per-component monomial vector fields (fill3DVectorCoefficientArray)."""
+    fns = []
+    for comp in range(3):
+        for total in range(max_order + 1):
+            for i in range(total + 1):
+                for j in range(total - i + 1):
+                    k = total - i - j
+                    fns.append(_vmono(comp, i, j, k))
+    return fns
+
+
+def _vmono(comp, i, j, k):
+    def f(p):
+        val = (p[..., 0] ** i) * (p[..., 1] ** j) * (p[..., 2] ** k)
+        out = np.zeros(p.shape)
+        out[..., comp] = val
+        return out
+    return f

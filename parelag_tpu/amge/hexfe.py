@@ -1,0 +1,290 @@
+"""Lowest-order de Rham finite elements on hexahedra: batched local matrices.
+
+Replaces the reference's per-element MFEM integrator loops
+(DeRhamSequenceFE::assembleLocalMass, DeRhamSequenceFE.cpp:97-310; custom
+trace integrators in src/amge/bilinIntegrators.cpp) with closed-form batched
+quadrature over all elements at once. Every function takes stacked geometry
+arrays and returns stacked local matrices — the natural TPU layout (these are
+jnp-compatible pure functions; the setup phase runs them on host, and they
+vmap onto device unchanged).
+
+Global dof conventions (self-consistent; chosen so all orientation signs fold
+into the local matrices):
+  * H1  (Q1): dof = vertex value.
+  * ND0      : dof = circulation along the edge in global direction
+               (tail=min vertex id -> head=max).
+  * RT0      : dof = flux through the face in its stored canonical normal.
+  * L2  (Q0): dof = cell value (constant).
+
+Trace masses on entities of higher codim match the reference's integrators:
+tangential mass on faces for ND (ND_3D_FacetMassIntegrator), 1/length per
+edge for ND, 1/area per face for RT (VolumetricFEMassIntegrator semantics:
+integral of 1/W over the reference entity), surface/edge/point masses for H1.
+"""
+
+import numpy as np
+
+# 2-point Gauss on [0,1]
+_G2 = np.array([0.5 - 0.5 / np.sqrt(3.0), 0.5 + 0.5 / np.sqrt(3.0)])
+_W2 = np.array([0.5, 0.5])
+
+# tensorized 2x2x2 rule
+_Q3 = np.array([[x, y, z] for x in _G2 for y in _G2 for z in _G2])
+_QW3 = np.array([wx * wy * wz for wx in _W2 for wy in _W2 for wz in _W2])
+_Q2 = np.array([[x, y] for x in _G2 for y in _G2])
+_QW2 = np.array([wx * wy for wx in _W2 for wy in _W2])
+
+# local corner coordinates of the reference hex in MFEM vertex order
+HEX_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], dtype=np.float64)
+
+# local edges/faces (must match mesh.mesh.HEX_EDGES / HEX_FACES)
+from parelag_tpu.mesh.mesh import HEX_EDGES, HEX_FACES  # noqa: E402
+
+
+def _q1_shapes(p):
+    """Q1 shape values at points p (nq,3) -> (nq, 8)."""
+    x, y, z = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+    cx, cy, cz = HEX_CORNERS[:, 0], HEX_CORNERS[:, 1], HEX_CORNERS[:, 2]
+    return ((cx * x + (1 - cx) * (1 - x))
+            * (cy * y + (1 - cy) * (1 - y))
+            * (cz * z + (1 - cz) * (1 - z)))
+
+
+def _q1_dshapes(p):
+    """Q1 shape gradients at points p -> (nq, 8, 3)."""
+    x, y, z = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+    cx, cy, cz = HEX_CORNERS[:, 0], HEX_CORNERS[:, 1], HEX_CORNERS[:, 2]
+    fx = cx * x + (1 - cx) * (1 - x)
+    fy = cy * y + (1 - cy) * (1 - y)
+    fz = cz * z + (1 - cz) * (1 - z)
+    dx = (2 * cx - 1) * fy * fz
+    dy = fx * (2 * cy - 1) * fz
+    dz = fx * fy * (2 * cz - 1)
+    return np.stack([dx, dy, dz], axis=-1)
+
+
+def _jacobians(coords, p):
+    """coords (ne,8,3); returns J (ne,nq,3,3) with J[a,b] = dX_a/dxhat_b."""
+    d = _q1_dshapes(p)                      # (nq, 8, 3)
+    return np.einsum("nic,qid->nqcd", coords, d)
+
+
+def _nd0_ref_shapes(p):
+    """Reference ND0 hex shapes at p -> (nq, 12, 3), circulation-normalized
+    along the LOCAL edge directions of HEX_EDGES."""
+    nq = p.shape[0]
+    out = np.zeros((nq, 12, 3))
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+
+    def psi(t, a):
+        return t if a == 1 else 1 - t
+
+    for le, (va, vb) in enumerate(HEX_EDGES):
+        ca, cb = HEX_CORNERS[va], HEX_CORNERS[vb]
+        direction = np.argmax(np.abs(cb - ca))
+        sign = 1.0 if (cb - ca)[direction] > 0 else -1.0
+        others = [ax for ax in range(3) if ax != direction]
+        val = sign * np.ones(nq)
+        for ax in others:
+            val = val * psi(p[:, ax], int(ca[ax]))
+        out[:, le, direction] = val
+    return out
+
+
+def _nd0_ref_curls(p):
+    """Reference curls of ND0 shapes -> (nq, 12, 3)."""
+    nq = p.shape[0]
+    out = np.zeros((nq, 12, 3))
+    for le, (va, vb) in enumerate(HEX_EDGES):
+        ca, cb = HEX_CORNERS[va], HEX_CORNERS[vb]
+        d = int(np.argmax(np.abs(cb - ca)))
+        sign = 1.0 if (cb - ca)[d] > 0 else -1.0
+        o1, o2 = [ax for ax in range(3) if ax != d]
+        a1, a2 = int(ca[o1]), int(ca[o2])
+        # shape = sign * psi_{a1}(x_{o1}) psi_{a2}(x_{o2}) e_d
+        # curl(f e_d) = grad f x e_d
+        dpsi1 = (2 * a1 - 1) * np.ones(nq) * (
+            p[:, o2] if a2 == 1 else 1 - p[:, o2])
+        dpsi2 = (p[:, o1] if a1 == 1 else 1 - p[:, o1]) * (
+            2 * a2 - 1) * np.ones(nq)
+        grad = np.zeros((nq, 3))
+        grad[:, o1] = sign * dpsi1
+        grad[:, o2] = sign * dpsi2
+        e_d = np.zeros(3)
+        e_d[d] = 1.0
+        out[:, le, :] = np.cross(grad, e_d[None, :])
+    return out
+
+
+def _rt0_ref_shapes(p):
+    """Reference RT0 hex shapes at p -> (nq, 6, 3), unit OUTWARD flux through
+    the local face of HEX_FACES order (bottom,front,right,back,left,top)."""
+    nq = p.shape[0]
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    zero = np.zeros(nq)
+    shapes = [
+        np.stack([zero, zero, z - 1], axis=1),   # bottom z=0, outward -z
+        np.stack([zero, y - 1, zero], axis=1),   # front  y=0
+        np.stack([x, zero, zero], axis=1),       # right  x=1
+        np.stack([zero, y, zero], axis=1),       # back   y=1
+        np.stack([x - 1, zero, zero], axis=1),   # left   x=0
+        np.stack([zero, zero, z], axis=1),       # top    z=1
+    ]
+    return np.stack(shapes, axis=1)
+
+
+def hex_h1_mass(coords, coeff=None):
+    """(ne,8,3) vertex coords -> (ne,8,8) Q1 mass matrices.
+    coeff: optional (ne, nq) coefficient values at quadrature points."""
+    J = _jacobians(coords, _Q3)
+    detJ = np.abs(np.linalg.det(J))                     # (ne, nq)
+    N = _q1_shapes(_Q3)                                 # (nq, 8)
+    w = _QW3[None, :] * detJ
+    if coeff is not None:
+        w = w * coeff
+    return np.einsum("nq,qi,qj->nij", w, N, N)
+
+
+def hex_h1_stiffness(coords, coeff=None):
+    """(ne,8,8) Q1 stiffness matrices (for reference/testing)."""
+    J = _jacobians(coords, _Q3)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)
+    d = _q1_dshapes(_Q3)                                # (nq,8,3)
+    g = np.einsum("nqba,qib->nqia", Jinv, d)            # physical grads
+    w = _QW3[None, :] * detJ
+    if coeff is not None:
+        w = w * coeff
+    return np.einsum("nq,nqia,nqja->nij", w, g, g)
+
+
+def hex_nd_mass(coords, edge_signs, coeff=None):
+    """(ne,12,12) ND0 mass, global-circulation dofs (edge_signs (ne,12))."""
+    J = _jacobians(coords, _Q3)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)                              # (ne,nq,3,3)
+    E = _nd0_ref_shapes(_Q3)                             # (nq,12,3)
+    # covariant: u = J^{-T} E ; indices: Jinv[n,q,b,a] = (J^{-1})_{ba}
+    phys = np.einsum("nqba,qib->nqia", Jinv, E)
+    w = _QW3[None, :] * detJ
+    if coeff is not None:
+        w = w * coeff
+    M = np.einsum("nq,nqia,nqja->nij", w, phys, phys)
+    return M * edge_signs[:, :, None] * edge_signs[:, None, :]
+
+
+def hex_rt_mass(coords, face_signs, coeff=None):
+    """(ne,6,6) RT0 mass, global-flux dofs (face_signs (ne,6))."""
+    J = _jacobians(coords, _Q3)
+    detJ_s = np.linalg.det(J)
+    detJ = np.abs(detJ_s)
+    F = _rt0_ref_shapes(_Q3)                             # (nq,6,3)
+    # contravariant Piola: u = J F / det J
+    phys = np.einsum("nqab,qib->nqia", J, F) / detJ_s[:, :, None, None]
+    w = _QW3[None, :] * detJ
+    if coeff is not None:
+        w = w * coeff
+    M = np.einsum("nq,nqia,nqja->nij", w, phys, phys)
+    return M * face_signs[:, :, None] * face_signs[:, None, :]
+
+
+def hex_l2_mass(coords, coeff=None):
+    """(ne,1,1) cell-value mass = cell volume (weighted)."""
+    J = _jacobians(coords, _Q3)
+    detJ = np.abs(np.linalg.det(J))
+    w = _QW3[None, :] * detJ
+    if coeff is not None:
+        w = w * coeff
+    return w.sum(axis=1)[:, None, None]
+
+
+def hex_volumes(coords):
+    J = _jacobians(coords, _Q3)
+    return (np.abs(np.linalg.det(J)) * _QW3[None, :]).sum(axis=1)
+
+
+# ---------------------------------------------------------------------- #
+# face (codim 1) geometry + trace masses
+# ---------------------------------------------------------------------- #
+def _face_param(coords4, p2):
+    """Bilinear quad X(s,t); returns (X (nf,nq,3), F (nf,nq,3,2))."""
+    s, t = p2[:, 0][None, :, None], p2[:, 1][None, :, None]
+    v0 = coords4[:, 0][:, None, :]
+    v1 = coords4[:, 1][:, None, :]
+    v2 = coords4[:, 2][:, None, :]
+    v3 = coords4[:, 3][:, None, :]
+    X = ((1 - s) * (1 - t) * v0 + s * (1 - t) * v1
+         + s * t * v2 + (1 - s) * t * v3)
+    dXds = -(1 - t) * v0 + (1 - t) * v1 + t * v2 - t * v3
+    dXdt = -(1 - s) * v0 - s * v1 + s * v2 + (1 - s) * v3
+    F = np.stack([dXds, dXdt], axis=-1)
+    return X, F
+
+
+def face_areas(coords4):
+    """(nf,) areas of bilinear quad faces (coords in cycle order)."""
+    _, F = _face_param(coords4, _Q2)
+    G = np.einsum("fqai,fqaj->fqij", F, F)
+    W = np.sqrt(np.linalg.det(G))
+    return (W * _QW2[None, :]).sum(axis=1)
+
+
+def face_h1_mass(coords4):
+    """(nf,4,4) Q1 surface mass on quad faces, dofs in cycle-vertex order."""
+    s, t = _Q2[:, 0], _Q2[:, 1]
+    N = np.stack([(1 - s) * (1 - t), s * (1 - t), s * t, (1 - s) * t], axis=1)
+    _, F = _face_param(coords4, _Q2)
+    G = np.einsum("fqai,fqaj->fqij", F, F)
+    W = np.sqrt(np.linalg.det(G))
+    w = _QW2[None, :] * W
+    return np.einsum("fq,qi,qj->fij", w, N, N)
+
+
+def face_nd_mass(coords4, edge_signs):
+    """(nf,4,4) tangential-trace ND mass on quad faces; dofs = global
+    circulations of the 4 cycle edges (edge_signs (nf,4) = cycle-vs-global).
+
+    2D reference ND0 on the unit square, circulation +1 along the CYCLE
+    direction of edges (v0v1, v1v2, v2v3, v3v0)."""
+    s, t = _Q2[:, 0], _Q2[:, 1]
+    nq = s.size
+    Ehat = np.zeros((nq, 4, 2))
+    Ehat[:, 0, 0] = 1 - t
+    Ehat[:, 1, 1] = s
+    Ehat[:, 2, 0] = -t
+    Ehat[:, 3, 1] = -(1 - s)
+    _, F = _face_param(coords4, _Q2)
+    G = np.einsum("fqai,fqaj->fqij", F, F)
+    Ginv = np.linalg.inv(G)
+    W = np.sqrt(np.linalg.det(G))
+    w = _QW2[None, :] * W
+    # M_ij = int Ehat_i^T G^{-1} Ehat_j W
+    M = np.einsum("fq,qia,fqab,qjb->fij", w, Ehat, Ginv, Ehat)
+    return M * edge_signs[:, :, None] * edge_signs[:, None, :]
+
+
+def face_rt_trace_mass(coords4):
+    """(nf,1,1) normal-trace mass: integral over reference of 1/W
+    (= 1/area for planar faces), flux-dof convention."""
+    _, F = _face_param(coords4, _Q2)
+    G = np.einsum("fqai,fqaj->fqij", F, F)
+    W = np.sqrt(np.linalg.det(G))
+    return ((_QW2[None, :] / W).sum(axis=1))[:, None, None]
+
+
+def edge_lengths(coords2):
+    return np.linalg.norm(coords2[:, 1] - coords2[:, 0], axis=1)
+
+
+def edge_h1_mass(coords2):
+    """(nr,2,2) 1D mass on straight edges, dofs (tail, head)."""
+    L = edge_lengths(coords2)
+    base = np.array([[1 / 3, 1 / 6], [1 / 6, 1 / 3]])
+    return L[:, None, None] * base[None, :, :]
+
+
+def edge_nd_trace_mass(coords2):
+    """(nr,1,1) tangential-trace mass = 1/length (circulation dofs)."""
+    return (1.0 / edge_lengths(coords2))[:, None, None]

@@ -1,0 +1,65 @@
+"""Per-entity local mass matrix containers.
+
+The reference stores M_[(codim,form)] as block-diagonal sparse matrices over
+"repeated dofs" (DeRhamSequence.hpp:614-727, ElementalMatricesContainer). We
+store the same data as (entity dof lists, dense blocks) pairs — directly
+consumable by batched device kernels and by the agglomerate assembly below.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+
+class LocalMass:
+    """Local mass matrices of one form on all entities of one codim."""
+
+    def __init__(self, dofs, blocks):
+        self.dofs = [np.asarray(d) for d in dofs]      # per entity dof ids
+        self.blocks = [np.asarray(b) for b in blocks]  # per entity (k,k)
+
+    @property
+    def n_entities(self):
+        return len(self.dofs)
+
+    def assemble_global(self, ndofs) -> sp.csr_matrix:
+        """Scatter-add all blocks into the global (ndofs x ndofs) matrix
+        (reference ComputeMassOperator)."""
+        rows, cols, vals = [], [], []
+        for d, b in zip(self.dofs, self.blocks):
+            k = d.size
+            rows.append(np.repeat(d, k))
+            cols.append(np.tile(d, k))
+            vals.append(b.reshape(-1))
+        A = sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(ndofs, ndofs))
+        return A.tocsr()
+
+
+def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
+                                dofagg, codim):
+    """Per-AE dense matrices: sum of member entities' local blocks scattered
+    into the AE's closure-dof positions.
+
+    Equivalent of AssembleAgglomerateMatrix (DOFAgglomeration.cpp:533-547)
+    which computes ADof_rDof * M_e * ADof_rDof^T; here directly:
+    for AE: M_AE[pos(i),pos(j)] += M_loc_e[i,j] for each fine entity e in AE.
+
+    Returns list of (n_ae_dofs x n_ae_dofs) dense arrays aligned with
+    dofagg.ae_dofs(codim)[iae].
+    """
+    import scipy.sparse as _sp
+    AE_e = ae_entity.tocsr()
+    out = []
+    for iae in range(AE_e.shape[0]):
+        ents = AE_e.indices[AE_e.indptr[iae]:AE_e.indptr[iae + 1]]
+        ae_dofs = dofagg.ae_dofs(codim)[iae]
+        pos = {int(d): k for k, d in enumerate(ae_dofs)}
+        M = np.zeros((ae_dofs.size, ae_dofs.size))
+        for e in ents:
+            d = local_mass.dofs[e]
+            idx = np.array([pos[int(x)] for x in d])
+            M[np.ix_(idx, idx)] += local_mass.blocks[e]
+        out.append(M)
+    return out

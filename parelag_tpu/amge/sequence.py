@@ -1,0 +1,448 @@
+"""DeRhamSequence: the AMGe coarsening engine.
+
+Rebuild of reference src/amge/DeRhamSequence.{hpp,cpp} (the heart of ParElag).
+A sequence holds, per level, the four spaces of the 3D de Rham complex
+H1 -> H(curl) -> H(div) -> L2 with derivative operators D[j], local mass
+matrices M[(codim, j)], targets, and — after coarsen() — the interpolators
+P[j], cochain projectors Pi[j] and the coarse sequence with coarse D/M.
+
+coarsen() (reference DeRhamSequence::Coarsen, DeRhamSequence.cpp:572-692)
+runs per form, L2 first, H1 last:
+
+  1. _compute_coarse_traces  (.cpp:1521-2086): per agglomerated trace entity,
+     deflate targets against the PV trace in the local mass inner product,
+     M-weighted SVD, threshold sigma >= ||pv||_M^2 * svd_tol -> coarse trace
+     dofs; the PV dof is RangeT-type, the rest NullSpace.
+  2. _h_facet_extension      (.cpp:2169-2589): per codim_dom agglomerate,
+     harmonic extension of all boundary coarse dofs through the saddle system
+       [M  B^T 0 ; B 0 T^T ; 0 T 0]   (B = W D, T = (W pv_loc)^T)
+     building coarse-D rows from the Lagrange multiplier; RangeT "bubble"
+     dofs whose derivative equals the jform+1 interior NullSpace basis;
+     NullSpace dofs from divergence-corrected target extensions (plain SVD,
+     absolute threshold).
+  3. _h_ridge_peak_extension (.cpp:2589-3050): same at lower codims with the
+     regularized system [M B^T; B -C], C = (D_{j+1})^T W2 D_{j+1} restricted
+     (div-div regularization, Lashuk-Vassilevski (6.43)), and the coarse-
+     derivative compatibility term W * (P_{j+1} D_c) on the right-hand side.
+
+The per-AE dense factorizations and SVDs are the setup-phase hot loops; they
+are batched over agglomerates (bucketed + padded + vmapped on device) by
+parelag_tpu.ops.batched in the accelerated path.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.linalg
+
+from parelag_tpu.ops import csr as C
+from parelag_tpu.amge.dofhandler import DofHandlerALG
+from parelag_tpu.amge.dofagg import DofAgglomeration
+from parelag_tpu.amge.localmass import (
+    LocalMass, assemble_agglomerate_blocks)
+from parelag_tpu.amge.cochain import CochainProjector
+
+_EPS = np.finfo(np.float64).eps
+
+
+class DeRhamSequence:
+    def __init__(self, topo, nforms):
+        self.topo = topo
+        self.nforms = nforms
+        self.dim = topo.dim
+        self.dof = [None] * nforms
+        self.D = [None] * (nforms - 1)
+        self.M = {}
+        self.targets = [None] * nforms
+        self.pv_traces = [None] * nforms
+        self.svd_tol = 1e-9
+        self.jform_start = 0
+        self.P = [None] * nforms
+        self.Pi = [None] * nforms
+        self.coarser = None
+        self.finer = None
+        self.dofagg = [None] * nforms
+        self.L2_const_rep = None
+
+    # ------------------------------------------------------------------ #
+    def set_targets(self, targets):
+        self.targets = [np.asarray(t) if t is not None else None
+                        for t in targets]
+
+    def compute_mass_operator(self, jform) -> sp.csr_matrix:
+        return self.M[(0, jform)].assemble_global(self.dof[jform].ndofs)
+
+    def compute_pv_traces(self, codim) -> np.ndarray:
+        """Algebraic (coarse-level) version: +-orientation at the PV dof of
+        each member entity (DeRhamSequenceAlg::computePVTraces,
+        DeRhamSequence.cpp:3235). Overridden by DeRhamSequenceFE."""
+        jform = self.nforms - 1 - codim
+        pv = np.zeros(self.dof[jform].ndofs)
+        AE_e = self.topo.AEntity_entity[codim].tocoo()
+        first = self.dof[jform].interior_offsets[codim][AE_e.col]
+        pv[first] = AE_e.data
+        return pv
+
+    # ------------------------------------------------------------------ #
+    def coarsen(self, svd_tol=None) -> "DeRhamSequence":
+        if svd_tol is not None:
+            self.svd_tol = svd_tol
+        assert self.topo.coarser is not None, \
+            "call topo.coarsen_local_partitioning first"
+        coarse = DeRhamSequence(self.topo.coarser, self.nforms)
+        coarse.finer = self
+        coarse.jform_start = self.jform_start
+        coarse.svd_tol = self.svd_tol
+        self.coarser = coarse
+
+        for j in range(self.jform_start, self.nforms):
+            self.dofagg[j] = DofAgglomeration(self.topo, self.dof[j])
+
+        for codim in range(self.nforms):
+            jform = self.nforms - codim - 1
+            if jform < self.jform_start:
+                break
+            cdof = DofHandlerALG(jform, self.topo.coarser)
+            coarse.dof[jform] = cdof
+            self._P_builder = C.coo_builder()
+            self._P_ncols = 0
+            self._P_nrows = self.dof[jform].ndofs
+            self._P_snapshot = sp.csr_matrix((self._P_nrows, 0))
+            self.Pi[jform] = CochainProjector(cdof, self.dofagg[jform])
+
+            self._compute_coarse_traces(jform)
+
+            if codim > 0:
+                self._D_builder = C.coo_builder()
+                self._extension(jform, self.nforms - jform - 2,
+                                use_lagrange=True)
+                if codim > 1:
+                    self._extension(jform, self.nforms - jform - 3,
+                                    use_lagrange=False, with_nulls=True)
+                    if codim > 2:
+                        self._extension(jform, self.nforms - jform - 4,
+                                        use_lagrange=False, with_nulls=False)
+                coarse.D[jform] = self._D_builder.tocsr(
+                    (coarse.dof[jform + 1].ndofs, cdof.ndofs))
+
+            self.P[jform] = self._P_snapshot
+            assert self.P[jform].shape[1] == cdof.ndofs
+            self.Pi[jform].compute_projector(self.P[jform])
+
+        # coarsen targets and the L2 constant representation
+        for j in range(self.jform_start, self.nforms):
+            if self.targets[j] is not None:
+                coarse.targets[j] = self.Pi[j].project(self.targets[j])
+        if self.L2_const_rep is not None:
+            coarse.L2_const_rep = self.Pi[self.nforms - 1].project(
+                self.L2_const_rep[:, None])[:, 0]
+        return coarse
+
+    # ------------------------------------------------------------------ #
+    # stage 1: coarse traces
+    # ------------------------------------------------------------------ #
+    def _compute_coarse_traces(self, jform):
+        codim = self.dim - jform
+        cdof = self.coarser.dof[jform]
+        cdof.init_codim(codim)
+        pv = self.compute_pv_traces(codim)
+        self.pv_traces[jform] = pv
+
+        if jform == 0:
+            self._compute_0form_traces(cdof, pv)
+            return
+
+        dofagg = self.dofagg[jform]
+        ae_dofs = dofagg.ae_dofs(codim)
+        n_ae = len(ae_dofs)
+        AE_e = self.topo.AEntity_entity[codim]
+        Md_blocks = assemble_agglomerate_blocks(
+            self.M[(codim, jform)], AE_e, dofagg, codim)
+
+        targets = self.targets[jform]
+        n_targets = targets.shape[1] if targets is not None else 0
+
+        coarse_dofs_lists, coarse_blocks = [], []
+        counter = 0
+        for iae in range(n_ae):
+            dofs = ae_dofs[iae]
+            Mloc = Md_blocks[iae]
+            loc_pv = pv[dofs]
+            T = targets[dofs, :].copy() if n_targets else np.zeros(
+                (dofs.size, 0))
+            pv_m = Mloc @ loc_pv
+            pv_dot_pv = float(loc_pv @ pv_m)
+            # deflate targets against pv in the M inner product
+            if T.shape[1]:
+                T -= np.outer(loc_pv, (pv_m @ T) / pv_dot_pv)
+                U, s = _weighted_svd_on(Mloc, T)
+            else:
+                U, s = np.zeros((dofs.size, 0)), np.zeros(0)
+            s_tol = pv_dot_pv * self.svd_tol
+            nkeep = int(np.searchsorted(-s, -s_tol))
+            p_loc = np.concatenate(
+                [loc_pv[:, None], np.sqrt(pv_dot_pv) * U[:, :nkeep]], axis=1)
+            cmass = p_loc.T @ Mloc @ p_loc
+            cmass = 0.5 * (cmass + cmass.T)
+
+            cols = np.arange(counter, counter + nkeep + 1)
+            counter += nkeep + 1
+            self._P_builder.add_block(dofs, cols, p_loc)
+            cdof.set_n_ranget(codim, iae, 1)
+            cdof.set_n_null(codim, iae, nkeep)
+            self.Pi[jform].create_dof_functional(codim, iae, p_loc, Mloc)
+            coarse_dofs_lists.append(cols)
+            coarse_blocks.append(cmass)
+
+        cdof.finalize_codim(codim)
+        self._P_ncols = counter
+        self._refresh_P()
+        self.coarser.M[(codim, jform)] = LocalMass(
+            coarse_dofs_lists, coarse_blocks)
+
+    def _compute_0form_traces(self, cdof, pv):
+        """Vertex picks (Compute0formCoarseTraces, DeRhamSequence.cpp:1521)."""
+        codim = self.dim
+        AE_e = self.topo.AEntity_entity[codim].tocsr()
+        n_ae = AE_e.shape[0]
+        dofs_lists, blocks = [], []
+        for iae in range(n_ae):
+            row = AE_e.indices[AE_e.indptr[iae]:AE_e.indptr[iae + 1]]
+            assert row.size == 1, \
+                "agglomerated peak with != 1 vertex (topology error)"
+            self._P_builder.add_entries([row[0]], [iae], [1.0])
+            cdof.set_n_ranget(codim, iae, 1)
+            self.Pi[0].create_dof_functional(
+                codim, iae, np.ones((1, 1)), np.ones((1, 1)))
+            dofs_lists.append(np.array([iae]))
+            blocks.append(np.ones((1, 1)))
+        cdof.finalize_codim(codim)
+        self._P_ncols = n_ae
+        self._refresh_P()
+        self.coarser.M[(codim, 0)] = LocalMass(dofs_lists, blocks)
+
+    def _refresh_P(self):
+        self._P_snapshot = self._P_builder.tocsr(
+            (self._P_nrows, self._P_ncols))
+
+    # ------------------------------------------------------------------ #
+    # stages 2+3: harmonic extensions
+    # ------------------------------------------------------------------ #
+    def _extension(self, jform, codim_dom, use_lagrange, with_nulls=True):
+        """Extend the coarse space of `jform` into the interiors of
+        agglomerated entities of codim_dom.
+
+        use_lagrange=True  -> hFacetExtension system with PV Lagrange
+                              multiplier; coarse-D rows from the multiplier.
+        use_lagrange=False -> hRidgePeakExtension system [M B^T; B -C] with
+                              the W*(P_{j+1} D_c) compatibility term;
+                              with_nulls chooses the hRidge (target nulls)
+                              vs hPeak (no nulls) variant.
+        """
+        cdof = self.coarser.dof[jform]
+        pdof = self.coarser.dof[jform + 1]
+        cdof.init_codim(codim_dom)
+
+        uagg = self.dofagg[jform]
+        pagg = self.dofagg[jform + 1]
+        AE_e = self.topo.AEntity_entity[codim_dom]
+        Md = assemble_agglomerate_blocks(
+            self.M[(codim_dom, jform)], AE_e, uagg, codim_dom)
+        Wd = assemble_agglomerate_blocks(
+            self.M[(codim_dom, jform + 1)], AE_e, pagg, codim_dom)
+        D = self.D[jform].tocsr()
+        Pp = self.P[jform + 1]
+        targets = self.targets[jform]
+        n_targets = targets.shape[1] if targets is not None else 0
+
+        if not use_lagrange:
+            # coarse-derivative image in the fine jform+1 space
+            Dc = self._D_builder.tocsr(
+                (pdof.ndofs, self._P_ncols))
+            PDc = (Pp[:, :pdof.ndofs] @ Dc).tocsr()
+            D2 = self.D[jform + 1].tocsr()
+            w2agg = self.dofagg[jform + 2]
+            W2d = assemble_agglomerate_blocks(
+                self.M[(codim_dom, jform + 2)], AE_e, w2agg, codim_dom)
+
+        n_ae = len(Md)
+        counter = self._P_ncols
+        mass_dofs, mass_blocks = [], []
+        for iae in range(n_ae):
+            u_all = uagg.ae_dofs(codim_dom)[iae]
+            nu_int = int(uagg.n_interior(codim_dom)[iae])
+            u_int, u_bdr = u_all[:nu_int], u_all[nu_int:]
+            p_all = pagg.ae_dofs(codim_dom)[iae]
+            np_int = int(pagg.n_interior(codim_dom)[iae])
+            p_int = p_all[:np_int]
+
+            Mloc = Md[iae]
+            Wloc = Wd[iae]
+            Dloc = C.extract_submatrix(D, p_all, u_all)
+            Bloc = Wloc @ Dloc                      # (p_all x u_all)
+            M_ii = Mloc[:nu_int, :nu_int]
+            M_ib = Mloc[:nu_int, nu_int:]
+            B_ii = Bloc[:np_int, :nu_int]
+            B_ib = Bloc[:np_int, nu_int:]
+            W_ii = Wloc[:np_int, :np_int]
+
+            # ---- local system ---- #
+            if use_lagrange:
+                pv_cdof = pdof.ranget_dofs(codim_dom, iae)
+                assert pv_cdof.size == 1
+                ploc_pv = np.asarray(
+                    Pp[p_int, :][:, pv_cdof].todense()).ravel()
+                Tvec = W_ii @ ploc_pv
+                nsys = nu_int + np_int + 1
+                A = np.zeros((nsys, nsys))
+                A[:nu_int, :nu_int] = M_ii
+                A[nu_int:nu_int + np_int, :nu_int] = B_ii
+                A[:nu_int, nu_int:nu_int + np_int] = B_ii.T
+                A[-1, nu_int:nu_int + np_int] = Tvec
+                A[nu_int:nu_int + np_int, -1] = Tvec
+            else:
+                e2_all = w2agg.ae_dofs(codim_dom)[iae]
+                D2loc = C.extract_submatrix(D2, e2_all, p_all)
+                Cloc = D2loc[:, :np_int].T @ W2d[iae] @ D2loc[:, :np_int]
+                nsys = nu_int + np_int
+                A = np.zeros((nsys, nsys))
+                A[:nu_int, :nu_int] = M_ii
+                A[nu_int:, :nu_int] = B_ii
+                A[:nu_int, nu_int:] = B_ii.T
+                A[nu_int:, nu_int:] = -Cloc
+            # reference semantics: the Lagrange system is always factored
+            # (FacetSaddlePoint ctor); the [M B^T; B -C] system only when
+            # there are interior u dofs (RidgePeakSaddlePoint + the
+            # GetLocalOffsets(1) != 0 guards in hRidgePeakExtension)
+            do_solve = use_lagrange or nu_int > 0
+            lu = scipy.linalg.lu_factor(A) if do_solve and nsys else None
+
+            def solve(rhs):
+                return scipy.linalg.lu_solve(lu, rhs) if lu is not None \
+                    else rhs
+
+            # ---- harmonic extension of boundary coarse dofs ---- #
+            cbdr = cdof.dofs_on_bdr(codim_dom, iae)
+            Pb = np.asarray(
+                self._P_snapshot[u_bdr, :][:, cbdr].todense())
+            rhs = np.zeros((nsys, cbdr.size))
+            rhs[:nu_int] = -M_ib @ Pb
+            rhs[nu_int:nu_int + np_int] = -B_ib @ Pb
+            if not use_lagrange:
+                dPc = np.asarray(PDc[p_all, :][:, cbdr].todense())
+                rhs[nu_int:nu_int + np_int] += Wloc[:np_int, :] @ dPc
+                ext = solve(rhs)
+            else:
+                ext = solve(rhs)
+                lam = ext[-1, :]
+                dvals = np.where(np.abs(lam) > _EPS, -lam, 0.0)
+                self._D_builder.add_entries(
+                    np.full(cbdr.size, pv_cdof[0]), cbdr, dvals)
+            ext_u = ext[:nu_int]
+            self._P_builder.add_block(u_int, cbdr, ext_u)
+
+            # ---- RangeT bubbles (derivative = jform+1 interior nulls) --- #
+            p_nulls = pdof.null_dofs(codim_dom, iae)
+            n_rt = p_nulls.size
+            rt_cols = np.arange(counter, counter + n_rt)
+            counter += n_rt
+            cdof.set_n_ranget(codim_dom, iae, n_rt)
+            rt_basis = np.zeros((nu_int, n_rt))
+            if n_rt:
+                cP = np.asarray(Pp[p_int, :][:, p_nulls].todense())
+                rhs = np.zeros((nsys, n_rt))
+                rhs[nu_int:nu_int + np_int] = W_ii @ cP
+                sol = solve(rhs)
+                rt_basis = sol[:nu_int]
+                self._P_builder.add_block(u_int, rt_cols, rt_basis)
+                self._D_builder.add_entries(p_nulls, rt_cols, np.ones(n_rt))
+
+            # ---- NullSpace dofs: corrected target extensions ---- #
+            null_basis = np.zeros((nu_int, 0))
+            if with_nulls and nu_int > n_rt and n_targets:
+                t_int = targets[u_int, :]
+                t_bdr = targets[u_bdr, :]
+                rhs = np.zeros((nsys, n_targets))
+                rhs[:nu_int] = -M_ib @ t_bdr
+                rhs[nu_int:nu_int + np_int] = B_ii @ t_int
+                sol = solve(rhs)
+                bub = t_int - sol[:nu_int]
+                U, s, _ = np.linalg.svd(bub, full_matrices=False)
+                n_null = int(np.searchsorted(-s, -self.svd_tol))
+                null_basis = U[:, :n_null]
+            n_null = null_basis.shape[1]
+            null_cols = np.arange(counter, counter + n_null)
+            counter += n_null
+            cdof.set_n_null(codim_dom, iae, n_null)
+            if n_null:
+                self._P_builder.add_block(u_int, null_cols, null_basis)
+
+            # ---- cochain projector functional over interior dofs ---- #
+            loc_proj = np.concatenate([rt_basis, null_basis], axis=1)
+            self.Pi[jform].create_dof_functional(
+                codim_dom, iae, loc_proj, M_ii)
+
+            # ---- coarse mass block over [cbdr, RangeT, Null] ---- #
+            nloc = cbdr.size + n_rt + n_null
+            basis = np.zeros((u_all.size, nloc))
+            basis[nu_int:, :cbdr.size] = Pb
+            basis[:nu_int, :cbdr.size] = ext_u
+            basis[:nu_int, cbdr.size:cbdr.size + n_rt] = rt_basis
+            basis[:nu_int, cbdr.size + n_rt:] = null_basis
+            blk = basis.T @ Mloc @ basis
+            mass_dofs.append(np.concatenate([cbdr, rt_cols, null_cols]))
+            mass_blocks.append(0.5 * (blk + blk.T))
+
+        cdof.finalize_codim(codim_dom)
+        self._P_ncols = counter
+        self._refresh_P()
+        self.coarser.M[(codim_dom, jform)] = LocalMass(mass_dofs, mass_blocks)
+
+    # ------------------------------------------------------------------ #
+    # invariants (reference DeRhamSequence::CheckInvariants,
+    # DeRhamSequence.cpp:694-970)
+    # ------------------------------------------------------------------ #
+    def check_invariants(self, tol=1e-9):
+        errs = {}
+        coarse = self.coarser
+        for j in range(self.jform_start, self.nforms):
+            P = self.P[j]
+            Pi = self.Pi[j].matrix
+            # Pi P = I
+            errs[f"PiP_{j}"] = C.max_abs(
+                (Pi @ P - sp.identity(P.shape[1])).tocsr())
+            # coarse mass = P^T M P
+            Mc = coarse.compute_mass_operator(j)
+            Mf = self.compute_mass_operator(j)
+            errs[f"mass_{j}"] = C.max_abs((Mc - P.T @ Mf @ P).tocsr())
+        for j in range(self.jform_start, self.nforms - 1):
+            P = self.P[j]
+            Pi1 = self.Pi[j + 1].matrix
+            Dc = coarse.D[j]
+            Df = self.D[j]
+            # D_c = Pi_{j+1} D_f P_j
+            errs[f"D_{j}"] = C.max_abs((Dc - Pi1 @ Df @ P).tocsr())
+            # commutativity D_c Pi_j = Pi_{j+1} D_f
+            errs[f"DPi_{j}"] = C.max_abs(
+                (Dc @ self.Pi[j].matrix - Pi1 @ Df).tocsr())
+            # exactness
+            if j < self.nforms - 2:
+                errs[f"DD_{j}"] = C.max_abs((coarse.D[j + 1] @ Dc).tocsr())
+        bad = {k: v for k, v in errs.items() if v > tol}
+        return errs, bad
+
+
+def _weighted_svd_on(M, T):
+    """M-weighted SVD orthonormalization (SVD_Calculator::ComputeON with
+    weight, ParELAG_SVDCalculator.cpp:248-290): returns (U, s) with
+    U^T M U = I and span(U[:, :k]) = dominant-k M-subspace of span(T)."""
+    d = np.diag(M).copy()
+    if np.count_nonzero(M - np.diag(d)) == 0:
+        sc = np.sqrt(d)
+        U, s, _ = np.linalg.svd(T * sc[:, None], full_matrices=False)
+        return U / sc[:, None], s
+    w, V = np.linalg.eigh(M)
+    w = np.maximum(w, 0.0)
+    X = (V * np.sqrt(w)) @ V.T
+    Xinv = (V * (1.0 / np.sqrt(np.maximum(w, 1e-300)))) @ V.T
+    U, s, _ = np.linalg.svd(X @ T, full_matrices=False)
+    return Xinv @ U, s

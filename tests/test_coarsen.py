@@ -1,0 +1,72 @@
+"""Full de Rham coarsening invariants.
+
+Mirrors the reference's strongest self-checks
+(DeRhamSequence::CheckInvariants, DeRhamSequence.cpp:694-970, exercised by
+testsuite/coarseSpaces.cpp after every Coarsen):
+
+    Pi P = I,   M_c = P^T M_f P,   D_c = Pi_{j+1} D_f P_j,
+    D_c Pi_j = Pi_{j+1} D_f  (commutativity),   D_{j+1} D_j = 0,
+
+plus: the coarse space contains the targets (polynomial reproduction:
+P Pi t = t for every target t).
+"""
+
+import numpy as np
+import pytest
+
+from parelag_tpu.mesh.mesh import hex_grid_mesh
+from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.amge.fespace import DeRhamSequenceFE
+from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+
+
+@pytest.fixture(scope="module")
+def coarsened():
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    coarse = seq.coarsen(svd_tol=1e-9)
+    return seq, coarse
+
+
+def test_invariants(coarsened):
+    seq, coarse = coarsened
+    errs, bad = seq.check_invariants(tol=1e-8)
+    assert not bad, f"invariant violations: {bad} (all: {errs})"
+
+
+def test_coarse_dof_counts(coarsened):
+    seq, coarse = coarsened
+    # H1: one dof per coarse vertex + extras; at minimum the 27 vertices
+    assert coarse.dof[0].ndofs >= 27
+    assert coarse.dof[3].ndofs >= 8
+    for j in range(4):
+        assert seq.P[j].shape == (seq.dof[j].ndofs, coarse.dof[j].ndofs)
+
+
+def test_target_reproduction(coarsened):
+    """Upscaling guarantee: targets are exactly in the coarse space."""
+    seq, coarse = coarsened
+    for j in range(4):
+        t = seq.targets[j]
+        tc = seq.Pi[j].matrix @ t
+        back = seq.P[j] @ tc
+        err = np.abs(back - t).max()
+        assert err < 1e-8, (j, err)
+
+
+def test_pv_reproduction(coarsened):
+    """The constant-1 L2 function is reproduced."""
+    seq, coarse = coarsened
+    ones = np.ones(seq.dof[3].ndofs)
+    back = seq.P[3] @ (seq.Pi[3].matrix @ ones)
+    assert np.abs(back - ones).max() < 1e-10
+
+
+def test_coarse_derivative_exactness(coarsened):
+    seq, coarse = coarsened
+    from parelag_tpu.ops import csr as C
+    assert C.max_abs((coarse.D[1] @ coarse.D[0]).tocsr()) < 1e-9
+    assert C.max_abs((coarse.D[2] @ coarse.D[1]).tocsr()) < 1e-9
