@@ -1,0 +1,233 @@
+"""Upscaling drivers: the UpscalingGeneralForm / Upscaling*Form app family.
+
+Rebuild of reference testsuite/UpscalingGeneralForm.cpp (the golden-value
+acceptance driver) and the examples/Upscaling{0,2}Form* mains: build the
+multilevel de Rham hierarchy on the fallback 2x2x2 hex cube (the reference's
+`Mesh(2,2,2,HEXAHEDRON)` path, UpscalingGeneralForm.cpp:225-229), assemble
+A_l = M_l + D_l^T W_l D_l per level with essential BCs on attributes 2-5 and
+natural data -1 on attribute 1, solve every level, interpolate coarse
+solutions to the fine grid and report the reference's printed quantities:
+
+    u l2-like errors     = sqrt((u_H - u_h)^T M_0 (u_H - u_h))
+    u energy-like errors = sqrt((D(u_H - u_h))^T W_0 D(u_H - u_h))
+
+(ReduceAndOutputUpscalingErrors, src/utilities/UpscalingPieces.cpp:182-253).
+"""
+
+from dataclasses import dataclass
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from parelag_tpu.mesh.mesh import hex_grid_mesh
+from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.amge.fespace import DeRhamSequenceFE
+from parelag_tpu.amge import hexfe
+from parelag_tpu.partitioning.partitioners import (
+    refined_mesh_partition, graph_partition, geometric_box_partition)
+
+
+# ---------------------------------------------------------------------- #
+# boundary helpers
+# ---------------------------------------------------------------------- #
+def mark_dofs_on_bndr(seq, form, attrs) -> np.ndarray:
+    """Mark dofs on boundary facets whose attribute is in `attrs`
+    (DofHandlerFE/ALG::MarkDofsOnSelectedBndr, DofHandler.cpp:315,812).
+    Works at any level through the facet_bdr_attribute table."""
+    topo = seq.topo
+    battr = topo.facet_bdr_attribute.tocsr()
+    marker = np.zeros(seq.dof[form].ndofs, dtype=bool)
+    ed = seq.dof[form].entity_dofs(1)       # facet closure dofs
+    for f in range(battr.shape[0]):
+        row = battr.indices[battr.indptr[f]:battr.indptr[f + 1]]
+        if row.size and (row[0] + 1) in attrs:
+            marker[ed[f]] = True
+    return marker
+
+
+def boundary_rhs(seq_fe: DeRhamSequenceFE, form, attr_values) -> np.ndarray:
+    """Natural-BC linear form on the fine level.
+
+    form 0: sum_a v_a * int_{bdr_a} phi_i dA      (BoundaryLFIntegrator)
+    form 1: int_{bdr_a} (f x n) . phi_i dA, f=(1,1,1) on active attrs
+            (VectorFEBoundaryTangentLFIntegrator)
+    form 2: sum_a v_a * int_{bdr_a} phi_i . n dA  (VectorFEBoundaryFluxLFI)
+    with n the outward normal.
+    """
+    mesh = seq_fe.mesh
+    ents = seq_fe.ents
+    b = np.zeros(seq_fe.dof[form].ndofs)
+    from parelag_tpu.mesh.entities import bdr_face_ids
+    fids = bdr_face_ids(mesh, ents)
+    # outward sign of the stored canonical face orientation: bdr faces are
+    # created by their unique element, whose outward cycle is stored, so the
+    # canonical normal points outward iff B0[elem, face] = +1.
+    B0t = ents.B0.T.tocsr()
+    for i, f in enumerate(fids):
+        attr = int(mesh.bdr_attrib[i])
+        if attr not in attr_values:
+            continue
+        val = attr_values[attr]
+        out_sign = B0t.data[B0t.indptr[f]]
+        cyc = np.array(ents.face_verts[f])
+        coords = mesh.vertices[cyc][None, :, :]
+        X, F = hexfe._face_param(coords, hexfe._Q2)
+        normal = np.cross(F[0, :, :, 0], F[0, :, :, 1]) * out_sign  # outward
+        W = np.linalg.norm(np.cross(F[0, :, :, 0], F[0, :, :, 1]), axis=1)
+        if form == 0:
+            s, t = hexfe._Q2[:, 0], hexfe._Q2[:, 1]
+            N = np.stack([(1 - s) * (1 - t), s * (1 - t),
+                          s * t, (1 - s) * t], axis=1)
+            vals = val * np.einsum("q,qi->i", hexfe._QW2 * W, N)
+            np.add.at(b, cyc, vals)
+        elif form == 1:
+            fvec = np.asarray(val, dtype=float)
+            s, t = hexfe._Q2[:, 0], hexfe._Q2[:, 1]
+            Ehat = np.zeros((s.size, 4, 2))
+            Ehat[:, 0, 0] = 1 - t
+            Ehat[:, 1, 1] = s
+            Ehat[:, 2, 0] = -t
+            Ehat[:, 3, 1] = -(1 - s)
+            G = np.einsum("qai,qaj->qij", F[0], F[0])
+            Ginv = np.linalg.inv(G)
+            phys = np.einsum("qab,qbc,qic->qia", F[0], Ginv, Ehat)
+            fxn = np.cross(np.broadcast_to(fvec, (s.size, 3)), normal)
+            vals = np.einsum("q,qa,qia->i", hexfe._QW2, fxn, phys)
+            edges = ents.face_edge[f]
+            np.add.at(b, edges, vals * ents.face_edge_sign[f])
+        else:  # form 2: flux dof basis has phi.n_out = out_sign / A
+            b[f] += val * out_sign
+    return b
+
+
+# ---------------------------------------------------------------------- #
+@dataclass
+class UpscalingResult:
+    u_l2_errors: list           # coarse levels, finest-coarse last
+    u_energy_errors: list
+    u_norms: list
+    ndofs: list
+
+    def print_report(self):
+        fmt = lambda xs: " ".join(f"{x:.4e}" for x in xs)
+        print(f"u l2-like errors: {fmt(self.u_l2_errors)} ")
+        print(f"u energy-like errors: {fmt(self.u_energy_errors)} ")
+
+
+def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
+                    geometric=False, svd_tol=1e-9, upscaling_order=0,
+                    mesh=None, coarsening_factor=2):
+    """Mesh + topology + sequence chain (UpscalingGeneralForm.cpp:200-515)."""
+    if mesh is None:
+        mesh = hex_grid_mesh(2, 2, 2)
+    n_levels = (nref_parallel + 1) if n_levels is None else n_levels
+    level_ne = []
+    for _ in range(nref_parallel):
+        level_ne.append(mesh.num_elements if not (unstructured or geometric)
+                        else mesh.num_elements // 2)
+        mesh = mesh.uniform_refinement()
+    level_ne = [mesh.num_elements] + level_ne[::-1]
+
+    topos = [AgglomeratedTopology.from_mesh(mesh)]
+    for il in range(n_levels - 1):
+        ne = topos[il].num_entities(0)
+        if unstructured:
+            part = graph_partition(
+                topos[il].local_element_element(), level_ne[il + 1], seed=0)
+        elif geometric:
+            part = geometric_box_partition(mesh, level_ne[il + 1])
+        else:
+            part = refined_mesh_partition(ne, level_ne[il + 1])
+        topos.append(topos[il].coarsen_local_partitioning(
+            part, check_topology=unstructured))
+
+    seqs = [DeRhamSequenceFE(topos[0], mesh)]
+    seqs[0].set_upscaling_targets(upscaling_order)
+    for il in range(n_levels - 1):
+        seqs.append(seqs[il].coarsen(svd_tol=svd_tol))
+    return mesh, topos, seqs
+
+
+def upscaling_general_form(form, nref_parallel=1, svd_tol=1e-9,
+                           upscaling_order=0, unstructured=False,
+                           geometric=False, rtol=1e-6, atol=1e-12,
+                           solver="direct") -> UpscalingResult:
+    """The canonical golden-value run (UpscalingGeneralForm.exe --form F
+    --nref_parallel N)."""
+    mesh, topos, seqs = build_hierarchy(
+        nref_parallel, unstructured=unstructured, geometric=geometric,
+        svd_tol=svd_tol, upscaling_order=upscaling_order)
+    n_levels = len(seqs)
+
+    ess_attrs = {2, 3, 4, 5}
+    if form == 0:
+        nat = {1: -1.0}
+    elif form == 1:
+        nat = {1: (1.0, 1.0, 1.0)}
+    else:
+        nat = {1: -1.0}
+
+    Ml = [s.compute_mass_operator(form) for s in seqs]
+    Wl = [s.compute_mass_operator(form + 1) for s in seqs]
+    Dl = [s.D[form] for s in seqs]
+    Pl = [seqs[i].P[form] for i in range(n_levels - 1)]
+
+    rhs = [boundary_rhs(seqs[0], form, nat)]
+    for i in range(n_levels - 1):
+        rhs.append(Pl[i].T @ rhs[i])
+
+    sols, ndofs = [], []
+    u_l2, u_en, u_norm = [], [], []
+    for k in range(n_levels):
+        A = (Ml[k] + Dl[k].T @ Wl[k] @ Dl[k]).tocsr()
+        marker = mark_dofs_on_bndr(seqs[k], form, ess_attrs)
+        b = rhs[k].copy()
+        A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+        x = solve_spd(A, b, solver, rtol, atol)
+        sols.append(x)
+        ndofs.append(A.shape[0])
+
+        # interpolate down to the fine level
+        h = x
+        for j in range(k, 0, -1):
+            h = Pl[j - 1] @ h
+        u_norm.append(float(np.sqrt(x @ (Ml[k] @ x))))
+        if k > 0:
+            diff = h - sols_fine0
+            du = Dl[0] @ diff
+            u_l2.append(float(np.sqrt(diff @ (Ml[0] @ diff))))
+            u_en.append(float(np.sqrt(du @ (Wl[0] @ du))))
+        else:
+            sols_fine0 = x
+    # reference prints coarsest first
+    return UpscalingResult(u_l2[::-1], u_en[::-1], u_norm, ndofs)
+
+
+def eliminate_rowcols(A, b, marker, values):
+    """Symmetric elimination of essential dofs (mfem EliminateRowCol
+    semantics used at UpscalingGeneralForm.cpp:668-672): zero row+col,
+    keep diagonal, rhs -= A[:,m] v_m, rhs[m] = diag*v_m."""
+    A = A.tocsr().copy()
+    keep = ~marker
+    idx = np.nonzero(marker)[0]
+    if idx.size == 0:
+        return A, b
+    diag = A.diagonal()
+    v = np.zeros(A.shape[0])
+    v[idx] = values[idx]
+    b = b - A @ v
+    D = sp.diags(keep.astype(float))
+    A = (D @ A @ D).tocsr()
+    A = A + sp.diags(np.where(marker, diag, 0.0))
+    b[idx] = diag[idx] * values[idx]
+    return A.tocsr(), b
+
+
+def solve_spd(A, b, solver="direct", rtol=1e-6, atol=1e-12, maxiter=500):
+    if solver == "direct":
+        return spla.spsolve(A.tocsc(), b)
+    if solver == "cg":
+        from parelag_tpu.solvers.cg import pcg_host
+        x, _ = pcg_host(A, b, rtol=rtol, atol=atol, maxiter=maxiter)
+        return x
+    raise ValueError(solver)

@@ -47,24 +47,21 @@ def cartesian_partition(ijk_shape, coarsening) -> np.ndarray:
 
 
 def geometric_box_partition(mesh, n_parts) -> np.ndarray:
-    """Partition by a near-cubical grid of geometric boxes over element
-    centroids (GeometricBoxPartitioner)."""
+    """Partition by a grid of geometric boxes over element centroids
+    (GeometricBoxPartitioner.cpp:20-82): per-direction box count =
+    round(extent / (volume/n_parts)^(1/dim)); element assigned by centroid."""
+    lo = mesh.vertices.min(axis=0)
+    hi = mesh.vertices.max(axis=0)
+    dim = 3
+    volume = np.prod(hi - lo)
+    target_radius = (volume / n_parts) ** (1.0 / dim)
+    ndir = np.maximum(
+        ((hi - lo) / target_radius + 0.5).astype(np.int64), 1)
+    radius = (hi - lo) / ndir
     cent = mesh.vertices[mesh.elements].mean(axis=1)
-    lo, hi = cent.min(axis=0), cent.max(axis=0)
-    # choose box counts per axis with product >= n_parts, near-isotropic
-    n = [1, 1, 1]
-    while n[0] * n[1] * n[2] < n_parts:
-        ax = int(np.argmax((hi - lo) / np.array(n)))
-        n[ax] += 1
-    idx = np.zeros(cent.shape[0], dtype=np.int64)
-    mult = 1
-    for ax in range(3):
-        span = max(hi[ax] - lo[ax], 1e-30)
-        k = np.minimum(((cent[:, ax] - lo[ax]) / span * n[ax]).astype(int),
-                       n[ax] - 1)
-        idx += k * mult
-        mult *= n[ax]
-    # compress to used boxes
+    which = np.minimum(((cent - lo) / radius).astype(np.int64), ndir - 1)
+    idx = which[:, 0] + ndir[0] * which[:, 1] + ndir[0] * ndir[1] * which[:, 2]
+    # compress to used boxes (empty partitions are dropped later anyway)
     _, part = np.unique(idx, return_inverse=True)
     return part.astype(np.int64)
 

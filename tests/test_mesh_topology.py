@@ -173,9 +173,12 @@ def test_graph_partition_balanced_contiguous():
 
 
 def test_geometric_box_partition():
-    m = hex_grid_mesh(6, 6, 1)
-    part = geometric_box_partition(m, 9)
-    assert np.unique(part).size >= 9
+    """Reference formula: per-dir box count = round(extent / (vol/n)^(1/3))
+    (GeometricBoxPartitioner.cpp:31-41): 8 elems, 8 boxes -> identity-ish."""
+    m = hex_grid_mesh(4, 4, 4)
+    part = geometric_box_partition(m, 8)
+    assert np.unique(part).size == 8
+    assert (np.bincount(part) == 8).all()
 
 
 def test_netgen_reader():
