@@ -1,0 +1,93 @@
+"""Benchmark: H1 AMGe V-cycle-PCG solve throughput on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md): its de facto
+baseline is golden accuracy plus unasserted TimeManager timings. As the
+stable cross-round metric we use solve-phase throughput (dofs * CG iterations
+per second of wall-clock, including preconditioner applications) of the
+flagship H1 AMGe solver. vs_baseline is measured against NOMINAL_REF =
+5e6 dof*iter/s, a generous estimate of the reference's single-rank
+hypre-PCG throughput on server CPUs for this problem class.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NOMINAL_REF = 5.0e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+    from parelag_tpu.models.upscaling import (
+        mark_dofs_on_bndr, boundary_rhs, eliminate_rowcols)
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    from parelag_tpu.solvers.cg import pcg
+
+    t_setup = time.time()
+    mesh = hex_grid_mesh(6, 6, 6)
+    mesh = mesh.uniform_refinement().uniform_refinement()   # 13824 elements
+    topo0 = AgglomeratedTopology.from_mesh(mesh)
+    t1 = topo0.coarsen_local_partitioning(
+        refined_mesh_partition(13824, 1728))
+    t2 = t1.coarsen_local_partitioning(refined_mesh_partition(1728, 216))
+    seq0 = DeRhamSequenceFE(topo0, mesh)
+    seq0.set_upscaling_targets(0)
+    seq1 = seq0.coarsen()
+    seq2 = seq1.coarsen()
+    seqs = [seq0, seq1, seq2]
+
+    M = seq0.compute_mass_operator(0)
+    W = seq0.compute_mass_operator(1)
+    D = seq0.D[0]
+    A = (M + D.T @ W @ D).tocsr()
+    b = boundary_rhs(seq0, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(seq0, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    dtype = np.float32
+    H, _, _ = build_amge_hierarchy(seqs, 0, A.astype(dtype),
+                                   smoother="l1jacobi", sweeps=2,
+                                   dtype=dtype)
+    A_ell = H.levels[0].A
+    bj = jnp.asarray(b.astype(dtype))
+    ndofs = A.shape[0]
+    print(f"setup: {time.time()-t_setup:.1f}s ndofs={ndofs} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
+
+    def solve():
+        x, (it, nom) = pcg(lambda v: A_ell @ v, bj, precond=H.apply,
+                           rtol=1e-5, atol=0.0, maxiter=100)
+        return x, int(it)
+
+    # warmup/compile
+    x, niter = solve()
+    x.block_until_ready()
+    res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
+    rel = res / float(np.linalg.norm(b))
+    print(f"iters={niter} rel_res={rel:.2e}", file=sys.stderr)
+
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        x, niter = solve()
+        x.block_until_ready()
+    dt = (time.time() - t0) / reps
+    value = ndofs * niter / dt
+    print(json.dumps({
+        "metric": "h1_amge_vcycle_pcg_throughput",
+        "value": value,
+        "unit": "dof_iter_per_s",
+        "vs_baseline": value / NOMINAL_REF,
+    }))
+
+
+if __name__ == "__main__":
+    main()

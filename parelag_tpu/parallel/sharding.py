@@ -1,0 +1,149 @@
+"""Distributed domain-decomposition execution over a JAX device mesh.
+
+The reference's parallel model is one MPI rank per mesh subdomain with all
+communication expressed through SharingMap/ParCSR halo exchanges
+(src/structures/SharingMap.hpp:41-311, SURVEY.md §2.3). The TPU-native
+equivalent here: one `dd` mesh axis; dofs are assigned to the device owning
+their first adjacent element; device-local padded row blocks of each sparse
+operator index a virtual global vector (device*stride + slot); SpMV gathers
+remote entries after an all_gather over the dd axis (ICI), and inner products
+are local partials + psum — exactly SharingMap.Assemble/Distribute semantics
+in collective form.
+
+Everything below works identically on a CPU mesh of virtual devices
+(xla_force_host_platform_device_count) and on real multi-chip slices.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+@dataclass
+class DistributedSystem:
+    """Row-partitioned sparse operator + dof distribution plan."""
+    ndev: int
+    n_loc: int                   # padded owned dofs per device
+    ndofs: int                   # true global dof count
+    owner: np.ndarray            # (ndofs,) owning device
+    slot: np.ndarray             # (ndofs,) local slot on owner
+    virt: np.ndarray             # (ndofs,) = owner * n_loc + slot
+    indices: np.ndarray          # (ndev, n_loc, k) virtual-global columns
+    values: np.ndarray           # (ndev, n_loc, k)
+    row_mask: np.ndarray         # (ndev, n_loc) 1 for real rows
+    dinv: np.ndarray             # (ndev, n_loc) l1-Jacobi weights
+
+    def to_local(self, x_global) -> np.ndarray:
+        """Scatter a global vector to (ndev, n_loc) blocks."""
+        out = np.zeros((self.ndev, self.n_loc), dtype=np.asarray(
+            x_global).dtype)
+        out[self.owner, self.slot] = np.asarray(x_global)
+        return out
+
+    def to_global(self, x_blocks) -> np.ndarray:
+        return np.asarray(x_blocks)[self.owner, self.slot]
+
+
+def dof_partition(entity_dof_pattern, elem_partition) -> np.ndarray:
+    """Owner of each dof = partition of its first adjacent element
+    (owner-computes convention, SharingMap.hpp:52-66)."""
+    de = sp.csr_matrix(entity_dof_pattern).T.tocsr()   # dof x element
+    owner = np.empty(de.shape[0], dtype=np.int64)
+    part = np.asarray(elem_partition)
+    for d in range(de.shape[0]):
+        elems = de.indices[de.indptr[d]:de.indptr[d + 1]]
+        owner[d] = part[elems].min() if elems.size else 0
+    return owner
+
+
+def distribute_system(A, owner, ndev, dtype=np.float32) -> DistributedSystem:
+    """Build the device-local padded row blocks of a global sparse matrix."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    owner = np.asarray(owner)
+    slot = np.zeros(n, dtype=np.int64)
+    counts = np.zeros(ndev, dtype=np.int64)
+    for d in range(n):
+        slot[d] = counts[owner[d]]
+        counts[owner[d]] += 1
+    n_loc = int(counts.max())
+    virt = owner * n_loc + slot
+
+    nnz_per_row = np.diff(A.indptr)
+    k = max(int(nnz_per_row.max()), 1)
+    indices = np.zeros((ndev, n_loc, k), dtype=np.int32)
+    values = np.zeros((ndev, n_loc, k), dtype=dtype)
+    row_mask = np.zeros((ndev, n_loc), dtype=dtype)
+    for r in range(n):
+        dev, s = owner[r], slot[r]
+        a, b = A.indptr[r], A.indptr[r + 1]
+        indices[dev, s, : b - a] = virt[A.indices[a:b]]
+        values[dev, s, : b - a] = A.data[a:b]
+        row_mask[dev, s] = 1.0
+    l1 = np.abs(values).sum(axis=2)
+    dinv = np.where(l1 > 0, 1.0 / np.maximum(l1, 1e-30), 0.0).astype(dtype)
+    return DistributedSystem(ndev, n_loc, n, owner, slot, virt,
+                             indices, values, row_mask, dinv)
+
+
+# ---------------------------------------------------------------------- #
+def make_dd_mesh(n_devices=None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("dd",))
+
+
+def distributed_pcg_step(mesh: Mesh):
+    """One preconditioned-CG iteration under shard_map — the distributed
+    'training step' of the solve phase. State = (x, r, z, d, rz); all blocks
+    sharded over dd; scalars replicated via psum."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("dd"), P("dd"), P("dd"), P("dd"), P("dd"),
+                  P("dd"), P("dd"), P("dd")),
+        out_specs=(P("dd"), P("dd"), P("dd"), P("dd")),
+    )
+    def step(indices, values, row_mask, dinv, x, r, z, d):
+        # halo exchange: gather the full virtual-global vector over ICI
+        # (local block shape is (1, n_loc); all_gather -> (ndev, 1, n_loc))
+        dg = jax.lax.all_gather(d, "dd").reshape(-1)
+        Ad = jnp.einsum("nk,nk->n", values[0], dg[indices[0]])[None, :]
+        Ad = Ad * row_mask
+        rz = jax.lax.psum(jnp.vdot(r, z), "dd")
+        dAd = jax.lax.psum(jnp.vdot(d, Ad), "dd")
+        alpha = rz / jnp.where(dAd != 0, dAd, 1.0)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = dinv * r * row_mask
+        rz_new = jax.lax.psum(jnp.vdot(r, z), "dd")
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        d = z + beta * d
+        return x, r, z, d
+
+    return step
+
+
+def distributed_pcg(system: DistributedSystem, b_global, mesh: Mesh,
+                    iters=20, dtype=np.float32):
+    """Run `iters` distributed PCG iterations; returns global solution."""
+    step = jax.jit(distributed_pcg_step(mesh))
+    b = jnp.asarray(system.to_local(np.asarray(b_global, dtype=dtype)))
+    idx = jnp.asarray(system.indices)
+    vals = jnp.asarray(system.values)
+    mask = jnp.asarray(system.row_mask)
+    dinv = jnp.asarray(system.dinv)
+    x = jnp.zeros_like(b)
+    r = b
+    z = dinv * r
+    d = z
+    for _ in range(iters):
+        x, r, z, d = step(idx, vals, mask, dinv, x, r, z, d)
+    return system.to_global(np.asarray(x))

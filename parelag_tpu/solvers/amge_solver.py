@@ -1,0 +1,57 @@
+"""AMGe solver construction from a DeRhamSequence chain.
+
+Rebuild of reference AMGeSolverFactory::_do_build_solver
+(factories/ParELAG_AMGeSolverFactory.cpp:49-163) +
+buildHierarchyFromDeRhamSequence (ParELAG_Hierarchy.cpp:282-385): walk the
+sequence chain, P_l = seq_l.P[form], A_{l+1} = P^T A_l P with BC zero-row
+fix, smoothers per level (l1-Jacobi / Chebyshev, or Hiptmair for forms with a
+potential space), dense direct solve at the coarsest level.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from parelag_tpu.solvers.hierarchy import build_hierarchy, rap
+from parelag_tpu.solvers import smoothers as sm
+
+
+def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
+                         sweeps=2, mu=1, dtype=np.float64,
+                         cheby_degree=3):
+    """seqs: list of DeRhamSequence levels (finest first); A_fine: assembled
+    + BC-eliminated fine operator. Returns (Hierarchy, A_levels, P_levels).
+
+    smoother: 'l1jacobi' | 'chebyshev' | 'hiptmair' (Hiptmair uses the
+    potential-space derivative D[form-1] coarsened per level, the reference
+    HiptmairSmootherFactory pattern)."""
+    n_lev = len(seqs)
+    A_levels = [sp.csr_matrix(A_fine)]
+    P_levels = []
+    for l in range(n_lev - 1):
+        P = seqs[l].P[form]
+        P_levels.append(P)
+        A_levels.append(rap(A_levels[l], P))
+
+    def factory(A, l):
+        if smoother == "l1jacobi":
+            return sm.make_l1_jacobi(A, sweeps=sweeps)
+        if smoother == "chebyshev":
+            return sm.make_chebyshev(A, degree=cheby_degree)
+        if smoother == "hiptmair":
+            D = seqs[l].D[form - 1]
+            return sm.make_hiptmair(A, D)
+        raise ValueError(smoother)
+
+    H = build_hierarchy(A_levels, P_levels, factory, mu=mu, dtype=dtype)
+    return H, A_levels, P_levels
+
+
+def amge_pcg_solve(H, A_ell, b, rtol=1e-6, atol=1e-12, maxiter=500):
+    """PCG with one MG cycle as preconditioner (the reference's
+    'Krylov + AMGe preconditioner' composition, CreateXFormParameterList)."""
+    from parelag_tpu.solvers.cg import pcg
+    bj = jnp.asarray(b)
+    x, info = pcg(lambda v: A_ell @ v, bj, precond=H.apply,
+                  rtol=rtol, atol=atol, maxiter=maxiter)
+    return np.asarray(x), info

@@ -1,0 +1,120 @@
+"""Multigrid hierarchy: V/W(mu)-cycle over level pytrees, fully jittable.
+
+Rebuild of reference Hierarchy (ParELAG_Hierarchy.hpp:28-114, .cpp:109-253):
+pre-smooth -> residual -> restrict -> recurse (mu times) -> interpolate +
+correct -> post-smooth; the coarsest level applies a dense direct solve.
+The level loop is unrolled at trace time (static level count), so one XLA
+computation contains the entire cycle — no host round trips per level.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from parelag_tpu.ops.device_sparse import EllMatrix, from_scipy
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Level:
+    A: EllMatrix
+    P: EllMatrix | None          # interpolation from next-coarser level
+    R: EllMatrix | None          # restriction (P^T)
+    pre: object | None
+    post: object | None
+    coarse_inv: jnp.ndarray | None   # dense inverse at the coarsest level
+
+    def tree_flatten(self):
+        return (self.A, self.P, self.R, self.pre, self.post,
+                self.coarse_inv), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Hierarchy:
+    levels: list
+    mu: int = 1                  # 1 = V-cycle, 2 = W-cycle
+
+    def tree_flatten(self):
+        return (self.levels,), (self.mu,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    # -------------------------------------------------------------- #
+    def cycle(self, b, x=None):
+        if x is None:
+            x = jnp.zeros_like(b)
+        return _cycle(self.levels, 0, b, x, self.mu)
+
+    def apply(self, b):
+        """One cycle from zero guess — usable as a preconditioner."""
+        return self.cycle(b)
+
+
+def _cycle(levels, l, b, x, mu):
+    lvl = levels[l]
+    if lvl.coarse_inv is not None:
+        return lvl.coarse_inv @ b
+    x = lvl.pre.apply(lvl.A, b, x)
+    r = b - lvl.A @ x
+    rc = lvl.R @ r
+    ec = jnp.zeros(lvl.R.shape[0], dtype=b.dtype)
+    for _ in range(mu):
+        ec = _cycle(levels, l + 1, rc, ec, mu)
+    x = x + lvl.P @ ec
+    x = lvl.post.apply(lvl.A, b, x)
+    return x
+
+
+def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
+                    mu=1, dtype=np.float64) -> Hierarchy:
+    """Assemble a device Hierarchy from host sparse matrices.
+
+    A_scipy_levels: [A_0, ..., A_L] (A_{l+1} = P_l^T A_l P_l, already built —
+    see amge_solver.build_amge_hierarchy); P_scipy_levels: [P_0, ..., P_{L-1}].
+    smoother_factory(A_scipy, level) -> smoother object.
+    """
+    n_lev = len(A_scipy_levels)
+    levels = []
+    for l in range(n_lev):
+        A = A_scipy_levels[l]
+        if l == n_lev - 1:
+            Ainv = np.linalg.inv(A.toarray())
+            levels.append(Level(
+                A=from_scipy(A, dtype=dtype), P=None, R=None,
+                pre=None, post=None, coarse_inv=jnp.asarray(
+                    Ainv.astype(dtype))))
+        else:
+            P = sp.csr_matrix(P_scipy_levels[l])
+            sm = smoother_factory(A, l)
+            levels.append(Level(
+                A=from_scipy(A, dtype=dtype),
+                P=from_scipy(P, dtype=dtype),
+                R=from_scipy(P.T.tocsr(), dtype=dtype),
+                pre=sm, post=sm, coarse_inv=None))
+    return Hierarchy(levels, mu)
+
+
+def rap(A, P):
+    """Coarse operator P^T A P with zero-row fix for eliminated BC rows
+    (reference buildHierarchyFromDeRhamSequence, ParELAG_Hierarchy.cpp:366-371
+    + hypre_ParCSRMatrixFixZeroRows)."""
+    A = sp.csr_matrix(A)
+    P = sp.csr_matrix(P)
+    Ac = (P.T @ A @ P).tocsr()
+    rowsum = np.asarray(np.abs(Ac).sum(axis=1)).ravel()
+    zero = np.where(rowsum < 1e-14)[0]
+    if zero.size:
+        Ac = (Ac + sp.csr_matrix(
+            (np.ones(zero.size), (zero, zero)), shape=Ac.shape)).tocsr()
+    return Ac

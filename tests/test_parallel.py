@@ -1,0 +1,77 @@
+"""Distributed (domain-decomposition) execution tests on an 8-device CPU
+mesh — serial vs distributed equivalence, the analog of the reference's
+mpiexec -n {2,4} lanes reproducing identical golden values
+(testsuite/CMakeLists.txt:164-169)."""
+
+import numpy as np
+import scipy.sparse.linalg as spla
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parelag_tpu.mesh.mesh import hex_grid_mesh
+from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.amge.fespace import DeRhamSequenceFE
+from parelag_tpu.partitioning.partitioners import cartesian_partition
+from parelag_tpu.models.upscaling import (
+    mark_dofs_on_bndr, boundary_rhs, eliminate_rowcols)
+from parelag_tpu.parallel.sharding import (
+    dof_partition, distribute_system, make_dd_mesh, distributed_pcg)
+
+
+@pytest.fixture(scope="module")
+def poisson():
+    m = hex_grid_mesh(4, 4, 4)
+    topo = AgglomeratedTopology.from_mesh(m)
+    seq = DeRhamSequenceFE(topo, m)
+    M = seq.compute_mass_operator(0)
+    W = seq.compute_mass_operator(1)
+    A = (M + seq.D[0].T @ W @ seq.D[0]).tocsr()
+    b = boundary_rhs(seq, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(seq, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    return seq, A, b
+
+
+def test_distribution_plan_matvec(poisson):
+    seq, A, b = poisson
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+    owner = dof_partition(seq.dof[0].entity_dof_pattern(0), part)
+    sysd = distribute_system(A, owner, 8, dtype=np.float64)
+    x = np.random.RandomState(0).rand(A.shape[0])
+    xv = np.zeros(8 * sysd.n_loc)
+    xv[sysd.virt] = x
+    y = np.einsum("dnk,dnk->dn", sysd.values,
+                  xv[sysd.indices]) * sysd.row_mask
+    assert np.allclose(sysd.to_global(y), A @ x)
+
+
+def test_distributed_pcg_matches_serial(poisson):
+    seq, A, b = poisson
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+    owner = dof_partition(seq.dof[0].entity_dof_pattern(0), part)
+    sysd = distribute_system(A, owner, 8, dtype=np.float64)
+    mesh = make_dd_mesh(8)
+    x = distributed_pcg(sysd, b, mesh, iters=80, dtype=np.float64)
+    xref = spla.spsolve(A.tocsc(), b)
+    assert np.abs(x - xref).max() < 1e-10
+
+
+def test_dryrun_multichip():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
