@@ -62,23 +62,24 @@ def main():
     print(f"setup: {time.time()-t_setup:.1f}s ndofs={ndofs} "
           f"device={jax.devices()[0]}", file=sys.stderr)
 
-    def solve():
-        x, (it, nom) = pcg(lambda v: A_ell @ v, bj, precond=H.apply,
-                           rtol=1e-5, atol=0.0, maxiter=100)
-        return x, int(it)
+    @jax.jit
+    def solve(bb):
+        return pcg(lambda v: A_ell @ v, bb, precond=H.apply,
+                   rtol=1e-5, atol=0.0, maxiter=100)
 
     # warmup/compile
-    x, niter = solve()
+    x, (it, nom) = solve(bj)
     x.block_until_ready()
+    niter = int(it)
     res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
     rel = res / float(np.linalg.norm(b))
     print(f"iters={niter} rel_res={rel:.2e}", file=sys.stderr)
 
-    reps = 5
+    reps = 20
     t0 = time.time()
     for _ in range(reps):
-        x, niter = solve()
-        x.block_until_ready()
+        x, _ = solve(bj)
+    x.block_until_ready()
     dt = (time.time() - t0) / reps
     value = ndofs * niter / dt
     print(json.dumps({
