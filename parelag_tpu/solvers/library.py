@@ -1,0 +1,323 @@
+"""SolverLibrary: named solver compositions resolved recursively from config.
+
+Rebuild of the reference SolverLibrary/SolverFactory machinery
+(ParELAG_SolverLibrary.hpp:69-273, ParELAG_SolverFactory.hpp:36-186,
+factories/*): a library maps solver names to (Type, Solver Parameters)
+entries; factories resolve nested solver names ("Preconditioner",
+"PreSmoother", "A00 Inverse", ...) recursively at build time. Solvers are
+built against a SolverState (sequence chain + form(s) + essential labels,
+the ParELAG_SolverState.hpp:54 analog) and expose solve(b)->x / apply(r).
+
+TPU-native type mapping (hypre does not exist here; the reference itself
+covers these roles with its own hierarchy, cf. Create1FormParameterList.hpp:
+85-101):
+    Krylov            -> jitted PCG / MINRES (host fallback)
+    AMGe              -> parelag_tpu.solvers.hierarchy V/W-cycle
+    Hypre (L1 GS/Jacobi/Chebyshev) -> l1-Jacobi / Chebyshev smoothers
+    Hiptmair          -> two-space smoother via D[form-1]
+    BoomerAMG / Direct-> sparse LU (exact coarse/aux solve)
+    Block Jacobi / Block Gauss-Seidel -> 2x2 block solvers w/ Schur approx
+    Hybridization     -> HybridHdivL2 solver
+    Stationary        -> fixed-point iteration wrapper
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from parelag_tpu.utils.params import ParameterList
+
+
+class SolverState:
+    """Build context (ParELAG_SolverState.hpp:54)."""
+
+    def __init__(self, seqs=None, forms=None, level=0, ess_attrs=None,
+                 w_weight=0.0):
+        self.seqs = seqs or []
+        self.forms = forms or []
+        self.level = level
+        self.ess_attrs = ess_attrs or set()
+        self.w_weight = w_weight
+
+
+class Solver:
+    """Common interface: solve(b) and apply(r) (preconditioner action)."""
+
+    def solve(self, b):
+        raise NotImplementedError
+
+    def apply(self, r):
+        return self.solve(r)
+
+    iterations = 0
+
+
+class SolverLibrary:
+    def __init__(self, params: ParameterList):
+        """params: the 'Preconditioner Library' sublist."""
+        self.params = params
+
+    @classmethod
+    def create_library(cls, params):
+        if isinstance(params, dict):
+            params = ParameterList("Preconditioner Library", params)
+        return cls(params)
+
+    def get_solver_factory(self, name):
+        entry = self.params.sublist(name, create=False)
+        return SolverFactory(self, name, entry)
+
+
+class SolverFactory:
+    def __init__(self, lib, name, entry):
+        self.lib = lib
+        self.name = name
+        self.type = entry.get("Type")
+        self.sp = entry.sublist("Solver Parameters")
+
+    def _sub(self, pname):
+        sub_name = self.sp.get(pname)
+        if sub_name in (None, "None"):
+            return None
+        return self.lib.get_solver_factory(sub_name)
+
+    # ------------------------------------------------------------------ #
+    def build_solver(self, op, state: SolverState) -> Solver:
+        t = self.type
+        if t == "Krylov":
+            return _KrylovSolver(self, op, state)
+        if t == "AMGe":
+            return _AMGeSolver(self, op, state)
+        if t in ("Hypre", "L1 Jacobi", "Chebyshev"):
+            return _SmootherSolver(self, op, state)
+        if t == "Hiptmair":
+            return _HiptmairSolver(self, op, state)
+        if t in ("Direct", "BoomerAMG", "AMS", "ADS"):
+            return _DirectSolver(self, op, state)
+        if t in ("Block Jacobi", "Block Gauss-Seidel"):
+            return _BlockSolver(self, op, state)
+        if t == "Hybridization":
+            return _HybridizationSolver(self, op, state)
+        if t == "Stationary":
+            return _StationarySolver(self, op, state)
+        raise ValueError(f"Unknown solver type {t!r}")
+
+
+# ---------------------------------------------------------------------- #
+class _DirectSolver(Solver):
+    """Sparse LU — plays the reference's Direct/BoomerAMG/AMS/ADS roles
+    (exact coarse and auxiliary-space solves)."""
+
+    def __init__(self, fac, op, state):
+        A = op.tocsc() if sp.issparse(op) else sp.csc_matrix(op)
+        self._lu = spla.splu(A)
+
+    def solve(self, b):
+        return self._lu.solve(np.asarray(b))
+
+
+class _SmootherSolver(Solver):
+    def __init__(self, fac, op, state):
+        from parelag_tpu.solvers import smoothers as sm
+        from parelag_tpu.ops.device_sparse import from_scipy
+        import jax.numpy as jnp
+        kind = fac.sp.get("Type", "L1 Gauss-Seidel")
+        sweeps = fac.sp.get("Sweeps", 1)
+        A = sp.csr_matrix(op)
+        self._A = from_scipy(A, dtype=np.float64)
+        if "Cheby" in kind or kind == "Chebyshev":
+            self._sm = sm.make_chebyshev(
+                A, degree=fac.sp.get("Cheby Poly Order", 3),
+                ratio=fac.sp.get("Cheby Poly Fraction", 0.3))
+        else:
+            # L1 Gauss-Seidel / L1 Jacobi / Jacobi -> l1-Jacobi on TPU
+            self._sm = sm.make_l1_jacobi(
+                A, sweeps=sweeps, omega=fac.sp.get("Damping Factor", 1.0))
+        self._jnp = jnp
+
+    def solve(self, b):
+        x = self._sm.apply(self._A, self._jnp.asarray(b),
+                           self._jnp.zeros(len(b)))
+        return np.asarray(x)
+
+
+class _HiptmairSolver(Solver):
+    def __init__(self, fac, op, state):
+        from parelag_tpu.solvers import smoothers as sm
+        from parelag_tpu.ops.device_sparse import from_scipy
+        import jax.numpy as jnp
+        form = state.forms[0]
+        D = state.seqs[state.level].D[form - 1]
+        self._sm = sm.make_hiptmair(sp.csr_matrix(op), D)
+        self._A = from_scipy(sp.csr_matrix(op), dtype=np.float64)
+        self._jnp = jnp
+
+    def solve(self, b):
+        x = self._sm.apply(self._A, self._jnp.asarray(b),
+                           self._jnp.zeros(len(b)))
+        return np.asarray(x)
+
+
+class _KrylovSolver(Solver):
+    def __init__(self, fac, op, state):
+        self._A = sp.csr_matrix(op)
+        self._rtol = fac.sp.get("Relative tolerance", 1e-6)
+        self._atol = fac.sp.get("Absolute tolerance", 1e-12)
+        self._maxit = fac.sp.get("Maximum iterations", 500)
+        self._kind = fac.sp.get("Solver name", "PCG")
+        pf = fac._sub("Preconditioner")
+        self._prec = pf.build_solver(op, state) if pf else None
+
+    def solve(self, b):
+        M = None
+        if self._prec is not None:
+            M = spla.LinearOperator(
+                self._A.shape, matvec=lambda r: self._prec.apply(r))
+        it = [0]
+
+        def cb(x):
+            it[0] += 1
+
+        if self._kind in ("PCG", "CG"):
+            x, info = spla.cg(self._A, b, M=M, rtol=self._rtol,
+                              atol=self._atol, maxiter=self._maxit,
+                              callback=cb)
+        elif self._kind == "MINRES":
+            x, info = spla.minres(self._A, b, M=M, rtol=self._rtol,
+                                  maxiter=self._maxit, callback=cb)
+        else:  # GMRES / FGMRES
+            x, info = spla.gmres(self._A, b, M=M, rtol=self._rtol,
+                                 atol=self._atol, maxiter=self._maxit,
+                                 restart=50, callback=cb,
+                                 callback_type="x")
+        self.iterations = it[0]
+        return x
+
+
+class _AMGeSolver(Solver):
+    """One V/W-cycle of the AMGe hierarchy (used as preconditioner or via
+    Stationary as a solver) — AMGeSolverFactory analog."""
+
+    def __init__(self, fac, op, state):
+        from parelag_tpu.solvers.hierarchy import build_hierarchy, rap
+        form = state.forms[0]
+        seqs = state.seqs
+        max_lev = fac.sp.get("Maximum levels", -1)
+        n_lev = len(seqs) if max_lev in (-1, None) else min(
+            max_lev, len(seqs))
+        A_levels = [sp.csr_matrix(op)]
+        P_levels = []
+        for l in range(n_lev - 1):
+            P = seqs[l].P[form]
+            P_levels.append(P)
+            A_levels.append(rap(A_levels[l], P))
+
+        pre_fac = fac._sub("PreSmoother")
+        lib = fac.lib
+
+        def smoother_factory(A, l):
+            st = SolverState(seqs, [form], level=l,
+                             ess_attrs=state.ess_attrs)
+            s = pre_fac.build_solver(A, st)
+            return _SmootherAdapter(s)
+
+        cycle = fac.sp.get("Cycle type", "V-cycle")
+        self._H = build_hierarchy(
+            A_levels, P_levels, smoother_factory,
+            mu=2 if cycle.startswith("W") else 1, dtype=np.float64)
+        import jax.numpy as jnp
+        self._jnp = jnp
+
+    def solve(self, b):
+        return np.asarray(self._H.cycle(self._jnp.asarray(b)))
+
+
+class _SmootherAdapter:
+    """Adapts a library Solver to the Hierarchy smoother protocol."""
+
+    def __init__(self, solver):
+        self._solver = solver
+        # pass through pytree-able smoothers directly when possible
+        inner = getattr(solver, "_sm", None)
+        self._inner = inner
+
+    def tree_flatten(self):
+        raise TypeError
+
+    def apply(self, A, b, x):
+        if self._inner is not None:
+            return self._inner.apply(A, b, x)
+        import jax.numpy as jnp
+        r = b - A @ x
+        return x + jnp.asarray(self._solver.apply(np.asarray(r)))
+
+
+class _BlockSolver(Solver):
+    """2x2 block-diagonal (Jacobi) / block lower-triangular (Gauss-Seidel)
+    preconditioner with diagonal Schur approximation
+    (ParELAG_BlockDiagonalSolver / BlockTriangularSolver,
+    ParELAG_SchurComplementFactory.cpp)."""
+
+    def __init__(self, fac, op, state):
+        M, Bt, B, Cblk = op     # blocks of [[M, B^T], [B, C]]
+        self._M = sp.csr_matrix(M)
+        self._B = sp.csr_matrix(B)
+        self._Bt = sp.csr_matrix(Bt)
+        self._gs = fac.type == "Block Gauss-Seidel"
+        s_type = fac.sp.get("S Type", "Diagonal")
+        dinv = 1.0 / self._M.diagonal()
+        S = (self._B @ sp.diags(dinv) @ self._Bt).tocsr()
+        if Cblk is not None:
+            S = (S - sp.csr_matrix(Cblk)).tocsr()
+        st = SolverState(state.seqs, state.forms[:1], state.level,
+                         state.ess_attrs)
+        f00 = fac._sub("A00 Inverse")
+        f11 = fac._sub("A11 Inverse")
+        self._inv00 = f00.build_solver(self._M, st)
+        self._inv11 = f11.build_solver(S, st)
+        self._n0 = self._M.shape[0]
+
+    def solve(self, b):
+        b = np.asarray(b)
+        x0 = self._inv00.apply(b[: self._n0])
+        r1 = b[self._n0:]
+        if self._gs:
+            r1 = r1 - self._B @ x0
+        x1 = self._inv11.apply(r1)
+        return np.concatenate([x0, x1])
+
+
+class _HybridizationSolver(Solver):
+    def __init__(self, fac, op, state):
+        from parelag_tpu.amge.hybridization import HybridHdivL2
+        seq = state.seqs[state.level]
+        self._hyb = HybridHdivL2(seq, W_weight=state.w_weight)
+        self._nu = self._hyb.nu
+        self._rescale = fac.sp.get("Rescale", True)
+
+    def solve(self, b):
+        b = np.asarray(b)
+        u, p = self._hyb.solve(b[: self._nu], b[self._nu:],
+                               solver="cg", rtol=1e-8,
+                               rescale=self._rescale)
+        return np.concatenate([u, p])
+
+
+class _StationarySolver(Solver):
+    def __init__(self, fac, op, state):
+        self._A = sp.csr_matrix(op) if sp.issparse(op) else op
+        pf = fac._sub("Preconditioner") or fac._sub("Solver")
+        self._prec = pf.build_solver(op, state)
+        self._maxit = fac.sp.get("Maximum iterations", 20)
+        self._rtol = fac.sp.get("Relative tolerance", 0.0)
+
+    def solve(self, b):
+        x = np.zeros_like(np.asarray(b))
+        r0 = np.linalg.norm(b)
+        for it in range(self._maxit):
+            r = b - self._A @ x
+            if self._rtol and np.linalg.norm(r) <= self._rtol * r0:
+                break
+            x = x + self._prec.apply(r)
+        self.iterations = it + 1
+        return x

@@ -1,0 +1,117 @@
+"""ParameterList / XML / TimeManager / SolverLibrary tests
+(reference: solver_lib_test + timer_test unit tests,
+src/linalg/unit_test/, src/utilities/unit_test/)."""
+
+import numpy as np
+import pytest
+
+from parelag_tpu.utils.params import ParameterList, read_xml
+from parelag_tpu.utils.timing import TimeManager, Watch
+from parelag_tpu.solvers.library import SolverLibrary, SolverState
+
+
+def test_parameterlist_defaults():
+    p = ParameterList("root")
+    assert p.get("x", 3) == 3
+    assert p.get("x", 7) == 3          # default inserted once
+    sub = p.sublist("Sub")
+    sub.set("y", "hello")
+    assert p.sublist("Sub").get("y") == "hello"
+
+
+def test_xml_reader_reference_schema():
+    pl = read_xml("""
+    <ParameterList name="Default">
+      <ParameterList name="Problem parameters">
+        <Parameter name="Finite element order" type="int" value="0"/>
+        <Parameter name="Linear solver" type="string" value="PCG-AMGe"/>
+        <Parameter name="Deformation" type="bool" value="false"/>
+        <Parameter name="Tol" type="double" value="1e-6"/>
+      </ParameterList>
+    </ParameterList>""")
+    pp = pl.sublist("Problem parameters")
+    assert pp.get("Finite element order") == 0
+    assert pp.get("Linear solver") == "PCG-AMGe"
+    assert pp.get("Deformation") is False
+    assert pp.get("Tol") == 1e-6
+
+
+def test_reference_xml_file_parses():
+    pl = read_xml("/root/reference/examples/example_parameterlists/"
+                  "darcy_example_parameters.xml")
+    lib = pl.sublist("Preconditioner Library")
+    assert lib.sublist("GMRES-AMGe-BlkJacobi-GS-AMG").get("Type") == "Krylov"
+
+
+def test_timer():
+    TimeManager.clear()
+    with TimeManager.add_timer("phase"):
+        x = sum(range(10000))
+    assert TimeManager.get_timer("phase").elapsed() > 0
+    assert "phase" in TimeManager.summary()
+
+
+def test_solver_library_composition():
+    """PCG-AMGe-L1Jacobi composition on the H1 problem, resolved by name."""
+    from parelag_tpu.models.upscaling import (
+        build_hierarchy, mark_dofs_on_bndr, boundary_rhs, eliminate_rowcols)
+    mesh, topos, seqs = build_hierarchy(nref_parallel=1)
+    s = seqs[0]
+    A = (s.compute_mass_operator(0)
+         + s.D[0].T @ s.compute_mass_operator(1) @ s.D[0]).tocsr()
+    b = boundary_rhs(s, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(s, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+
+    lib = SolverLibrary.create_library({
+        "PCG-AMGe": {
+            "Type": "Krylov",
+            "Solver Parameters": {
+                "Solver name": "PCG",
+                "Preconditioner": "AMGe-L1J",
+                "Relative tolerance": 1e-10,
+                "Maximum iterations": 100,
+            },
+        },
+        "AMGe-L1J": {
+            "Type": "AMGe",
+            "Solver Parameters": {
+                "PreSmoother": "L1J",
+                "PostSmoother": "L1J",
+                "Cycle type": "V-cycle",
+            },
+        },
+        "L1J": {
+            "Type": "Hypre",
+            "Solver Parameters": {"Type": "L1 Gauss-Seidel", "Sweeps": 2},
+        },
+    })
+    fac = lib.get_solver_factory("PCG-AMGe")
+    state = SolverState(seqs, [0])
+    solver = fac.build_solver(A, state)
+    x = solver.solve(b)
+    assert np.linalg.norm(A @ x - b) < 1e-8 * np.linalg.norm(b)
+    assert solver.iterations < 15
+
+
+def test_solver_library_hybridization():
+    from parelag_tpu.models.darcy import build_darcy_hierarchy
+    from parelag_tpu.amge import hexfe
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    mesh, topos, seqs = build_darcy_hierarchy(nref_parallel=1)
+    s = seqs[0]
+    vols = hexfe.hex_volumes(mesh.vertices[mesh.elements])
+    lib = SolverLibrary.create_library({
+        "Hybrid": {"Type": "Hybridization", "Solver Parameters": {}},
+    })
+    state = SolverState(seqs, [2, 3])
+    solver = lib.get_solver_factory("Hybrid").build_solver(None, state)
+    b = np.concatenate([np.zeros(s.dof[2].ndofs), vols])
+    x = solver.solve(b)
+    M = s.compute_mass_operator(2)
+    W = s.compute_mass_operator(3)
+    B = (W @ s.D[2]).tocsr()
+    A = sp.bmat([[M, B.T], [B, None]], format="csc")
+    xref = spla.spsolve(A, b)
+    assert np.abs(x - xref).max() < 1e-6
