@@ -62,11 +62,81 @@ class DeRhamSequence:
         self.finer = None
         self.dofagg = [None] * nforms
         self.L2_const_rep = None
+        # (codim, jform) -> per-AE (n_ae_dofs, k) local target arrays in
+        # DofAgglomeration closure-dof order (LocalTargets_ analog,
+        # DeRhamSequence.hpp:614-727)
+        self.local_targets = {}
 
     # ------------------------------------------------------------------ #
     def set_targets(self, targets):
         self.targets = [np.asarray(t) if t is not None else None
                         for t in targets]
+
+    def agglomerate_dofs(self):
+        """Build DofAgglomerations for all active forms
+        (DeRhamSequence::AgglomerateDofs, DeRhamSequence.cpp:98-110)."""
+        for j in range(self.jform_start, self.nforms):
+            if self.dofagg[j] is None:
+                self.dofagg[j] = DofAgglomeration(self.topo, self.dof[j])
+
+    def set_local_targets(self, codim, jform, local_list):
+        """Per-AE local targets at (codim, jform); each entry is a
+        (n_ae_closure_dofs, k) array in DofAgglomeration dof order
+        (SetLocalTargets/OwnLocalTargets, DeRhamSequence.cpp:112-174)."""
+        self.agglomerate_dofs()
+        ae_dofs = self.dofagg[jform].ae_dofs(codim)
+        assert len(local_list) == len(ae_dofs)
+        for t, d in zip(local_list, ae_dofs):
+            assert t.shape[0] == d.size
+        self.local_targets[(codim, jform)] = [
+            np.asarray(t) for t in local_list]
+
+    def populate_local_targets_from_form(self, jform):
+        """Restrict agglomerated-element local targets to lower codims, add
+        derivative targets for jform+1, restrict those too
+        (PopulateLocalTargetsFromForm + populateLowerCodims +
+        targetDerivativesInForm, DeRhamSequence.cpp:185-560; serial
+        restriction — the distributed version adds the owner-gather/
+        broadcast protocol of SharedEntityCommunication)."""
+        self._populate_lower_codims(jform)
+        if jform + 1 < self.nforms and (0, jform) in self.local_targets:
+            # derivative targets: AE-local D @ targets
+            src = self.local_targets[(0, jform)]
+            uagg, pagg = self.dofagg[jform], self.dofagg[jform + 1]
+            D = self.D[jform].tocsr()
+            out = []
+            for iae, t in enumerate(src):
+                u_all = uagg.ae_dofs(0)[iae]
+                p_all = pagg.ae_dofs(0)[iae]
+                Dloc = C.extract_submatrix(D, p_all, u_all)
+                out.append(Dloc @ t)
+            self.set_local_targets(0, jform + 1, out)
+            self._populate_lower_codims(jform + 1)
+
+    def _populate_lower_codims(self, jform):
+        if (0, jform) not in self.local_targets:
+            return
+        src = self.local_targets[(0, jform)]
+        agg = self.dofagg[jform]
+        max_codim = self.dof[jform].max_codim
+        # position map: global dof -> row in each AE's local target
+        for codim in range(1, max_codim + 1):
+            ent_AE = C.pattern(
+                self.topo.coarser.connectivity(0, codim)).T.tocsr()
+            ae_dofs0 = agg.ae_dofs(0)
+            out = []
+            for ient in range(ent_AE.shape[0]):
+                ed = agg.ae_dofs(codim)[ient]
+                aes = ent_AE.indices[
+                    ent_AE.indptr[ient]:ent_AE.indptr[ient + 1]]
+                cols = []
+                for ae in aes:
+                    pos = {int(d): i for i, d in enumerate(ae_dofs0[ae])}
+                    idx = np.array([pos[int(d)] for d in ed])
+                    cols.append(src[ae][idx, :])
+                out.append(np.concatenate(cols, axis=1) if cols
+                           else np.zeros((ed.size, 0)))
+            self.set_local_targets(codim, jform, out)
 
     def compute_mass_operator(self, jform) -> sp.csr_matrix:
         return self.M[(0, jform)].assemble_global(self.dof[jform].ndofs)
@@ -94,8 +164,7 @@ class DeRhamSequence:
         coarse.svd_tol = self.svd_tol
         self.coarser = coarse
 
-        for j in range(self.jform_start, self.nforms):
-            self.dofagg[j] = DofAgglomeration(self.topo, self.dof[j])
+        self.agglomerate_dofs()
 
         for codim in range(self.nforms):
             jform = self.nforms - codim - 1
@@ -160,6 +229,7 @@ class DeRhamSequence:
 
         targets = self.targets[jform]
         n_targets = targets.shape[1] if targets is not None else 0
+        loc_tars = self.local_targets.get((codim, jform))
 
         coarse_dofs_lists, coarse_blocks = [], []
         counter = 0
@@ -169,6 +239,8 @@ class DeRhamSequence:
             loc_pv = pv[dofs]
             T = targets[dofs, :].copy() if n_targets else np.zeros(
                 (dofs.size, 0))
+            if loc_tars is not None and loc_tars[iae].shape[1]:
+                T = np.concatenate([T, loc_tars[iae]], axis=1)
             pv_m = Mloc @ loc_pv
             pv_dot_pv = float(loc_pv @ pv_m)
             # deflate targets against pv in the M inner product
@@ -253,6 +325,7 @@ class DeRhamSequence:
         Pp = self.P[jform + 1]
         targets = self.targets[jform]
         n_targets = targets.shape[1] if targets is not None else 0
+        loc_tars = self.local_targets.get((codim_dom, jform))
 
         if not use_lagrange:
             # coarse-derivative image in the fine jform+1 space
@@ -358,10 +431,19 @@ class DeRhamSequence:
 
             # ---- NullSpace dofs: corrected target extensions ---- #
             null_basis = np.zeros((nu_int, 0))
-            if with_nulls and nu_int > n_rt and n_targets:
-                t_int = targets[u_int, :]
-                t_bdr = targets[u_bdr, :]
-                rhs = np.zeros((nsys, n_targets))
+            lt = loc_tars[iae] if loc_tars is not None else None
+            n_tars_ae = n_targets + (lt.shape[1] if lt is not None else 0)
+            if with_nulls and nu_int > n_rt and n_tars_ae:
+                t_int = targets[u_int, :] if n_targets else np.zeros(
+                    (nu_int, 0))
+                t_bdr = targets[u_bdr, :] if n_targets else np.zeros(
+                    (u_bdr.size, 0))
+                if lt is not None and lt.shape[1]:
+                    # local target rows follow the interior-first AE order
+                    # (PartitionLocalTargets, DeRhamSequence.cpp:2087-2112)
+                    t_int = np.concatenate([t_int, lt[:nu_int]], axis=1)
+                    t_bdr = np.concatenate([t_bdr, lt[nu_int:]], axis=1)
+                rhs = np.zeros((nsys, n_tars_ae))
                 rhs[:nu_int] = -M_ib @ t_bdr
                 rhs[nu_int:nu_int + np_int] = B_ii @ t_int
                 sol = solve(rhs)
