@@ -218,13 +218,10 @@ class HybridHdivL2:
         if solver == "direct":
             xf = spla.spsolve(Hff, gf)
         else:
-            from parelag_tpu.solvers.cg import pcg_host
             dinv = 1.0 / Hff.diagonal()
-            import jax.numpy as jnp
-            dinv_j = jnp.asarray(dinv)
-            xf, _ = pcg_host(Hff.tocsr(), gf,
-                             precond=lambda r: dinv_j * r,
-                             rtol=rtol, maxiter=2000)
+            M = spla.LinearOperator(Hff.shape, matvec=lambda r: dinv * r)
+            xf, info = spla.cg(Hff.tocsr(), gf, M=M, rtol=rtol,
+                               atol=0.0, maxiter=2000)
         if rescale:
             xf = d * xf
         mu[keep] = xf
