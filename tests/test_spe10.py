@@ -46,5 +46,6 @@ def test_spe10_darcy_spectral_beats_polynomial():
 def test_spe10_hybridized_matches_direct():
     r1 = spe10_darcy(cells=(8, 8, 4), n_levels=2, solver="hybridization")
     r2 = spe10_darcy(cells=(8, 8, 4), n_levels=2, solver="direct")
-    assert np.abs(r1["u"][0] - r2["u"][0]).max() < 1e-5
+    scale = np.abs(r2["u"][0]).max()
+    assert np.abs(r1["u"][0] - r2["u"][0]).max() < 1e-7 * scale
     assert r1["u_l2_rel"] == pytest.approx(r2["u_l2_rel"], rel=1e-5)
