@@ -192,6 +192,67 @@ class DeRhamSequenceFE(DeRhamSequence):
         raise ValueError(jform)
 
     # ------------------------------------------------------------------ #
+    # linear forms
+    # ------------------------------------------------------------------ #
+    def domain_lf_vector(self, jform, fn):
+        """b_i = int_Omega f . phi_i for vector FE spaces (ND0/RT0):
+        VectorFEDomainLFIntegrator equivalent, batched 2x2x2 quadrature."""
+        ec = self._elem_coords()
+        J = hexfe._jacobians(ec, hexfe._Q3)
+        detJ = np.abs(np.linalg.det(J))
+        X = self.element_quad_points()
+        f = np.asarray(fn(X))                            # (ne, nq, 3)
+        w = hexfe._QW3[None, :] * detJ
+        b = np.zeros(self.dof[jform].ndofs)
+        if jform == 1:
+            Jinv = np.linalg.inv(J)
+            E = hexfe._nd0_ref_shapes(hexfe._Q3)
+            phys = np.einsum("nqba,qib->nqia", Jinv, E)
+            vals = np.einsum("nq,nqia,nqa->ni", w, phys, f)
+            vals = vals * self.ents.elem_edge_sign
+            np.add.at(b, self.ents.elem_edge.ravel(), vals.ravel())
+        elif jform == 2:
+            detJ_s = np.linalg.det(J)
+            F = hexfe._rt0_ref_shapes(hexfe._Q3)
+            phys = np.einsum("nqab,qib->nqia", J, F) / \
+                detJ_s[:, :, None, None]
+            vals = np.einsum("nq,nqia,nqa->ni", w, phys, f)
+            vals = vals * self.ents.elem_face_sign
+            np.add.at(b, self.ents.elem_face.ravel(), vals.ravel())
+        else:
+            raise ValueError(jform)
+        return b
+
+    def domain_lf_scalar(self, jform, fn):
+        """b_i = int f phi_i for H1 (Q1) or L2 (Q0)."""
+        ec = self._elem_coords()
+        J = hexfe._jacobians(ec, hexfe._Q3)
+        detJ = np.abs(np.linalg.det(J))
+        X = self.element_quad_points()
+        f = np.asarray(fn(X))
+        w = hexfe._QW3[None, :] * detJ
+        b = np.zeros(self.dof[jform].ndofs)
+        if jform == 0:
+            N = hexfe._q1_shapes(hexfe._Q3)
+            vals = np.einsum("nq,qi,nq->ni", w, N, f)
+            np.add.at(b, self.mesh.elements.ravel(), vals.ravel())
+        elif jform == 3:
+            b[:] = (w * f).sum(axis=1)
+        else:
+            raise ValueError(jform)
+        return b
+
+    def boundary_dofs(self, jform):
+        """Dofs of `jform` on the domain boundary (via bdr facet closures)."""
+        from parelag_tpu.mesh.entities import bdr_face_ids
+        fids = bdr_face_ids(self.mesh, self.ents)
+        ed = self.dof[jform].entity_dofs(1)
+        out = np.zeros(self.dof[jform].ndofs, dtype=bool)
+        for f in fids:
+            out[ed[f]] = True
+        return out
+
+    # ------------------------------------------------------------------ #
     # PV traces (DeRhamSequence3D_FE::computePVTraces)
     # ------------------------------------------------------------------ #
     def compute_pv_traces(self, codim) -> np.ndarray:

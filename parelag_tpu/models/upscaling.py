@@ -116,7 +116,7 @@ class UpscalingResult:
 
 def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
                     geometric=False, svd_tol=1e-9, upscaling_order=0,
-                    mesh=None, coarsening_factor=2):
+                    mesh=None, coarsening_factor=2, coeff_hooks=None):
     """Mesh + topology + sequence chain (UpscalingGeneralForm.cpp:200-515)."""
     if mesh is None:
         mesh = hex_grid_mesh(2, 2, 2)
@@ -142,6 +142,9 @@ def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
             part, check_topology=unstructured))
 
     seqs = [DeRhamSequenceFE(topos[0], mesh)]
+    if coeff_hooks:
+        for form, fn in coeff_hooks.items():
+            seqs[0].replace_mass_integrator(form, fn)
     seqs[0].set_upscaling_targets(upscaling_order)
     for il in range(n_levels - 1):
         seqs.append(seqs[il].coarsen(svd_tol=svd_tol))
