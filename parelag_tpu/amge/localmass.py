@@ -49,17 +49,22 @@ def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
     Returns list of (n_ae_dofs x n_ae_dofs) dense arrays aligned with
     dofagg.ae_dofs(codim)[iae].
     """
-    import scipy.sparse as _sp
+    from parelag_tpu.ops.csr import _col_scratch
     AE_e = ae_entity.tocsr()
+    ndofs = dofagg.dof.ndofs
+    pos = _col_scratch(ndofs)
     out = []
     for iae in range(AE_e.shape[0]):
         ents = AE_e.indices[AE_e.indptr[iae]:AE_e.indptr[iae + 1]]
         ae_dofs = dofagg.ae_dofs(codim)[iae]
-        pos = {int(d): k for k, d in enumerate(ae_dofs)}
-        M = np.zeros((ae_dofs.size, ae_dofs.size))
+        n = ae_dofs.size
+        pos[ae_dofs] = np.arange(n)
+        M = np.zeros((n, n))
         for e in ents:
-            d = local_mass.dofs[e]
-            idx = np.array([pos[int(x)] for x in d])
-            M[np.ix_(idx, idx)] += local_mass.blocks[e]
+            idx = pos[local_mass.dofs[e]]
+            blk = local_mass.blocks[e]
+            # scatter-add (duplicates impossible within one entity block)
+            M[idx[:, None], idx[None, :]] += blk
+        pos[ae_dofs] = -1
         out.append(M)
     return out

@@ -362,8 +362,8 @@ class DeRhamSequence:
             if use_lagrange:
                 pv_cdof = pdof.ranget_dofs(codim_dom, iae)
                 assert pv_cdof.size == 1
-                ploc_pv = np.asarray(
-                    Pp[p_int, :][:, pv_cdof].todense()).ravel()
+                ploc_pv = C.extract_submatrix(
+                    Pp, p_int, pv_cdof).ravel()
                 Tvec = W_ii @ ploc_pv
                 nsys = nu_int + np_int + 1
                 A = np.zeros((nsys, nsys))
@@ -395,13 +395,12 @@ class DeRhamSequence:
 
             # ---- harmonic extension of boundary coarse dofs ---- #
             cbdr = cdof.dofs_on_bdr(codim_dom, iae)
-            Pb = np.asarray(
-                self._P_snapshot[u_bdr, :][:, cbdr].todense())
+            Pb = C.extract_submatrix(self._P_snapshot, u_bdr, cbdr)
             rhs = np.zeros((nsys, cbdr.size))
             rhs[:nu_int] = -M_ib @ Pb
             rhs[nu_int:nu_int + np_int] = -B_ib @ Pb
             if not use_lagrange:
-                dPc = np.asarray(PDc[p_all, :][:, cbdr].todense())
+                dPc = C.extract_submatrix(PDc, p_all, cbdr)
                 rhs[nu_int:nu_int + np_int] += Wloc[:np_int, :] @ dPc
                 ext = solve(rhs)
             else:
@@ -421,7 +420,7 @@ class DeRhamSequence:
             cdof.set_n_ranget(codim_dom, iae, n_rt)
             rt_basis = np.zeros((nu_int, n_rt))
             if n_rt:
-                cP = np.asarray(Pp[p_int, :][:, p_nulls].todense())
+                cP = C.extract_submatrix(Pp, p_int, p_nulls)
                 rhs = np.zeros((nsys, n_rt))
                 rhs[nu_int:nu_int + np_int] = W_ii @ cP
                 sol = solve(rhs)

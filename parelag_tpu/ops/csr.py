@@ -170,8 +170,44 @@ def connected_components(partition, elem_elem, elem_attrib=None):
 
 
 def extract_submatrix(A, rows, cols) -> np.ndarray:
-    """Dense submatrix A[rows][:, cols] (SubMatrixExtraction.hpp:27-85)."""
-    return csr(A)[np.asarray(rows)][:, np.asarray(cols)].toarray()
+    """Dense submatrix A[rows][:, cols] (SubMatrixExtraction.hpp:27-85).
+
+    Fully vectorized gather over the raw CSR arrays — scipy's fancy indexing
+    allocates intermediate sparse matrices and dominates setup profiles."""
+    A = csr(A)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    out = np.zeros((rows.size, cols.size))
+    if rows.size == 0 or cols.size == 0:
+        return out
+    pos = _col_scratch(A.shape[1])
+    pos[cols] = np.arange(cols.size)
+    starts = A.indptr[rows]
+    counts = A.indptr[rows + 1] - starts
+    total = int(counts.sum())
+    if total:
+        # flat nnz positions of all requested rows
+        idx = np.repeat(starts - np.concatenate(
+            ([0], np.cumsum(counts)[:-1])), counts) + np.arange(total)
+        rowrep = np.repeat(np.arange(rows.size), counts)
+        j = A.indices[idx]
+        m = pos[j]
+        sel = m >= 0
+        out[rowrep[sel], m[sel]] = A.data[idx][sel]
+    pos[cols] = -1
+    return out
+
+
+_SCRATCH = {}
+
+
+def _col_scratch(n):
+    """Reusable -1-filled scratch array for column position maps."""
+    arr = _SCRATCH.get("cols")
+    if arr is None or arr.size < n:
+        arr = np.full(max(n, 1024), -1, dtype=np.int64)
+        _SCRATCH["cols"] = arr
+    return arr
 
 
 def extract_block(A, r0, r1, c0, c1) -> sp.csr_matrix:
