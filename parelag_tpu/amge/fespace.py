@@ -17,14 +17,14 @@ import scipy.sparse as sp
 from parelag_tpu.amge.sequence import DeRhamSequence
 from parelag_tpu.amge.dofhandler import DofHandlerFE
 from parelag_tpu.amge.localmass import LocalMass
-from parelag_tpu.amge import hexfe
+from parelag_tpu.amge import hexfe, tetfe
 from parelag_tpu.mesh.entities import derive_entities
 
 
 class DeRhamSequenceFE(DeRhamSequence):
     def __init__(self, topo, mesh):
-        assert mesh.kind == "hex", "tet FE spaces arrive in a later round"
         super().__init__(topo, mesh.dim + 1)
+        self.kind = mesh.kind
         self.mesh = mesh
         self.ents = topo.entities if hasattr(topo, "entities") else \
             derive_entities(mesh)
@@ -59,9 +59,15 @@ class DeRhamSequenceFE(DeRhamSequence):
         return self._geom_cache["edge"]
 
     def element_quad_points(self):
-        """Physical coordinates of the 2x2x2 quadrature points (ne, nq, 3)."""
-        N = hexfe._q1_shapes(hexfe._Q3)           # (nq, 8)
-        return np.einsum("qi,nic->nqc", N, self._elem_coords())
+        """Physical coordinates of the element quadrature points
+        (ne, nq, 3): tensor 2x2x2 Gauss on hexes, 4-pt degree-2 on tets."""
+        ec = self._elem_coords()
+        if self.kind == "hex":
+            N = hexfe._q1_shapes(hexfe._Q3)       # (nq, 8)
+            return np.einsum("qi,nic->nqc", N, ec)
+        lam = np.concatenate(
+            [1 - tetfe._TQ.sum(axis=1, keepdims=True), tetfe._TQ], axis=1)
+        return np.einsum("qi,nic->nqc", lam, ec)
 
     # ------------------------------------------------------------------ #
     # derivative operators (oriented incidence; see hexfe docstring)
@@ -70,8 +76,18 @@ class DeRhamSequenceFE(DeRhamSequence):
         e = self.ents
         self.D[0] = e.B2.copy()          # grad: circulation = u_head - u_tail
         self.D[1] = e.B1.copy()          # curl: Stokes over face cycle
-        vols = hexfe.hex_volumes(self._elem_coords())
+        vols = self.element_volumes()
         self.D[2] = (sp.diags(1.0 / vols) @ e.B0).tocsr()  # div cell-average
+
+    def element_volumes(self):
+        ec = self._elem_coords()
+        return (hexfe.hex_volumes(ec) if self.kind == "hex"
+                else tetfe.tet_volumes(ec))
+
+    def facet_areas(self):
+        fc = self._face_coords()
+        return (hexfe.face_areas(fc) if self.kind == "hex"
+                else tetfe.tri_areas(fc))
 
     # ------------------------------------------------------------------ #
     # local mass matrices, 10 (codim, form) slots
@@ -87,28 +103,38 @@ class DeRhamSequenceFE(DeRhamSequence):
         coeff = elem_coeffs or {}
 
         # ---- codim 0 (element) blocks for all forms ---- #
+        fe = hexfe if self.kind == "hex" else tetfe
+        h1m = fe.hex_h1_mass if self.kind == "hex" else fe.tet_h1_mass
+        ndm = fe.hex_nd_mass if self.kind == "hex" else fe.tet_nd_mass
+        rtm = fe.hex_rt_mass if self.kind == "hex" else fe.tet_rt_mass
+        l2m = fe.hex_l2_mass if self.kind == "hex" else fe.tet_l2_mass
         self.M[(0, 0)] = LocalMass(
-            list(m.elements), list(hexfe.hex_h1_mass(ec, coeff.get(0))))
+            list(m.elements), list(h1m(ec, coeff.get(0))))
         self.M[(0, 1)] = LocalMass(
             list(e.elem_edge),
-            list(hexfe.hex_nd_mass(ec, e.elem_edge_sign, coeff.get(1))))
+            list(ndm(ec, e.elem_edge_sign, coeff.get(1))))
         self.M[(0, 2)] = LocalMass(
             list(e.elem_face),
-            list(hexfe.hex_rt_mass(ec, e.elem_face_sign, coeff.get(2))))
+            list(rtm(ec, e.elem_face_sign, coeff.get(2))))
         self.M[(0, 3)] = LocalMass(
             [np.array([i]) for i in range(ne)],
-            list(hexfe.hex_l2_mass(ec, coeff.get(3))))
+            list(l2m(ec, coeff.get(3))))
 
         # ---- codim 1 (facet) trace masses ---- #
         fverts = [np.asarray(c) for c in
                   (np.array([list(c) for c in e.face_verts]))]
-        self.M[(1, 0)] = LocalMass(fverts, list(hexfe.face_h1_mass(fc)))
-        self.M[(1, 1)] = LocalMass(
-            list(e.face_edge),
-            list(hexfe.face_nd_mass(fc, e.face_edge_sign)))
+        if self.kind == "hex":
+            fh1 = hexfe.face_h1_mass(fc)
+            fnd = hexfe.face_nd_mass(fc, e.face_edge_sign)
+            frt = hexfe.face_rt_trace_mass(fc)
+        else:
+            fh1 = tetfe.tri_h1_mass(fc)
+            fnd = tetfe.tri_nd_mass(fc, e.face_edge_sign)
+            frt = tetfe.tri_rt_trace_mass(fc)
+        self.M[(1, 0)] = LocalMass(fverts, list(fh1))
+        self.M[(1, 1)] = LocalMass(list(e.face_edge), list(fnd))
         self.M[(1, 2)] = LocalMass(
-            [np.array([i]) for i in range(e.num_faces)],
-            list(hexfe.face_rt_trace_mass(fc)))
+            [np.array([i]) for i in range(e.num_faces)], list(frt))
 
         # ---- codim 2 (ridge) ---- #
         self.M[(2, 0)] = LocalMass(list(e.edges),
@@ -180,12 +206,25 @@ class DeRhamSequenceFE(DeRhamSequence):
                 (rc.shape[0], 0))
         elif jform == 2:
             fc = self._face_coords()
-            X, F = hexfe._face_param(fc, hexfe._Q2)
-            normal = np.cross(F[..., 0], F[..., 1])         # cycle normal
+            if self.kind == "hex":
+                X, F = hexfe._face_param(fc, hexfe._Q2)
+                normal = np.cross(F[..., 0], F[..., 1])     # cycle normal
+                qw = hexfe._QW2
+            else:
+                a = fc[:, 0][:, None, :]
+                F1 = (fc[:, 1] - fc[:, 0])[:, None, :]
+                F2 = (fc[:, 2] - fc[:, 0])[:, None, :]
+                sq = tetfe._SQ
+                X = a + sq[None, :, 0, None] * F1 + sq[None, :, 1, None] * F2
+                normal = np.broadcast_to(
+                    np.cross(F1[:, 0], F2[:, 0])[:, None, :], X.shape)
+                # flux = sum_q w_q v(X_q).(F1 x F2), w sums to ref area 1/2
+                # and |F1 x F2| = 2*area, so constants integrate exactly
+                qw = tetfe._SW
             cols = []
             for f in fns:
                 v = np.asarray(f(X))                        # (nf, nq, 3)
-                flux = np.einsum("fqc,fqc,q->f", v, normal, hexfe._QW2)
+                flux = np.einsum("fqc,fqc,q->f", v, normal, qw)
                 cols.append(flux)
             return np.stack(cols, axis=1) if fns else np.zeros(
                 (fc.shape[0], 0))
@@ -196,44 +235,80 @@ class DeRhamSequenceFE(DeRhamSequence):
     # ------------------------------------------------------------------ #
     def domain_lf_vector(self, jform, fn):
         """b_i = int_Omega f . phi_i for vector FE spaces (ND0/RT0):
-        VectorFEDomainLFIntegrator equivalent, batched 2x2x2 quadrature."""
+        VectorFEDomainLFIntegrator equivalent, batched quadrature."""
         ec = self._elem_coords()
-        J = hexfe._jacobians(ec, hexfe._Q3)
-        detJ = np.abs(np.linalg.det(J))
         X = self.element_quad_points()
         f = np.asarray(fn(X))                            # (ne, nq, 3)
-        w = hexfe._QW3[None, :] * detJ
         b = np.zeros(self.dof[jform].ndofs)
+        phys = self._vector_shapes_at_quad(jform, ec)
+        w = self._quad_weights(ec)
+        vals = np.einsum("nq,nqia,nqa->ni", w, phys, f)
         if jform == 1:
-            Jinv = np.linalg.inv(J)
-            E = hexfe._nd0_ref_shapes(hexfe._Q3)
-            phys = np.einsum("nqba,qib->nqia", Jinv, E)
-            vals = np.einsum("nq,nqia,nqa->ni", w, phys, f)
             vals = vals * self.ents.elem_edge_sign
             np.add.at(b, self.ents.elem_edge.ravel(), vals.ravel())
-        elif jform == 2:
-            detJ_s = np.linalg.det(J)
-            F = hexfe._rt0_ref_shapes(hexfe._Q3)
-            phys = np.einsum("nqab,qib->nqia", J, F) / \
-                detJ_s[:, :, None, None]
-            vals = np.einsum("nq,nqia,nqa->ni", w, phys, f)
+        else:
             vals = vals * self.ents.elem_face_sign
             np.add.at(b, self.ents.elem_face.ravel(), vals.ravel())
-        else:
-            raise ValueError(jform)
         return b
 
+    def _quad_weights(self, ec):
+        """|J| * quadrature weights at element quad points (ne, nq)."""
+        if self.kind == "hex":
+            J = hexfe._jacobians(ec, hexfe._Q3)
+            return hexfe._QW3[None, :] * np.abs(np.linalg.det(J))
+        _, det, _ = tetfe._tet_jac(ec)
+        return tetfe._TW[None, :] * np.abs(det)[:, None]
+
+    def _vector_shapes_at_quad(self, jform, ec):
+        """Physical ND0/RT0 shapes at the element quad points, local-table
+        orientation (ne, nq, ndof, 3)."""
+        if self.kind == "hex":
+            J = hexfe._jacobians(ec, hexfe._Q3)
+            if jform == 1:
+                Jinv = np.linalg.inv(J)
+                E = hexfe._nd0_ref_shapes(hexfe._Q3)
+                return np.einsum("nqba,qib->nqia", Jinv, E)
+            detJ_s = np.linalg.det(J)
+            F = hexfe._rt0_ref_shapes(hexfe._Q3)
+            return np.einsum("nqab,qib->nqia", J, F) / \
+                detJ_s[:, :, None, None]
+        # tets: Whitney shapes evaluated directly in physical coords
+        from parelag_tpu.mesh.mesh import TET_EDGES
+        nq = tetfe._TQ.shape[0]
+        ne = ec.shape[0]
+        if jform == 1:
+            g = tetfe._grad_lambda(ec)
+            lam = np.concatenate(
+                [1 - tetfe._TQ.sum(axis=1, keepdims=True), tetfe._TQ],
+                axis=1)
+            out = np.empty((ne, nq, 6, 3))
+            for le, (a, bb) in enumerate(TET_EDGES):
+                out[:, :, le, :] = (
+                    lam[None, :, a, None] * g[:, None, bb, :]
+                    - lam[None, :, bb, None] * g[:, None, a, :])
+            return out
+        vol = tetfe.tet_volumes(ec)
+        X = self.element_quad_points()
+        out = np.empty((ne, nq, 4, 3))
+        for fidx in range(4):
+            out[:, :, fidx, :] = (X - ec[:, fidx][:, None, :]) / (
+                3.0 * vol[:, None, None])
+        return out
+
     def domain_lf_scalar(self, jform, fn):
-        """b_i = int f phi_i for H1 (Q1) or L2 (Q0)."""
+        """b_i = int f phi_i for H1 (Q1/P1) or L2 (Q0/P0)."""
         ec = self._elem_coords()
-        J = hexfe._jacobians(ec, hexfe._Q3)
-        detJ = np.abs(np.linalg.det(J))
         X = self.element_quad_points()
         f = np.asarray(fn(X))
-        w = hexfe._QW3[None, :] * detJ
+        w = self._quad_weights(ec)
         b = np.zeros(self.dof[jform].ndofs)
         if jform == 0:
-            N = hexfe._q1_shapes(hexfe._Q3)
+            if self.kind == "hex":
+                N = hexfe._q1_shapes(hexfe._Q3)
+            else:
+                N = np.concatenate(
+                    [1 - tetfe._TQ.sum(axis=1, keepdims=True), tetfe._TQ],
+                    axis=1)
             vals = np.einsum("nq,qi,nq->ni", w, N, f)
             np.add.at(b, self.mesh.elements.ravel(), vals.ravel())
         elif jform == 3:
@@ -262,7 +337,7 @@ class DeRhamSequenceFE(DeRhamSequence):
         if codim == 0:            # L2: interpolant of 1
             pv[:] = 1.0
         elif codim == 1:          # Hdiv: oriented face areas
-            areas = hexfe.face_areas(self._face_coords())
+            areas = self.facet_areas()
             coo = AE_e.tocoo()
             pv[coo.col] = coo.data * areas[coo.col]
         elif codim == 2:          # Hcurl: oriented edge lengths

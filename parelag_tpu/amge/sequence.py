@@ -500,11 +500,13 @@ class DeRhamSequence:
             Pi1 = self.Pi[j + 1].matrix
             Dc = coarse.D[j]
             Df = self.D[j]
-            # D_c = Pi_{j+1} D_f P_j
+            # D_c = Pi_{j+1} D_f P_j (reference CheckD,
+            # DeRhamSequence.cpp:754-800)
             errs[f"D_{j}"] = C.max_abs((Dc - Pi1 @ Df @ P).tocsr())
-            # commutativity D_c Pi_j = Pi_{j+1} D_f
-            errs[f"DPi_{j}"] = C.max_abs(
-                (Dc @ self.Pi[j].matrix - Pi1 @ Df).tocsr())
+            # interpolation commutativity D_f P_j = P_{j+1} D_c
+            # (reference CheckDP, DeRhamSequence.cpp:830-856)
+            errs[f"DP_{j}"] = C.max_abs(
+                (Df @ P - self.P[j + 1] @ Dc).tocsr())
             # exactness
             if j < self.nforms - 2:
                 errs[f"DD_{j}"] = C.max_abs((coarse.D[j + 1] @ Dc).tocsr())

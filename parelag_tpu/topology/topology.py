@@ -146,6 +146,7 @@ class AgglomeratedTopology:
             battr = self.facet_bdr_attribute
             Z = (Z + battr @ battr.T).tocsr()
         fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
+        fc_AF = self._split_disconnected(fc_AF, 1)
         self.AEntity_entity[1] = fc_AF.T.tocsr()
         coarse.B[0] = C.mult_orientation(AE_fc, fc_AF)
 
@@ -155,6 +156,8 @@ class AgglomeratedTopology:
                                        self.B[icodim])
             Z = (AE_fc.T @ AE_fc).tocsr()
             fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
+            if icodim + 1 < self.dim:
+                fc_AF = self._split_disconnected(fc_AF, icodim + 1)
             self.AEntity_entity[icodim + 1] = fc_AF.T.tocsr()
             coarse.B[icodim] = C.mult_orientation(AE_fc, fc_AF)
 
@@ -175,6 +178,40 @@ class AgglomeratedTopology:
         first = AE_e.indices[AE_e.indptr[:-1]]
         coarse.element_attribute = self.element_attribute[first]
         return coarse
+
+    def _split_disconnected(self, ent_AF, codim):
+        """Split coarse interface entities whose fine members are not
+        connected through shared sub-entities (covers both disconnected and
+        vertex-pinched agglomerated facets/ridges — the reference's MIS
+        grouping can produce these and its local saddle solves then fail
+        with 'bad topology'; cf. the LDL failure note in
+        ParELAG_SaddlePointSolver.cpp:118-127). Returns the corrected
+        entity x coarse-entity table with orientations preserved."""
+        ent_AF = ent_AF.tocsc()
+        B = C.pattern(self.B[codim])          # fine ent x sub-entity
+        n_ent = ent_AF.shape[0]
+        rows, cols, vals = [], [], []
+        n_new = 0
+        for j in range(ent_AF.shape[1]):
+            members = ent_AF.indices[ent_AF.indptr[j]:ent_AF.indptr[j + 1]]
+            orient = ent_AF.data[ent_AF.indptr[j]:ent_AF.indptr[j + 1]]
+            if members.size > 1:
+                sub = B[members]
+                G = C.bool_mult(sub, sub.T)
+                ncomp, labels = sp.csgraph.connected_components(
+                    G, directed=False)
+            else:
+                ncomp, labels = 1, np.zeros(members.size, dtype=np.int64)
+            for comp in range(ncomp):
+                sel = labels == comp
+                rows.append(members[sel])
+                vals.append(orient[sel])
+                cols.append(np.full(int(sel.sum()), n_new))
+                n_new += 1
+        return sp.csr_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n_ent, n_new))
 
     def _deagglomerate_bad(self, isbad):
         """Split every bad agglomerate into singleton elements (reference
