@@ -49,6 +49,65 @@ def pcg(matvec, b, precond=None, x0=None, rtol=1e-6, atol=1e-12,
     return x, (it, nom)
 
 
+def gmres(matvec, b, precond=None, x0=None, rtol=1e-6, atol=0.0,
+          restart=30, max_restarts=20):
+    """Jitted right-preconditioned restarted GMRES(m).
+
+    The Arnoldi loop runs as a lax.fori_loop over a fixed-size Krylov basis
+    (static shapes); the restart loop is a while_loop on the residual norm.
+    Replaces mfem::GMRESSolver in the reference KrylovSolver wrapper.
+    """
+    if precond is None:
+        precond = lambda r: r
+    n = b.shape[0]
+    m = min(restart, n)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    b_norm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * b_norm, atol)
+
+    def arnoldi_cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype=b.dtype)
+        H = jnp.zeros((m + 1, m), dtype=b.dtype)
+        V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+
+        def body(j, carry):
+            V, H = carry
+            w = matvec(precond(V[j]))
+            # modified Gram-Schmidt
+            def mgs(i, wh):
+                w, h = wh
+                hij = jnp.where(i <= j, w @ V[i], 0.0)
+                return w - hij * V[i], h.at[i].set(hij)
+            w, hcol = jax.lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype=b.dtype)))
+            hj1 = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(hj1)
+            V = V.at[j + 1].set(w / jnp.where(hj1 > 1e-30, hj1, 1.0))
+            H = H.at[:, j].set(hcol)
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, m, body, (V, H))
+        # least squares: min || beta e1 - H y ||
+        e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        dx = precond(V[:m].T @ y)
+        return x + dx
+
+    def cond(state):
+        x, it = state
+        r = b - matvec(x)
+        return (jnp.linalg.norm(r) > tol) & (it < max_restarts)
+
+    def body(state):
+        x, it = state
+        return arnoldi_cycle(x), it + 1
+
+    x, it = jax.lax.while_loop(cond, body, (x, jnp.asarray(0)))
+    return x, (it, jnp.linalg.norm(b - matvec(x)))
+
+
 def pcg_host(A_scipy, b, precond=None, rtol=1e-6, atol=1e-12, maxiter=500):
     """Host-convenience wrapper: scipy matrix in, numpy solution out."""
     from parelag_tpu.ops.device_sparse import from_scipy
