@@ -8,7 +8,12 @@ across the row tiles.
 
 Kernels degrade gracefully: if the Mosaic lowering of the in-kernel gather
 is unsupported on the current backend, callers fall back to the XLA einsum
-path in ops.device_sparse (use `ell_matvec_best`).
+path in ops.device_sparse (use `ell_matvec_best`). Status on the current
+axon TPU stack: the 1D-operand gather fails to lower ("Only 2D gather is
+supported"), so the probe returns False and the XLA path is used; the
+planned MXU-native alternative is a BCSR layout (8x128 blocks, per-block-row
+index lists via PrefetchScalarGridSpec) turning SpMV into masked dense
+(TILE, 128) @ (128,) products — see ROADMAP.
 """
 
 import functools
