@@ -47,52 +47,73 @@ class DofHandlerFE(DofHandlerBase):
         ne = mesh.num_elements
         if form == 0:
             self.ndofs = mesh.num_vertices
+        elif form == self.dim:
+            self.ndofs = ne                       # L2
         elif form == 1:
-            self.ndofs = ents.num_edges
-        elif form == 2:
-            self.ndofs = ents.num_faces
+            self.ndofs = ents.num_edges           # ND (3D) / RT (2D)
         else:
-            self.ndofs = ne
+            self.ndofs = ents.num_faces           # RT (3D)
         self._tables = {}
 
     def entity_dofs(self, codim):
         """List (or uniform 2D array rows) of dof ids per entity of codim.
-        Order matches hexfe local matrix layouts."""
+        Order matches the local matrix layouts of hexfe/tetfe (3D) and the
+        embedded surface kernels (2D)."""
         if codim in self._tables:
             return self._tables[codim]
         m, e, form = self.mesh, self.ents, self.form
-        if codim == 0:
-            if form == 0:
-                t = m.elements
-            elif form == 1:
-                t = e.elem_edge
-            elif form == 2:
-                t = e.elem_face
-            else:
-                t = np.arange(m.num_elements)[:, None]
-        elif codim == 1:
-            if form == 0:
-                t = np.array([list(c) for c in e.face_verts])
-            elif form == 1:
-                t = e.face_edge
-            elif form == 2:
-                t = np.arange(e.num_faces)[:, None]
-            else:
-                raise ValueError("L2 has no facet dofs")
-        elif codim == 2:
-            if form == 0:
-                t = e.edges
-            elif form == 1:
-                t = np.arange(e.num_edges)[:, None]
-            else:
-                raise ValueError
+        if self.dim == 2:
+            t = self._entity_dofs_2d(codim)
         else:
-            if form == 0:
-                t = np.arange(m.num_vertices)[:, None]
-            else:
-                raise ValueError
+            t = self._entity_dofs_3d(codim)
         self._tables[codim] = [np.asarray(row) for row in t]
         return self._tables[codim]
+
+    def _entity_dofs_3d(self, codim):
+        m, e, form = self.mesh, self.ents, self.form
+        if codim == 0:
+            if form == 0:
+                return m.elements
+            if form == 1:
+                return e.elem_edge
+            if form == 2:
+                return e.elem_face
+            return np.arange(m.num_elements)[:, None]
+        if codim == 1:
+            if form == 0:
+                return np.array([list(c) for c in e.face_verts])
+            if form == 1:
+                return e.face_edge
+            if form == 2:
+                return np.arange(e.num_faces)[:, None]
+            raise ValueError("L2 has no facet dofs")
+        if codim == 2:
+            if form == 0:
+                return e.edges
+            if form == 1:
+                return np.arange(e.num_edges)[:, None]
+            raise ValueError
+        if form == 0:
+            return np.arange(m.num_vertices)[:, None]
+        raise ValueError
+
+    def _entity_dofs_2d(self, codim):
+        m, e, form = self.mesh, self.ents, self.form
+        if codim == 0:
+            if form == 0:
+                return m.elements
+            if form == 1:
+                return e.elem_edge
+            return np.arange(m.num_elements)[:, None]
+        if codim == 1:
+            if form == 0:
+                return e.edges
+            if form == 1:
+                return np.arange(e.num_edges)[:, None]
+            raise ValueError("L2 has no facet dofs")
+        if form == 0:
+            return np.arange(m.num_vertices)[:, None]
+        raise ValueError
 
 
 class DofHandlerALG(DofHandlerBase):

@@ -156,3 +156,55 @@ def bdr_face_ids(mesh, ents: MeshEntities):
     for i, quad in enumerate(mesh.bdr_faces):
         out[i] = ents.face_key_index[tuple(np.sort(quad))]
     return out
+
+
+@dataclass
+class MeshEntities2D:
+    """Entity arrays of a 2D (quad) mesh: facets are edges, ridges are
+    vertices (reference 2D topology, Topology.cpp nCodim_=2 path)."""
+
+    num_vertices: int
+    edges: np.ndarray            # (nedge, 2) (tail, head), tail < head
+    elem_edge: np.ndarray        # (ne, 4)
+    elem_edge_sign: np.ndarray   # (ne, 4): ccw traversal vs global direction
+    B0: sp.csr_matrix            # element x edge (+-1)
+    B1: sp.csr_matrix            # edge x vertex (+-1, head/tail)
+
+    @property
+    def num_edges(self):
+        return self.edges.shape[0]
+
+
+def derive_entities_2d(mesh) -> MeshEntities2D:
+    elems = mesh.elements
+    ne = elems.shape[0]
+    loc = mesh.local_edges                     # ccw boundary cycle
+    ev = elems[:, loc]                         # (ne, 4, 2)
+    ev_sorted = np.sort(ev, axis=2)
+    edges, inv = np.unique(ev_sorted.reshape(-1, 2), axis=0,
+                           return_inverse=True)
+    elem_edge = inv.reshape(ne, 4)
+    sign = np.where(ev[:, :, 0] < ev[:, :, 1], 1.0, -1.0)
+
+    B0 = sp.csr_matrix(
+        (sign.ravel(),
+         (np.repeat(np.arange(ne), 4), elem_edge.ravel())),
+        shape=(ne, edges.shape[0]))
+    nedge = edges.shape[0]
+    B1 = sp.csr_matrix(
+        (np.concatenate([np.ones(nedge), -np.ones(nedge)]),
+         (np.concatenate([np.arange(nedge), np.arange(nedge)]),
+          np.concatenate([edges[:, 1], edges[:, 0]]))),
+        shape=(nedge, mesh.num_vertices))
+    return MeshEntities2D(
+        num_vertices=mesh.num_vertices, edges=edges,
+        elem_edge=elem_edge, elem_edge_sign=sign, B0=B0, B1=B1)
+
+
+def bdr_edge_ids(mesh, ents: MeshEntities2D):
+    """Map each 2D mesh boundary segment to its global edge id."""
+    index = {(int(a), int(b)): i for i, (a, b) in enumerate(ents.edges)}
+    out = np.empty(mesh.bdr_faces.shape[0], dtype=np.int64)
+    for i, (a, b) in enumerate(mesh.bdr_faces):
+        out[i] = index[(min(int(a), int(b)), max(int(a), int(b)))]
+    return out

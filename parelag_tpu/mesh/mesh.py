@@ -36,6 +36,9 @@ TET_EDGES = np.array(
 TET_FACES = np.array(
     [(1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1)], dtype=np.int64)
 
+# counterclockwise boundary edges of the reference quad (v0..v3 ccw)
+QUAD_EDGES = np.array([(0, 1), (1, 2), (2, 3), (3, 0)], dtype=np.int64)
+
 
 @dataclass
 class Mesh:
@@ -43,14 +46,14 @@ class Mesh:
 
     vertices: np.ndarray          # (nv, 3) float64
     elements: np.ndarray          # (ne, 8) or (ne, 4) int64
-    kind: str                     # 'hex' | 'tet'
+    kind: str                     # 'hex' | 'tet' | 'quad'
     attrib: np.ndarray            # (ne,) int64 element attributes (1-based)
     bdr_faces: np.ndarray         # (nbf, 4|3) int64 vertex lists
     bdr_attrib: np.ndarray        # (nbf,) int64 boundary attributes (1-based)
 
     @property
     def dim(self):
-        return 3
+        return 2 if self.kind == "quad" else 3
 
     @property
     def num_vertices(self):
@@ -62,6 +65,8 @@ class Mesh:
 
     @property
     def local_edges(self):
+        if self.kind == "quad":
+            return QUAD_EDGES
         return HEX_EDGES if self.kind == "hex" else TET_EDGES
 
     @property
@@ -78,6 +83,8 @@ class Mesh:
         parent (so derefinement partitioning is partition[e] = e // 2^dim)."""
         if self.kind == "hex":
             return _refine_hex(self)
+        if self.kind == "quad":
+            return _refine_quad(self)
         return _refine_tet(self)
 
 
@@ -361,3 +368,94 @@ def _read_mfem(path) -> Mesh:
                 kind=kind, attrib=np.array(attr, dtype=np.int64),
                 bdr_faces=np.array(bdr, dtype=np.int64),
                 bdr_attrib=np.array(battr, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------- #
+# 2D quadrilateral meshes (reference DeRhamSequence2D_Hdiv_FE support)
+# ---------------------------------------------------------------------- #
+def quad_grid_mesh(nx, ny, sx=1.0, sy=1.0) -> Mesh:
+    """Cartesian quad mesh of [0,sx]x[0,sy], embedded at z=0.
+
+    mfem Mesh::Make2D conventions: vertex index = ix + iy*(nx+1); boundary
+    attributes y=0 ->1, x=sx ->2, y=sy ->3, x=0 ->4."""
+    xs = np.linspace(0, sx, nx + 1)
+    ys = np.linspace(0, sy, ny + 1)
+    verts = np.zeros(((nx + 1) * (ny + 1), 3))
+    for iy in range(ny + 1):
+        for ix in range(nx + 1):
+            verts[ix + iy * (nx + 1), 0] = xs[ix]
+            verts[ix + iy * (nx + 1), 1] = ys[iy]
+
+    def vid(ix, iy):
+        return ix + iy * (nx + 1)
+
+    elems = []
+    for iy in range(ny):
+        for ix in range(nx):
+            elems.append([vid(ix, iy), vid(ix + 1, iy),
+                          vid(ix + 1, iy + 1), vid(ix, iy + 1)])
+
+    bdr, battr = [], []
+    for iy in range(ny):
+        for ix in range(nx):
+            if iy == 0:
+                bdr.append([vid(ix, 0), vid(ix + 1, 0)]); battr.append(1)
+            if ix == nx - 1:
+                bdr.append([vid(nx, iy), vid(nx, iy + 1)]); battr.append(2)
+            if iy == ny - 1:
+                bdr.append([vid(ix + 1, ny), vid(ix, ny)]); battr.append(3)
+            if ix == 0:
+                bdr.append([vid(0, iy + 1), vid(0, iy)]); battr.append(4)
+
+    return Mesh(
+        vertices=verts,
+        elements=np.array(elems, dtype=np.int64),
+        kind="quad",
+        attrib=np.ones(len(elems), dtype=np.int64),
+        bdr_faces=np.array(bdr, dtype=np.int64),
+        bdr_attrib=np.array(battr, dtype=np.int64),
+    )
+
+
+def _refine_quad(mesh: Mesh) -> Mesh:
+    """Quadsection of every quad, children contiguous per parent."""
+    verts = [mesh.vertices]
+    key2id = {}
+    next_id = mesh.num_vertices
+
+    def mid(vkey):
+        nonlocal next_id
+        vkey = tuple(sorted(vkey))
+        if vkey not in key2id:
+            key2id[vkey] = next_id
+            verts.append(np.mean(mesh.vertices[list(vkey)], axis=0,
+                                 keepdims=True))
+            next_id += 1
+        return key2id[vkey]
+
+    new_elems, new_attr = [], []
+    for e in range(mesh.num_elements):
+        a, b, c, d = mesh.elements[e]
+        ab, bc, cd, da = mid((a, b)), mid((b, c)), mid((c, d)), mid((d, a))
+        ctr = mid((a, b, c, d))
+        for quad in ([a, ab, ctr, da], [ab, b, bc, ctr],
+                     [ctr, bc, c, cd], [da, ctr, cd, d]):
+            new_elems.append(quad)
+            new_attr.append(mesh.attrib[e])
+
+    new_bdr, new_battr = [], []
+    for f in range(mesh.bdr_faces.shape[0]):
+        a, b = mesh.bdr_faces[f]
+        m = mid((a, b))
+        for seg in ([a, m], [m, b]):
+            new_bdr.append(seg)
+            new_battr.append(mesh.bdr_attrib[f])
+
+    return Mesh(
+        vertices=np.concatenate(verts, axis=0),
+        elements=np.array(new_elems, dtype=np.int64),
+        kind="quad",
+        attrib=np.array(new_attr, dtype=np.int64),
+        bdr_faces=np.array(new_bdr, dtype=np.int64),
+        bdr_attrib=np.array(new_battr, dtype=np.int64),
+    )

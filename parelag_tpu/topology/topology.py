@@ -51,25 +51,37 @@ class AgglomeratedTopology:
     # ------------------------------------------------------------------ #
     @classmethod
     def from_mesh(cls, mesh) -> "AgglomeratedTopology":
-        """Fine-level topology from a mesh (reference Topology.cpp:75-157)."""
+        """Fine-level topology from a mesh (reference Topology.cpp:75-157).
+        In 2D facets are edges and ridges are vertices (nCodim_=2 path)."""
         topo = cls(mesh.dim)
-        ents = derive_entities(mesh)
-        topo.B[0] = ents.B0
-        topo.B[1] = ents.B1
-        topo.B[2] = ents.B2
+        if mesh.dim == 2:
+            from parelag_tpu.mesh.entities import (
+                derive_entities_2d, bdr_edge_ids)
+            ents = derive_entities_2d(mesh)
+            topo.B[0] = ents.B0
+            topo.B[1] = ents.B1
+            counts = [mesh.num_elements, ents.num_edges, mesh.num_vertices]
+            fids = bdr_edge_ids(mesh, ents)
+            nf = ents.num_edges
+        else:
+            ents = derive_entities(mesh)
+            topo.B[0] = ents.B0
+            topo.B[1] = ents.B1
+            topo.B[2] = ents.B2
+            counts = [mesh.num_elements, ents.num_faces,
+                      ents.num_edges, mesh.num_vertices]
+            fids = bdr_face_ids(mesh, ents)
+            nf = ents.num_faces
         topo.entities = ents
-        ne, nf, nr, nv = (mesh.num_elements, ents.num_faces,
-                          ents.num_edges, mesh.num_vertices)
-        for c, n in enumerate([ne, nf, nr, nv][: topo.n_codim + 1]):
+        for c, n in enumerate(counts[: topo.n_codim + 1]):
             topo.weights[c] = np.ones(n, dtype=np.int64)
         topo.element_attribute = mesh.attrib.copy()
 
         # facet x bdr-attribute table: entry = -B0[elem, facet] of the unique
         # adjacent element (reference generateFacetBdrAttributeTable,
         # Topology.cpp:181-238)
-        fids = bdr_face_ids(mesh, ents)
         nattr = int(mesh.bdr_attrib.max()) if mesh.bdr_attrib.size else 0
-        B0t = ents.B0.T.tocsr()
+        B0t = topo.B[0].T.tocsr()
         vals = np.empty(fids.size)
         for i, f in enumerate(fids):
             row = slice(B0t.indptr[f], B0t.indptr[f + 1])

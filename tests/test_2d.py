@@ -1,0 +1,93 @@
+"""2D de Rham sequence tests (DeRhamSequence2D_Hdiv_FE equivalent):
+H1 -> Hdiv -> L2 on quad meshes, chain identities, coarsening invariants,
+and a 2D Poisson upscaling solve."""
+
+import numpy as np
+import pytest
+
+from parelag_tpu.mesh.mesh import quad_grid_mesh
+from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.amge.fespace2d import DeRhamSequence2DFE
+from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+from parelag_tpu.ops import csr as C
+
+
+@pytest.fixture(scope="module")
+def seq2d():
+    m = quad_grid_mesh(2, 2).uniform_refinement().uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 16))
+    s = DeRhamSequence2DFE(topo, m)
+    s.set_upscaling_targets(0)
+    return m, topo, s
+
+
+def test_chain_and_masses(seq2d):
+    m, topo, s = seq2d
+    assert C.max_abs((s.D[1] @ s.D[0]).tocsr()) < 1e-14
+    # constant-field energies = domain area (1.0)
+    ones = np.ones(s.dof[0].ndofs)
+    assert ones @ (s.compute_mass_operator(0) @ ones) == pytest.approx(1.0)
+    M1 = s.compute_mass_operator(1)
+    for comp in range(2):
+        e = np.zeros(2)
+        e[comp] = 1.0
+        v = s.interpolate_vector_targets(
+            1, [lambda p, e=e: np.broadcast_to(e, p.shape[:-1] + (2,))]
+        )[:, 0]
+        assert v @ (M1 @ v) == pytest.approx(1.0)
+
+
+def test_rotgrad_commutes(seq2d):
+    m, topo, s = seq2d
+
+    def f(p):
+        return p[..., 0] ** 2 - 3 * p[..., 1]
+
+    def rotgrad(p):
+        # rot(grad f) = R(-90) grad f = (df/dy, -df/dx)
+        out = np.zeros(p.shape[:-1] + (2,))
+        out[..., 0] = -3.0
+        out[..., 1] = -2 * p[..., 0]
+        return out
+
+    u = s.interpolate_scalar_targets(0, [f])[:, 0]
+    g = s.interpolate_vector_targets(1, [rotgrad])[:, 0]
+    assert np.allclose(s.D[0] @ u, g, atol=1e-12)
+
+
+def test_coarsen_invariants_2d(seq2d):
+    m, topo, s = seq2d
+    coarse = s.coarsen(svd_tol=1e-9)
+    errs, bad = s.check_invariants(tol=1e-8)
+    assert not bad, bad
+    for j in range(3):
+        t = s.targets[j]
+        back = s.P[j] @ (s.Pi[j].matrix @ t)
+        assert np.abs(back - t).max() < 1e-8
+
+
+def test_2d_poisson_upscaling(seq2d):
+    """f=1, u=0 on the whole boundary; coarse solution error decays."""
+    m, topo, s = seq2d
+    if s.coarser is None:
+        s.coarsen(svd_tol=1e-9)
+    from parelag_tpu.models.upscaling import (
+        mark_dofs_on_bndr, eliminate_rowcols, solve_spd)
+    A = (s.compute_mass_operator(0)
+         + s.D[0].T @ s.compute_mass_operator(1) @ s.D[0]).tocsr()
+    b = s.domain_lf_scalar(0, lambda p: np.ones(p.shape[:-1]))
+    marker = mark_dofs_on_bndr(s, 0, {1, 2, 3, 4})
+    A0, b0 = eliminate_rowcols(A, b.copy(), marker, np.zeros(A.shape[0]))
+    x0 = solve_spd(A0, b0, "direct")
+
+    cs = s.coarser
+    Ac = (s.P[0].T @ A @ s.P[0]).tocsr()
+    bc = s.P[0].T @ b
+    mc = mark_dofs_on_bndr(cs, 0, {1, 2, 3, 4})
+    Ac, bc = eliminate_rowcols(Ac, bc, mc, np.zeros(Ac.shape[0]))
+    xc = solve_spd(Ac, bc, "direct")
+    diff = s.P[0] @ xc - x0
+    M = s.compute_mass_operator(0)
+    rel = np.sqrt(diff @ (M @ diff)) / np.sqrt(x0 @ (M @ x0))
+    assert rel < 0.1
