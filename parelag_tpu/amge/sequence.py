@@ -40,6 +40,7 @@ from parelag_tpu.amge.dofagg import DofAgglomeration
 from parelag_tpu.amge.localmass import (
     LocalMass, assemble_agglomerate_blocks)
 from parelag_tpu.amge.cochain import CochainProjector
+from parelag_tpu.ops.batched import batched_solve
 
 _EPS = np.finfo(np.float64).eps
 
@@ -62,6 +63,9 @@ class DeRhamSequence:
         self.finer = None
         self.dofagg = [None] * nforms
         self.L2_const_rep = None
+        # per-AE dense solve execution: 'host' (scipy loop), 'device'
+        # (bucketed vmapped batches), or 'auto'
+        self.solve_backend = "auto"
         # (codim, jform) -> per-AE (n_ae_dofs, k) local target arrays in
         # DofAgglomeration closure-dof order (LocalTargets_ analog,
         # DeRhamSequence.hpp:614-727)
@@ -340,6 +344,9 @@ class DeRhamSequence:
         n_ae = len(Md)
         counter = self._P_ncols
         mass_dofs, mass_blocks = [], []
+
+        # ---- pass 1 (host): gather per-AE systems and right-hand sides --- #
+        recs = []
         for iae in range(n_ae):
             u_all = uagg.ae_dofs(codim_dom)[iae]
             nu_int = int(uagg.n_interior(codim_dom)[iae])
@@ -359,6 +366,7 @@ class DeRhamSequence:
             W_ii = Wloc[:np_int, :np_int]
 
             # ---- local system ---- #
+            pv_cdof = None
             if use_lagrange:
                 pv_cdof = pdof.ranget_dofs(codim_dom, iae)
                 assert pv_cdof.size == 1
@@ -386,52 +394,28 @@ class DeRhamSequence:
             # (FacetSaddlePoint ctor); the [M B^T; B -C] system only when
             # there are interior u dofs (RidgePeakSaddlePoint + the
             # GetLocalOffsets(1) != 0 guards in hRidgePeakExtension)
-            do_solve = use_lagrange or nu_int > 0
-            lu = scipy.linalg.lu_factor(A) if do_solve and nsys else None
+            do_solve = (use_lagrange or nu_int > 0) and nsys > 0
 
-            def solve(rhs):
-                return scipy.linalg.lu_solve(lu, rhs) if lu is not None \
-                    else rhs
-
-            # ---- harmonic extension of boundary coarse dofs ---- #
+            # ---- rhs blocks: [trace ext | RangeT bubbles | Null targets] - #
             cbdr = cdof.dofs_on_bdr(codim_dom, iae)
             Pb = C.extract_submatrix(self._P_snapshot, u_bdr, cbdr)
-            rhs = np.zeros((nsys, cbdr.size))
-            rhs[:nu_int] = -M_ib @ Pb
-            rhs[nu_int:nu_int + np_int] = -B_ib @ Pb
+            rhs_ext = np.zeros((nsys, cbdr.size))
+            rhs_ext[:nu_int] = -M_ib @ Pb
+            rhs_ext[nu_int:nu_int + np_int] = -B_ib @ Pb
             if not use_lagrange:
                 dPc = C.extract_submatrix(PDc, p_all, cbdr)
-                rhs[nu_int:nu_int + np_int] += Wloc[:np_int, :] @ dPc
-                ext = solve(rhs)
-            else:
-                ext = solve(rhs)
-                lam = ext[-1, :]
-                dvals = np.where(np.abs(lam) > _EPS, -lam, 0.0)
-                self._D_builder.add_entries(
-                    np.full(cbdr.size, pv_cdof[0]), cbdr, dvals)
-            ext_u = ext[:nu_int]
-            self._P_builder.add_block(u_int, cbdr, ext_u)
+                rhs_ext[nu_int:nu_int + np_int] += Wloc[:np_int, :] @ dPc
 
-            # ---- RangeT bubbles (derivative = jform+1 interior nulls) --- #
             p_nulls = pdof.null_dofs(codim_dom, iae)
             n_rt = p_nulls.size
-            rt_cols = np.arange(counter, counter + n_rt)
-            counter += n_rt
-            cdof.set_n_ranget(codim_dom, iae, n_rt)
-            rt_basis = np.zeros((nu_int, n_rt))
+            rhs_rt = np.zeros((nsys, n_rt))
             if n_rt:
                 cP = C.extract_submatrix(Pp, p_int, p_nulls)
-                rhs = np.zeros((nsys, n_rt))
-                rhs[nu_int:nu_int + np_int] = W_ii @ cP
-                sol = solve(rhs)
-                rt_basis = sol[:nu_int]
-                self._P_builder.add_block(u_int, rt_cols, rt_basis)
-                self._D_builder.add_entries(p_nulls, rt_cols, np.ones(n_rt))
+                rhs_rt[nu_int:nu_int + np_int] = W_ii @ cP
 
-            # ---- NullSpace dofs: corrected target extensions ---- #
-            null_basis = np.zeros((nu_int, 0))
             lt = loc_tars[iae] if loc_tars is not None else None
             n_tars_ae = n_targets + (lt.shape[1] if lt is not None else 0)
+            t_int = np.zeros((nu_int, 0))
             if with_nulls and nu_int > n_rt and n_tars_ae:
                 t_int = targets[u_int, :] if n_targets else np.zeros(
                     (nu_int, 0))
@@ -442,13 +426,60 @@ class DeRhamSequence:
                     # (PartitionLocalTargets, DeRhamSequence.cpp:2087-2112)
                     t_int = np.concatenate([t_int, lt[:nu_int]], axis=1)
                     t_bdr = np.concatenate([t_bdr, lt[nu_int:]], axis=1)
-                rhs = np.zeros((nsys, n_tars_ae))
-                rhs[:nu_int] = -M_ib @ t_bdr
-                rhs[nu_int:nu_int + np_int] = B_ii @ t_int
-                sol = solve(rhs)
-                bub = t_int - sol[:nu_int]
-                U, s, _ = np.linalg.svd(bub, full_matrices=False)
-                n_null = int(np.searchsorted(-s, -self.svd_tol))
+                rhs_null = np.zeros((nsys, t_int.shape[1]))
+                rhs_null[:nu_int] = -M_ib @ t_bdr
+                rhs_null[nu_int:nu_int + np_int] = B_ii @ t_int
+            else:
+                rhs_null = np.zeros((nsys, 0))
+
+            recs.append(dict(
+                u_all=u_all, u_int=u_int, nu_int=nu_int, cbdr=cbdr, Pb=Pb,
+                A=A, do_solve=do_solve, pv_cdof=pv_cdof, p_nulls=p_nulls,
+                n_rt=n_rt, t_int=t_int, Mloc=Mloc, M_ii=M_ii,
+                k_ext=cbdr.size, k_rt=n_rt, k_null=rhs_null.shape[1],
+                rhs=np.concatenate([rhs_ext, rhs_rt, rhs_null], axis=1)))
+
+        # ---- pass 2 (device): one bucketed batched solve for the stage --- #
+        sols = batched_solve(
+            [r["A"] for r in recs if r["do_solve"]],
+            [r["rhs"] for r in recs if r["do_solve"]],
+            backend=self.solve_backend)
+        it = iter(sols)
+        full_sols = [next(it) if r["do_solve"] else r["rhs"] for r in recs]
+
+        # ---- pass 3 (host): scatter into P, coarse D, Pi, coarse mass --- #
+        for iae, r in enumerate(recs):
+            sol = full_sols[iae]
+            nu_int = r["nu_int"]
+            u_int, cbdr = r["u_int"], r["cbdr"]
+            k_ext, k_rt, k_null = r["k_ext"], r["k_rt"], r["k_null"]
+            sol_ext = sol[:, :k_ext]
+            sol_rt = sol[:, k_ext:k_ext + k_rt]
+            sol_null = sol[:, k_ext + k_rt:]
+
+            if use_lagrange:
+                lam = sol_ext[-1, :]
+                dvals = np.where(np.abs(lam) > _EPS, -lam, 0.0)
+                self._D_builder.add_entries(
+                    np.full(k_ext, r["pv_cdof"][0]), cbdr, dvals)
+            ext_u = sol_ext[:nu_int]
+            self._P_builder.add_block(u_int, cbdr, ext_u)
+
+            n_rt = r["n_rt"]
+            rt_cols = np.arange(counter, counter + n_rt)
+            counter += n_rt
+            cdof.set_n_ranget(codim_dom, iae, n_rt)
+            rt_basis = sol_rt[:nu_int]
+            if n_rt:
+                self._P_builder.add_block(u_int, rt_cols, rt_basis)
+                self._D_builder.add_entries(r["p_nulls"], rt_cols,
+                                            np.ones(n_rt))
+
+            null_basis = np.zeros((nu_int, 0))
+            if k_null:
+                bub = r["t_int"] - sol_null[:nu_int]
+                U, sv, _ = np.linalg.svd(bub, full_matrices=False)
+                n_null = int(np.searchsorted(-sv, -self.svd_tol))
                 null_basis = U[:, :n_null]
             n_null = null_basis.shape[1]
             null_cols = np.arange(counter, counter + n_null)
@@ -460,16 +491,16 @@ class DeRhamSequence:
             # ---- cochain projector functional over interior dofs ---- #
             loc_proj = np.concatenate([rt_basis, null_basis], axis=1)
             self.Pi[jform].create_dof_functional(
-                codim_dom, iae, loc_proj, M_ii)
+                codim_dom, iae, loc_proj, r["M_ii"])
 
             # ---- coarse mass block over [cbdr, RangeT, Null] ---- #
-            nloc = cbdr.size + n_rt + n_null
-            basis = np.zeros((u_all.size, nloc))
-            basis[nu_int:, :cbdr.size] = Pb
-            basis[:nu_int, :cbdr.size] = ext_u
-            basis[:nu_int, cbdr.size:cbdr.size + n_rt] = rt_basis
-            basis[:nu_int, cbdr.size + n_rt:] = null_basis
-            blk = basis.T @ Mloc @ basis
+            nloc = k_ext + n_rt + n_null
+            basis = np.zeros((r["u_all"].size, nloc))
+            basis[nu_int:, :k_ext] = r["Pb"]
+            basis[:nu_int, :k_ext] = ext_u
+            basis[:nu_int, k_ext:k_ext + n_rt] = rt_basis
+            basis[:nu_int, k_ext + n_rt:] = null_basis
+            blk = basis.T @ r["Mloc"] @ basis
             mass_dofs.append(np.concatenate([cbdr, rt_cols, null_cols]))
             mass_blocks.append(0.5 * (blk + blk.T))
 
