@@ -131,6 +131,124 @@ def distributed_pcg_step(mesh: Mesh):
     return step
 
 
+def distribute_rect(P, row_owner, ndev, n_loc, dtype=np.float64):
+    """Row-distribute a rectangular operator (e.g. the interpolation P):
+    local padded row blocks with REPLICATED columns (coarse dofs). Returns
+    (indices (ndev, n_loc, k) into the coarse vector, values)."""
+    P = sp.csr_matrix(P)
+    n, nc = P.shape
+    slot = np.zeros(n, dtype=np.int64)
+    counts = np.zeros(ndev, dtype=np.int64)
+    for d in range(n):
+        slot[d] = counts[row_owner[d]]
+        counts[row_owner[d]] += 1
+    assert counts.max() <= n_loc
+    k = max(int(np.diff(P.indptr).max()), 1)
+    indices = np.zeros((ndev, n_loc, k), dtype=np.int32)
+    values = np.zeros((ndev, n_loc, k), dtype=dtype)
+    for r in range(n):
+        a, b = P.indptr[r], P.indptr[r + 1]
+        indices[row_owner[r], slot[r], : b - a] = P.indices[a:b]
+        values[row_owner[r], slot[r], : b - a] = P.data[a:b]
+    return indices, values
+
+
+def distributed_mg_pcg_step(mesh: Mesh, nu=2, omega=1.0):
+    """One PCG iteration preconditioned by a distributed two-level cycle:
+    l1-Jacobi smoothing on the distributed fine level, psum-reduced
+    restriction to a REPLICATED coarse level solved by a dense inverse,
+    local interpolation back (the standard gathered-coarse-grid design; the
+    reference's analog is its hypre coarse solves).
+
+    State: (x, r, z, d, rz). All fine blocks sharded over dd.
+    """
+
+    def mg_apply(indices, values, row_mask, dinv, Pi, Pv, coarse_inv, r):
+        # pre-smooth from zero: x = w D^{-1} r, then one more sweep
+        x = omega * dinv * r * row_mask
+        for _ in range(nu - 1):
+            xg = jax.lax.all_gather(x, "dd").reshape(-1)
+            Ax = (jnp.einsum("nk,nk->n", values[0], xg[indices[0]])
+                  )[None, :] * row_mask
+            x = x + omega * dinv * (r - Ax) * row_mask
+        # residual + restriction (psum of local P^T r parts)
+        xg = jax.lax.all_gather(x, "dd").reshape(-1)
+        Ax = (jnp.einsum("nk,nk->n", values[0], xg[indices[0]])
+              )[None, :] * row_mask
+        res = (r - Ax) * row_mask
+        nc = coarse_inv.shape[0]
+        rc_part = jnp.zeros(nc, dtype=r.dtype).at[Pi[0].reshape(-1)].add(
+            (Pv[0] * res[0][:, None]).reshape(-1))
+        rc = jax.lax.psum(rc_part, "dd")
+        ec = coarse_inv @ rc
+        # interpolate + correct (local rows of P)
+        x = x + jnp.einsum("nk,nk->n", Pv[0], ec[Pi[0]])[None, :] * row_mask
+        # post-smooth
+        for _ in range(nu):
+            xg = jax.lax.all_gather(x, "dd").reshape(-1)
+            Ax = (jnp.einsum("nk,nk->n", values[0], xg[indices[0]])
+                  )[None, :] * row_mask
+            x = x + omega * dinv * (r - Ax) * row_mask
+        return x
+
+    from functools import partial as _partial
+
+    @_partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("dd"), P("dd"), P("dd"), P("dd"), P("dd"), P("dd"),
+                  P(), P("dd"), P("dd"), P("dd"), P("dd")),
+        out_specs=(P("dd"), P("dd"), P("dd"), P("dd")),
+    )
+    def step(indices, values, row_mask, dinv, Pi, Pv, coarse_inv,
+             x, r, z, d):
+        dg = jax.lax.all_gather(d, "dd").reshape(-1)
+        Ad = (jnp.einsum("nk,nk->n", values[0], dg[indices[0]])
+              )[None, :] * row_mask
+        rz = jax.lax.psum(jnp.vdot(r, z), "dd")
+        dAd = jax.lax.psum(jnp.vdot(d, Ad), "dd")
+        alpha = rz / jnp.where(dAd != 0, dAd, 1.0)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = mg_apply(indices, values, row_mask, dinv, Pi, Pv,
+                     coarse_inv, r)
+        rz_new = jax.lax.psum(jnp.vdot(r, z), "dd")
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        d = z + beta * d
+        return x, r, z, d
+
+    return step
+
+
+def distributed_mg_pcg(system: DistributedSystem, P_scipy, A_coarse,
+                       b_global, mesh: Mesh, iters=20, dtype=np.float64,
+                       nu=2, omega=0.7):
+    """Distributed two-level MG-PCG solve; returns the global solution."""
+    Pi, Pv = distribute_rect(P_scipy, system.owner, system.ndev,
+                             system.n_loc, dtype=dtype)
+    coarse_inv = np.linalg.inv(np.asarray(
+        A_coarse.todense() if sp.issparse(A_coarse) else A_coarse)
+    ).astype(dtype)
+    step = jax.jit(distributed_mg_pcg_step(mesh, nu=nu, omega=omega))
+    b = jnp.asarray(system.to_local(np.asarray(b_global, dtype=dtype)))
+    idx = jnp.asarray(system.indices)
+    vals = jnp.asarray(system.values)
+    mask = jnp.asarray(system.row_mask)
+    dinv = jnp.asarray(system.dinv)
+    Pi = jnp.asarray(Pi)
+    Pv = jnp.asarray(Pv)
+    cinv = jnp.asarray(coarse_inv)
+    x = jnp.zeros_like(b)
+    r = b
+    # initialization trick: one step with d = 0 leaves (x, r) unchanged and
+    # produces z = MG(r), d = z — the correct PCG start
+    z = b
+    d = jnp.zeros_like(b)
+    x, r, z, d = step(idx, vals, mask, dinv, Pi, Pv, cinv, x, r, z, d)
+    for _ in range(iters):
+        x, r, z, d = step(idx, vals, mask, dinv, Pi, Pv, cinv, x, r, z, d)
+    return system.to_global(np.asarray(x))
+
+
 def distributed_pcg(system: DistributedSystem, b_global, mesh: Mesh,
                     iters=20, dtype=np.float32):
     """Run `iters` distributed PCG iterations; returns global solution."""

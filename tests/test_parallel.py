@@ -75,3 +75,37 @@ def test_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_distributed_mg_pcg_matches_serial():
+    """Distributed two-level MG-PCG == serial direct solve (the 1-vs-N
+    equivalence lane, reference par_form* tests)."""
+    import scipy.sparse.linalg as spla
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+    from parelag_tpu.parallel.sharding import distributed_mg_pcg
+    from parelag_tpu.solvers.hierarchy import rap
+
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen()
+    M = seq.compute_mass_operator(0)
+    W = seq.compute_mass_operator(1)
+    A = (M + seq.D[0].T @ W @ seq.D[0]).tocsr()
+    b = boundary_rhs(seq, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(seq, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    P = seq.P[0]
+    Ac = rap(A, P)
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+    owner = dof_partition(seq.dof[0].entity_dof_pattern(0), part)
+    sysd = distribute_system(A, owner, 8, dtype=np.float64)
+    mesh = make_dd_mesh(8)
+    x = distributed_mg_pcg(sysd, P, Ac, b, mesh, iters=15)
+    xref = spla.spsolve(A.tocsc(), b)
+    assert np.abs(x - xref).max() < 1e-12
