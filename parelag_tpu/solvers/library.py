@@ -96,6 +96,28 @@ class SolverFactory:
             return _DirectSolver(self, op, state)
         if t in ("Block Jacobi", "Block Gauss-Seidel"):
             return _BlockSolver(self, op, state)
+        if t == "Block LDU":
+            from parelag_tpu.solvers.saddle_extra import Block2x2LDU
+            M, Bt, B, Cblk = op
+            return _CallableSolver(Block2x2LDU(
+                M, B, None if Cblk is None else -Cblk).apply)
+        if t == "Bramble-Pasciak":
+            from parelag_tpu.solvers.saddle_extra import BramblePasciakCG
+            M, Bt, B, Cblk = op
+            bp = BramblePasciakCG(M, B, None if Cblk is None else -Cblk)
+            return _CallableSolver(
+                lambda b: bp.solve(
+                    b, rtol=self.sp.get("Relative tolerance", 1e-8),
+                    maxiter=self.sp.get("Maximum iterations", 1000)))
+        if t == "MLDivFree":
+            from parelag_tpu.solvers.saddle_extra import MLDivFree
+            ml = MLDivFree(state.seqs, w_weight=state.w_weight)
+
+            def run(b):
+                b = np.asarray(b)
+                u, p = ml.solve(b[: ml.M.shape[0]], b[ml.M.shape[0]:])
+                return np.concatenate([u, p])
+            return _CallableSolver(run)
         if t == "Hybridization":
             return _HybridizationSolver(self, op, state)
         if t == "Stationary":
@@ -104,6 +126,14 @@ class SolverFactory:
 
 
 # ---------------------------------------------------------------------- #
+class _CallableSolver(Solver):
+    def __init__(self, fn):
+        self._fn = fn
+
+    def solve(self, b):
+        return self._fn(b)
+
+
 class _DirectSolver(Solver):
     """Sparse LU — plays the reference's Direct/BoomerAMG/AMS/ADS roles
     (exact coarse and auxiliary-space solves)."""
