@@ -35,10 +35,14 @@ def batched_solve(systems, rhs, backend="auto"):
     if n_items == 0:
         return []
     if backend == "auto":
+        # setup runs in float64; the TPU f64 path is software-emulated (and
+        # unreliable on the experimental axon platform), so auto only takes
+        # the device route for f32 data on an accelerator backend
         backend = "host"
         try:
             import jax
-            if jax.default_backend() != "cpu" and n_items >= 64:
+            if (jax.default_backend() != "cpu" and n_items >= 64
+                    and all(s.dtype == np.float32 for s in systems[:1])):
                 backend = "device"
         except Exception:
             pass
@@ -103,7 +107,8 @@ def batched_svd_basis(mats, backend="auto"):
         backend = "host"
         try:
             import jax
-            if jax.default_backend() != "cpu" and n_items >= 64:
+            if (jax.default_backend() != "cpu" and n_items >= 64
+                    and all(m.dtype == np.float32 for m in mats[:1])):
                 backend = "device"
         except Exception:
             pass

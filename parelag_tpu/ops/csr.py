@@ -175,12 +175,18 @@ def extract_submatrix(A, rows, cols) -> np.ndarray:
     Fully vectorized gather over the raw CSR arrays — scipy's fancy indexing
     allocates intermediate sparse matrices and dominates setup profiles."""
     A = csr(A)
-    rows = np.asarray(rows, dtype=np.int64)
-    cols = np.asarray(cols, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
     out = np.zeros((rows.size, cols.size))
     if rows.size == 0 or cols.size == 0:
         return out
     pos = _col_scratch(A.shape[1])
+    if A.data.dtype == np.float64:
+        from parelag_tpu.ops import native
+        if native.available():
+            native.csr_extract_dense(A.indptr, A.indices, A.data,
+                                     rows, cols, pos, out)
+            return out
     pos[cols] = np.arange(cols.size)
     starts = A.indptr[rows]
     counts = A.indptr[rows + 1] - starts

@@ -1,0 +1,95 @@
+"""ctypes bindings for the native host kernels (native/parelag_kernels.cpp).
+
+The library is built on demand with g++ (no pip/pybind dependency); all
+callers fall back to the numpy implementations when the toolchain or the
+.so is unavailable, so the native layer is a pure accelerator.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.abspath(os.path.join(_ROOT, "libparelag_kernels.so"))
+    if not os.path.exists(so):
+        src = os.path.abspath(os.path.join(_ROOT, "parelag_kernels.cpp"))
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.csr_extract_dense.argtypes = [
+        i64p, i64p, f64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
+        i64p, f64p]
+    lib.csr_extract_dense_i32.argtypes = [
+        i32p, i32p, f64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
+        i64p, f64p]
+    lib.assemble_agglomerate_block.argtypes = [
+        i64p, ctypes.c_int64, i64p, f64p, ctypes.c_int64, i64p,
+        ctypes.c_int64, i64p, f64p]
+    lib.ell_spmv.argtypes = [
+        i32p, f64p, ctypes.c_int64, ctypes.c_int64, f64p, f64p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _pf(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _p32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def csr_extract_dense(indptr, indices, data, rows, cols, pos, out):
+    lib = _load()
+    if indptr.dtype == np.int32:
+        lib.csr_extract_dense_i32(
+            _p32(indptr), _p32(indices), _pf(data), _p64(rows),
+            ctypes.c_int64(rows.size), _p64(cols),
+            ctypes.c_int64(cols.size), _p64(pos), _pf(out))
+    else:
+        lib.csr_extract_dense(
+            _p64(indptr), _p64(indices), _pf(data), _p64(rows),
+            ctypes.c_int64(rows.size), _p64(cols),
+            ctypes.c_int64(cols.size), _p64(pos), _pf(out))
+
+
+def assemble_agglomerate_block(ents, dofs, blocks, ae_dofs, pos, out):
+    lib = _load()
+    k = dofs.shape[1]
+    lib.assemble_agglomerate_block(
+        _p64(ents), ctypes.c_int64(ents.size), _p64(dofs), _pf(blocks),
+        ctypes.c_int64(k), _p64(ae_dofs), ctypes.c_int64(ae_dofs.size),
+        _p64(pos), _pf(out))
