@@ -288,3 +288,26 @@ def edge_h1_mass(coords2):
 def edge_nd_trace_mass(coords2):
     """(nr,1,1) tangential-trace mass = 1/length (circulation dofs)."""
     return (1.0 / edge_lengths(coords2))[:, None, None]
+
+
+def hex_elasticity_stiffness(coords, lam=1.0, mu=1.0):
+    """(ne, 24, 24) Q1 vector-elasticity element matrices
+    K = int lam div(u) div(v) + 2 mu eps(u):eps(v)
+    (mfem ElasticityIntegrator), dof order byNODES: (a * 8 + i) for
+    displacement component a and vertex i."""
+    J = _jacobians(coords, _Q3)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)
+    d = _q1_dshapes(_Q3)
+    g = np.einsum("nqba,qib->nqia", Jinv, d)       # (ne, nq, 8, 3)
+    w = _QW3[None, :] * detJ
+    # div-div term: lam * g_ia g_jb
+    Kdiv = lam * np.einsum("nq,nqia,nqjb->naibj", w, g, g)
+    # 2 mu eps:eps = mu * (g_ib g_ja + delta_ab grad.grad)
+    Kshear = mu * np.einsum("nq,nqib,nqja->naibj", w, g, g)
+    gdotg = np.einsum("nq,nqic,nqjc->nij", w, g, g)
+    ne = coords.shape[0]
+    K = Kdiv + Kshear
+    for a in range(3):
+        K[:, a, :, a, :] += mu * gdotg
+    return K.reshape(ne, 24, 24)
