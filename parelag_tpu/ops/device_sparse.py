@@ -76,6 +76,73 @@ def ell_matvec_T(A: EllMatrix, x):
         A.indices].add(contrib)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BcsrMatrix:
+    """Block-sparse row layout for MXU-friendly SpMV.
+
+    Rows grouped in BR-blocks, columns in 128-blocks; per row-block a padded
+    list of column-block ids plus dense (BR x 128) value tiles. SpMV becomes
+    block gathers of x plus a dense contraction — no element gathers, which
+    dominate ELL SpMV cost on TPU.
+    """
+    col_blocks: jnp.ndarray    # (nbr, kb) int32 column-block ids
+    tiles: jnp.ndarray         # (nbr, kb, BR, 128)
+    shape: tuple               # logical (n, m)
+    padded: tuple              # (n_pad, m_pad)
+
+    BR = 8
+    BC = 128
+
+    def tree_flatten(self):
+        return (self.col_blocks, self.tiles), (self.shape, self.padded)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    def matvec(self, x):
+        """x of logical length m (padded internally)."""
+        m_pad = self.padded[1]
+        xp = jnp.zeros(m_pad, x.dtype).at[: x.shape[0]].set(x)
+        xb = xp.reshape(-1, self.BC)
+        gathered = xb[self.col_blocks]              # (nbr, kb, 128)
+        y = jnp.einsum("nkrc,nkc->nr", self.tiles, gathered)
+        return y.reshape(-1)[: self.shape[0]]
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+def to_bcsr(A, dtype=np.float32, br=8, bc=128) -> BcsrMatrix:
+    """Convert scipy sparse to the BCSR device layout."""
+    A = sp.csr_matrix(A)
+    n, m = A.shape
+    n_pad = -(-n // br) * br
+    m_pad = -(-m // bc) * bc
+    nbr = n_pad // br
+    # column-block ids per row block
+    blocks_per_row = []
+    for i in range(nbr):
+        lo, hi = i * br, min((i + 1) * br, n)
+        cb = np.unique(A.indices[A.indptr[lo]:A.indptr[hi]] // bc) \
+            if hi > lo else np.zeros(0, dtype=np.int64)
+        blocks_per_row.append(cb)
+    kb = max(max((b.size for b in blocks_per_row), default=1), 1)
+    col_blocks = np.zeros((nbr, kb), dtype=np.int32)
+    tiles = np.zeros((nbr, kb, br, bc), dtype=dtype)
+    for i, cb in enumerate(blocks_per_row):
+        col_blocks[i, : cb.size] = cb
+        pos = {int(c): j for j, c in enumerate(cb)}
+        lo, hi = i * br, min((i + 1) * br, n)
+        for r in range(lo, hi):
+            for k in range(A.indptr[r], A.indptr[r + 1]):
+                c = A.indices[k]
+                tiles[i, pos[c // bc], r - lo, c % bc] = A.data[k]
+    return BcsrMatrix(jnp.asarray(col_blocks), jnp.asarray(tiles),
+                      (n, m), (n_pad, m_pad))
+
+
 def diag_of(A_scipy) -> np.ndarray:
     return sp.csr_matrix(A_scipy).diagonal()
 

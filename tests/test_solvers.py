@@ -51,3 +51,40 @@ def test_amge_vcycle_pcg(form, max_iters, max_conv):
 def test_wcycle_converges():
     r = multigrid_test_form(0, nref=2, mu=2)
     assert r.iterations <= 6
+
+
+def test_bcsr_matvec_matches_scipy():
+    rng = np.random.RandomState(2)
+    A = sp.random(200, 170, density=0.05, random_state=rng, format="csr")
+    from parelag_tpu.ops.device_sparse import to_bcsr
+    B = to_bcsr(A, dtype=np.float64)
+    x = rng.rand(170)
+    assert np.allclose(np.asarray(B @ jnp.asarray(x)), A @ x)
+
+
+def test_hierarchy_bcsr_format():
+    r = multigrid_test_form(0, nref=1)
+    from parelag_tpu.models.upscaling import build_hierarchy as bh
+    # explicit bcsr hierarchy solves identically
+    import parelag_tpu.solvers.hierarchy as H
+    mesh, topos, seqs = bh(nref_parallel=1)
+    import scipy.sparse as sp2
+    from parelag_tpu.models.upscaling import (
+        boundary_rhs, mark_dofs_on_bndr, eliminate_rowcols)
+    s = seqs[0]
+    A = (s.compute_mass_operator(0)
+         + s.D[0].T @ s.compute_mass_operator(1) @ s.D[0]).tocsr()
+    b = boundary_rhs(s, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(s, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    from parelag_tpu.solvers.cg import pcg
+    for fmt in ("ell", "bcsr"):
+        Hh, _, _ = build_amge_hierarchy(seqs, 0, A, smoother="l1jacobi")
+        Hh2 = H.build_hierarchy(
+            [A, (seqs[0].P[0].T @ A @ seqs[0].P[0]).tocsr()],
+            [seqs[0].P[0]],
+            lambda AA, l: Hh.levels[0].pre, matrix_format=fmt)
+        x, info = pcg(lambda v: Hh2.levels[0].A @ v, jnp.asarray(b),
+                      precond=Hh2.apply, rtol=1e-10)
+        assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-6
