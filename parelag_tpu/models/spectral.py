@@ -127,3 +127,79 @@ def upscaling_0form_spectral(par_ref_levels=2, spect_tol=0.005,
             u_l2.append(float(np.sqrt(d @ (Ml[0] @ d))))
             u_en.append(float(np.sqrt(du @ (Wl[0] @ du))))
     return UpscalingResult(u_l2[::-1], u_en[::-1], u_norm, ndofs)
+
+
+def upscaling_2form_spectral_amge(par_ref_levels=2, spect_tol=0.0025,
+                                  max_evects=8, svd_tol=1e-9,
+                                  solver="direct") -> UpscalingResult:
+    """Upscaling2FormSpectralAMGe equivalent: Hdiv upscaling with mixed
+    Hdiv-L2 spectral coarse targets per level (reference golden
+    7.4780e-04 / ~1e-07; the coarsest-level value depends on the dof-scaling
+    convention through the boundary-trace block of the local eigenproblem,
+    see tests/test_spectral.py)."""
+    import numpy as np
+    from parelag_tpu.amge.spectral import (
+        compute_local_hdiv_l2_spectral_targets)
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+
+    mesh = hex_grid_mesh(2, 2, 2)
+    level_ne = []
+    for _ in range(par_ref_levels):
+        level_ne.append(mesh.num_elements)
+        mesh = mesh.uniform_refinement()
+    level_ne = [mesh.num_elements] + level_ne[::-1]
+    topos = [AgglomeratedTopology.from_mesh(mesh)]
+    for il in range(par_ref_levels):
+        topos.append(topos[il].coarsen_local_partitioning(
+            refined_mesh_partition(topos[il].num_entities(0),
+                                   level_ne[il + 1])))
+    seq0 = DeRhamSequenceFE(topos[0], mesh)
+    seq0.set_upscaling_targets(0)
+    seqs = [seq0]
+    for il in range(par_ref_levels):
+        s = seqs[il]
+        s.agglomerate_dofs()
+        tr, l2 = compute_local_hdiv_l2_spectral_targets(
+            s, spect_tol, max_evects)
+        s.set_local_targets(1, 2, tr)
+        s.set_local_targets(0, 3, l2)
+        seqs.append(s.coarsen(svd_tol=svd_tol))
+
+    n_levels = len(seqs)
+    form = 2
+    fe = seqs[0]
+    Ml = [s.compute_mass_operator(2) for s in seqs]
+    Wl = [s.compute_mass_operator(3) for s in seqs]
+    Dl = [s.D[2] for s in seqs]
+    Pl = [seqs[i].P[2] for i in range(n_levels - 1)]
+
+    def f(p):
+        out = np.zeros(p.shape)
+        out[..., 2] = 1.0
+        return out
+
+    rhs = [fe.domain_lf_vector(2, f)]
+    for i in range(n_levels - 1):
+        rhs.append(Pl[i].T @ rhs[i])
+    ess = {1, 2, 3, 4, 5, 6}
+    sols, u_l2, u_en, u_norm, ndofs = [], [], [], [], []
+    for k in range(n_levels):
+        A = (Ml[k] + Dl[k].T @ Wl[k] @ Dl[k]).tocsr()
+        marker = mark_dofs_on_bndr(seqs[k], form, ess)
+        A2, b = eliminate_rowcols(A, rhs[k].copy(), marker,
+                                  np.zeros(A.shape[0]))
+        x = solve_spd(A2, b, solver)
+        sols.append(x)
+        ndofs.append(A.shape[0])
+        h = x
+        for j in range(k, 0, -1):
+            h = Pl[j - 1] @ h
+        u_norm.append(float(np.sqrt(x @ (Ml[k] @ x))))
+        if k > 0:
+            d = h - sols[0]
+            du = Dl[0] @ d
+            u_l2.append(float(np.sqrt(d @ (Ml[0] @ d))))
+            u_en.append(float(np.sqrt(du @ (Wl[0] @ du))))
+    return UpscalingResult(u_l2[::-1], u_en[::-1], u_norm, ndofs)

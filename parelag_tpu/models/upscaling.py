@@ -234,3 +234,66 @@ def solve_spd(A, b, solver="direct", rtol=1e-6, atol=1e-12, maxiter=500):
         x, _ = pcg_host(A, b, rtol=rtol, atol=atol, maxiter=maxiter)
         return x
     raise ValueError(solver)
+
+
+def upscaling_2form_amge(par_ref_levels=2, svd_tol=1e-9,
+                         upscaling_order=0, solver="direct",
+                         spectral_hook=None) -> UpscalingResult:
+    """Upscaling2FormAMGe equivalent (golden lane
+    examples/CMakeLists.txt:51-63): 3-level Hdiv upscaling on the generated
+    cube, f = (0,0,1) body source, u.n = 0 essential on the whole boundary;
+    reference golden 1.9010e-02 3.9570e-03 / 1.2883e-01 5.7793e-02."""
+    mesh = hex_grid_mesh(2, 2, 2)
+    level_ne = []
+    for _ in range(par_ref_levels):
+        level_ne.append(mesh.num_elements)
+        mesh = mesh.uniform_refinement()
+    level_ne = [mesh.num_elements] + level_ne[::-1]
+    topos = [AgglomeratedTopology.from_mesh(mesh)]
+    for il in range(par_ref_levels):
+        topos.append(topos[il].coarsen_local_partitioning(
+            refined_mesh_partition(topos[il].num_entities(0),
+                                   level_ne[il + 1])))
+    seqs = [DeRhamSequenceFE(topos[0], mesh)]
+    seqs[0].set_upscaling_targets(upscaling_order)
+    for il in range(par_ref_levels):
+        if spectral_hook is not None:
+            spectral_hook(seqs[il])
+        seqs.append(seqs[il].coarsen(svd_tol=svd_tol))
+
+    n_levels = len(seqs)
+    form = 2
+    fe = seqs[0]
+    Ml = [s.compute_mass_operator(2) for s in seqs]
+    Wl = [s.compute_mass_operator(3) for s in seqs]
+    Dl = [s.D[2] for s in seqs]
+    Pl = [seqs[i].P[2] for i in range(n_levels - 1)]
+
+    def f(p):
+        out = np.zeros(p.shape)
+        out[..., 2] = 1.0
+        return out
+
+    rhs = [fe.domain_lf_vector(2, f)]
+    for i in range(n_levels - 1):
+        rhs.append(Pl[i].T @ rhs[i])
+    ess = {1, 2, 3, 4, 5, 6}
+    sols, u_l2, u_en, u_norm, ndofs = [], [], [], [], []
+    for k in range(n_levels):
+        A = (Ml[k] + Dl[k].T @ Wl[k] @ Dl[k]).tocsr()
+        marker = mark_dofs_on_bndr(seqs[k], form, ess)
+        A2, b = eliminate_rowcols(A, rhs[k].copy(), marker,
+                                  np.zeros(A.shape[0]))
+        x = solve_spd(A2, b, solver)
+        sols.append(x)
+        ndofs.append(A.shape[0])
+        h = x
+        for j in range(k, 0, -1):
+            h = Pl[j - 1] @ h
+        u_norm.append(float(np.sqrt(x @ (Ml[k] @ x))))
+        if k > 0:
+            d = h - sols[0]
+            du = Dl[0] @ d
+            u_l2.append(float(np.sqrt(d @ (Ml[0] @ d))))
+            u_en.append(float(np.sqrt(du @ (Wl[0] @ du))))
+    return UpscalingResult(u_l2[::-1], u_en[::-1], u_norm, ndofs)

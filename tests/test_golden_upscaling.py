@@ -43,3 +43,13 @@ def test_unstructured_form1():
     r = upscaling_general_form(1, nref_parallel=1, unstructured=True)
     assert r.u_l2_errors[0] < 0.12
     assert r.u_energy_errors[0] < 0.6
+
+
+def test_golden_form2_amge():
+    """form2AMGe (examples/CMakeLists.txt:51-63): 3-level Hdiv upscaling,
+    body force (0,0,1), no-flow boundary."""
+    from parelag_tpu.models.upscaling import upscaling_2form_amge
+    r = upscaling_2form_amge()
+    assert [_fmt(x) for x in r.u_l2_errors] == ["1.9010e-02", "3.9570e-03"]
+    assert [_fmt(x) for x in r.u_energy_errors] == [
+        "1.2883e-01", "5.7793e-02"]
