@@ -92,10 +92,11 @@ def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
         M = sp.csr_matrix(M)
         fmt = matrix_format
         if fmt == "auto":
-            # BCSR wins on accelerators (block gathers + MXU tiles, 2.7x
-            # over ELL gather on TPU v5e) when the padding amplification is
-            # acceptable; ELL otherwise
-            fmt = "bcsr" if _jax.default_backend() != "cpu" else "ell"
+            # BCSR wins 2.7x over ELL for standalone SpMV on TPU v5e, but
+            # its lowering inside lax.while_loop currently hangs the axon
+            # Mosaic/XLA compile - keep it opt-in until that is resolved
+            # (ROADMAP item 2)
+            fmt = "ell"
         if fmt == "bcsr":
             B = to_bcsr(M, dtype=dtype)
             size_ok = (B.tiles.size * np.dtype(dtype).itemsize <= (1 << 29)
