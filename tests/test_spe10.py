@@ -49,3 +49,18 @@ def test_spe10_hybridized_matches_direct():
     scale = np.abs(r2["u"][0]).max()
     assert np.abs(r1["u"][0] - r2["u"][0]).max() < 1e-7 * scale
     assert r1["u_l2_rel"] == pytest.approx(r2["u_l2_rel"], rel=1e-5)
+
+
+def test_sample_generator():
+    """HdivL2SampleGenerator analog: distinct random coefficient samples,
+    each solved consistently fine/coarse with modest upscaling error."""
+    from parelag_tpu.models.samplegen import HdivL2SampleGenerator
+    gen = HdivL2SampleGenerator(nref=1, seed=3)
+    s1 = gen.sample()
+    s2 = gen.sample()
+    assert not np.allclose(s1["kinv"], s2["kinv"])
+    for s in (s1, s2):
+        # PV-only coarse Hdiv space under a rough random coefficient:
+        # bounded but sizeable upscaling error (spectral enrichment is the
+        # cure, cf. test_spe10_darcy_spectral_beats_polynomial)
+        assert 0 < s["u_l2_rel_err"] < 0.9
