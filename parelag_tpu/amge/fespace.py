@@ -336,14 +336,17 @@ class DeRhamSequenceFE(DeRhamSequence):
         AE_e = self.topo.AEntity_entity[codim].tocsr()
         if codim == 0:            # L2: interpolant of 1
             pv[:] = 1.0
-        elif codim == 1:          # Hdiv: oriented face areas
-            areas = self.facet_areas()
+        elif codim == 1:          # Hdiv: unit-normal field; defined through
+            # the facet trace mass so that (pv, t)_M = oriented net flux
+            # exactly on curved faces too (equals sigma * area when flat)
+            frt = np.array([b[0, 0] for b in self.M[(1, 2)].blocks])
             coo = AE_e.tocoo()
-            pv[coo.col] = coo.data * areas[coo.col]
-        elif codim == 2:          # Hcurl: oriented edge lengths
-            L = hexfe.edge_lengths(self._edge_coords())
+            pv[coo.col] = coo.data / frt[coo.col]
+        elif codim == 2:          # Hcurl: unit-tangent field via the edge
+            # trace mass ((pv, t)_M = oriented circulation sum)
+            fnd = np.array([b[0, 0] for b in self.M[(2, 1)].blocks])
             coo = AE_e.tocoo()
-            pv[coo.col] = coo.data * L[coo.col]
+            pv[coo.col] = coo.data / fnd[coo.col]
         else:                     # H1: ones at agglomerated peaks
             pv[AE_e.indices] = 1.0
         return pv

@@ -11,6 +11,25 @@ import time
 from contextlib import contextmanager
 
 
+@contextmanager
+def profile_trace(logdir):
+    """Capture a device profile around a block (jax.profiler.trace):
+    the TPU-native replacement for the reference's compile-time elag_trace
+    per-rank call logs (Trace.hpp:20-40) — open with TensorBoard/XProf."""
+    import jax
+    with jax.profiler.trace(str(logdir)):
+        yield
+
+
+@contextmanager
+def named_scope(name):
+    """Annotate device work for the profiler timeline
+    (jax.profiler.TraceAnnotation)."""
+    import jax
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
 class Watch:
     """Simple accumulating stopwatch (ParELAG_Watch.hpp:33)."""
 

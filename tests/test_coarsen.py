@@ -70,3 +70,36 @@ def test_coarse_derivative_exactness(coarsened):
     from parelag_tpu.ops import csr as C
     assert C.max_abs((coarse.D[1] @ coarse.D[0]).tocsr()) < 1e-9
     assert C.max_abs((coarse.D[2] @ coarse.D[1]).tocsr()) < 1e-9
+
+
+def test_deformed_mesh_invariants():
+    """Curved (non-affine) hexes via the reference's deformation3D map
+    (UpscalingGeneralForm.cpp:48-52): all coarsening invariants must hold
+    on trilinear geometry too."""
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+
+    def deform(v):
+        out = v.copy()
+        out[1] = v[1] + 0.5 * np.exp(v[2])
+        out[0] = v[0] + np.sin(out[1])
+        return out
+
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    m.transform(deform)
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    assert not bad, bad
+
+
+def test_timer_and_profiler_utils():
+    from parelag_tpu.utils.timing import TimeManager, named_scope
+    TimeManager.clear()
+    import jax.numpy as jnp
+    with TimeManager.add_timer("scoped", sync_device=True):
+        with named_scope("inner"):
+            (jnp.ones(16) * 2).block_until_ready()
+    assert TimeManager.get_timer("scoped").elapsed() > 0
