@@ -53,7 +53,8 @@ class Hierarchy:
     # -------------------------------------------------------------- #
     def cycle(self, b, x=None):
         if x is None:
-            x = jnp.zeros_like(b)
+            return _cycle(self.levels, 0, b, jnp.zeros_like(b), self.mu,
+                          x_is_zero=True)
         return _cycle(self.levels, 0, b, x, self.mu)
 
     def apply(self, b):
@@ -61,16 +62,21 @@ class Hierarchy:
         return self.cycle(b)
 
 
-def _cycle(levels, l, b, x, mu):
+def _cycle(levels, l, b, x, mu, x_is_zero=False):
     lvl = levels[l]
     if lvl.coarse_inv is not None:
         return lvl.coarse_inv @ b
-    x = lvl.pre.apply(lvl.A, b, x)
+    if x_is_zero and hasattr(lvl.pre, "apply_zero"):
+        x = lvl.pre.apply_zero(lvl.A, b)
+    else:
+        x = lvl.pre.apply(lvl.A, b, x)
     r = b - lvl.A @ x
     rc = lvl.R @ r
     ec = jnp.zeros(lvl.R.shape[0], dtype=b.dtype)
+    first = True
     for _ in range(mu):
-        ec = _cycle(levels, l + 1, rc, ec, mu)
+        ec = _cycle(levels, l + 1, rc, ec, mu, x_is_zero=first)
+        first = False
     x = x + lvl.P @ ec
     x = lvl.post.apply(lvl.A, b, x)
     return x

@@ -168,7 +168,7 @@ class _SmootherSolver(Solver):
     def solve(self, b):
         x = self._sm.apply(self._A, self._jnp.asarray(b),
                            self._jnp.zeros(len(b)))
-        return np.asarray(x)
+        return np.array(x)
 
 
 class _HiptmairSolver(Solver):
@@ -185,7 +185,7 @@ class _HiptmairSolver(Solver):
     def solve(self, b):
         x = self._sm.apply(self._A, self._jnp.asarray(b),
                            self._jnp.zeros(len(b)))
-        return np.asarray(x)
+        return np.array(x)
 
 
 class _KrylovSolver(Solver):
@@ -230,6 +230,17 @@ class _AMGeSolver(Solver):
 
     def __init__(self, fac, op, state):
         from parelag_tpu.solvers.hierarchy import build_hierarchy, rap
+        forms = fac.sp.get("Forms", None) or state.forms
+        if len(forms) >= 2:
+            # blocked saddle-point AMGe (the darcy XML "Forms 2 3" entry):
+            # monolithic blocked hierarchy with the inexact-Uzawa smoother
+            # standing in for the named Block Jacobi/GS smoother
+            from parelag_tpu.solvers.block import build_darcy_amge_hierarchy
+            self._H, _, _ = build_darcy_amge_hierarchy(
+                state.seqs, w_weight=state.w_weight, sweeps=3, omega=0.6)
+            import jax.numpy as jnp
+            self._jnp = jnp
+            return
         form = state.forms[0]
         seqs = state.seqs
         max_lev = fac.sp.get("Maximum levels", -1)
@@ -259,7 +270,8 @@ class _AMGeSolver(Solver):
         self._jnp = jnp
 
     def solve(self, b):
-        return np.asarray(self._H.cycle(self._jnp.asarray(b)))
+        # np.array (copy): scipy's Krylov drivers write into prec outputs
+        return np.array(self._H.cycle(self._jnp.asarray(b)))
 
 
 class _SmootherAdapter:

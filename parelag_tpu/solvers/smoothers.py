@@ -44,6 +44,13 @@ class L1JacobiSmoother:
             x = x + self.omega * self.dinv * (b - A @ x)
         return x
 
+    def apply_zero(self, A: EllMatrix, b):
+        """Smooth from a known-zero initial guess (saves one SpMV)."""
+        x = self.omega * self.dinv * b
+        for _ in range(self.sweeps - 1):
+            x = x + self.omega * self.dinv * (b - A @ x)
+        return x
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass

@@ -71,6 +71,8 @@ _CONVERTERS = {
     "string": str,
     "bool": lambda s: s.strip().lower() in ("true", "1", "yes"),
     "vector(int)": lambda s: [int(x) for x in s.split()],
+    "vector_int": lambda s: [int(x) for x in s.split()],
+    "vector_double": lambda s: [float(x) for x in s.split()],
     "vector(double)": lambda s: [float(x) for x in s.split()],
     "list(int)": lambda s: [int(x) for x in s.split()],
     "list(string)": lambda s: s.split(),

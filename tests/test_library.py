@@ -115,3 +115,37 @@ def test_solver_library_hybridization():
     A = sp.bmat([[M, B.T], [B, None]], format="csc")
     xref = spla.spsolve(A, b)
     assert np.abs(x - xref).max() < 1e-6
+
+
+def test_reference_darcy_xml_end_to_end():
+    """Build the solver named by the reference's own
+    darcy_example_parameters.xml ('GMRES-AMGe-BlkJacobi-GS-AMG') through the
+    SolverLibrary against our Darcy saddle system and solve it."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from parelag_tpu.utils.params import read_xml
+    from parelag_tpu.models.darcy import build_darcy_hierarchy
+    from parelag_tpu.amge import hexfe
+
+    pl = read_xml("/root/reference/examples/example_parameterlists/"
+                  "darcy_example_parameters.xml")
+    lib = SolverLibrary(pl.sublist("Preconditioner Library"))
+    name = pl.sublist("Problem parameters").get("Linear solver")
+    assert name == "GMRES-AMGe-BlkJacobi-GS-AMG"
+
+    mesh, topos, seqs = build_darcy_hierarchy(
+        nref_parallel=1, partition="derefine", aggressive_levels=0)
+    s = seqs[0]
+    M = s.compute_mass_operator(2)
+    W = s.compute_mass_operator(3)
+    B = (W @ s.D[2]).tocsr()
+    A = sp.bmat([[M, B.T], [B, None]], format="csr")
+    vols = hexfe.hex_volumes(mesh.vertices[mesh.elements])
+    b = np.concatenate([np.zeros(M.shape[0]), vols])
+
+    fac = lib.get_solver_factory(name)
+    state = SolverState(seqs, [2, 3])
+    solver = fac.build_solver(A, state)
+    x = solver.solve(b)
+    xref = spla.spsolve(A.tocsc(), b)
+    assert np.abs(x - xref).max() < 1e-4 * np.abs(xref).max()
