@@ -127,9 +127,15 @@ class AgglomeratedTopology:
 
     # ------------------------------------------------------------------ #
     def coarsen_local_partitioning(self, partitioning, check_topology=False,
-                                   preserve_material_interfaces=False):
+                                   preserve_material_interfaces=False,
+                                   coarsefaces_algo=0):
         """Build the next-coarser topology from an element partition vector
-        (reference CoarsenLocalPartitioning, Topology.cpp:686-828)."""
+        (reference CoarsenLocalPartitioning, Topology.cpp:686-828).
+
+        coarsefaces_algo=0 groups facets by minimal intersection sets (the
+        default); coarsefaces_algo=2 builds one coarse facet per adjacent
+        agglomerate pair / per (agglomerate, boundary attribute) pair
+        (reference ComputeCoarseFacets, Topology.cpp:455-662)."""
         from parelag_tpu.topology.betti import mark_bad_agglomerates
 
         elem_elem = self.local_element_element()
@@ -153,12 +159,15 @@ class AgglomeratedTopology:
 
         # facets (codim 1): include bdr-attribute signature in the grouping
         AE_fc = C.mult_orientation(self.AEntity_entity[0], self.B[0])
-        Z = (AE_fc.T @ AE_fc).tocsr()
-        if self.facet_bdr_attribute is not None:
-            battr = self.facet_bdr_attribute
-            Z = (Z + battr @ battr.T).tocsr()
-        fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
-        fc_AF = self._split_disconnected(fc_AF, 1)
+        if coarsefaces_algo == 2:
+            fc_AF = self._compute_coarse_facets_pairs(AE_fc)
+        else:
+            Z = (AE_fc.T @ AE_fc).tocsr()
+            if self.facet_bdr_attribute is not None:
+                battr = self.facet_bdr_attribute
+                Z = (Z + battr @ battr.T).tocsr()
+            fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
+            fc_AF = self._split_disconnected(fc_AF, 1)
         self.AEntity_entity[1] = fc_AF.T.tocsr()
         coarse.B[0] = C.mult_orientation(AE_fc, fc_AF)
 
@@ -190,6 +199,59 @@ class AgglomeratedTopology:
         first = AE_e.indices[AE_e.indptr[:-1]]
         coarse.element_attribute = self.element_attribute[first]
         return coarse
+
+    def _compute_coarse_facets_pairs(self, AE_fc):
+        """Algorithm-2 coarse facets (reference ComputeCoarseFacets,
+        Topology.cpp:455-662): one coarse facet per adjacent agglomerate
+        pair AE1<AE2 holding ALL fine facets between the pair (oriented as
+        AE1's outward side, Topology.cpp:1550-1602), followed by one per
+        (agglomerate, boundary attribute) pair when facet_bdr_attribute
+        exists — else one per agglomerate touching the boundary — with +1
+        data (Topology.cpp:1393-1548). Serial specialization: 'shared'
+        coarse facets only arise between MPI ranks; here the interface
+        between device shards is handled by the sharding layer instead
+        (parelag_tpu/parallel/sharding.py)."""
+        AE_fc = AE_fc.tocsr()
+        fc_AE = AE_fc.T.tocsr()
+        n_ae, nfc = AE_fc.shape
+        rowcount = np.diff(fc_AE.indptr)
+
+        # interface facets: exactly two adjacent agglomerates
+        interf = np.where(rowcount == 2)[0]
+        lo = fc_AE.indices[fc_AE.indptr[interf]]
+        hi = fc_AE.indices[fc_AE.indptr[interf] + 1]
+        orient = fc_AE.data[fc_AE.indptr[interf]]   # AE_fc entry at (lo, f)
+        keys = lo.astype(np.int64) * n_ae + hi
+        _, inv = np.unique(keys, return_inverse=True)   # sorted (AE1, AE2)
+        n_inner = int(inv.max()) + 1 if inv.size else 0
+
+        rows = [interf]
+        cols = [inv]
+        vals = [orient.astype(np.float64)]
+        nxt = n_inner
+
+        bdr = np.where(rowcount == 1)[0]
+        bdr_ae = fc_AE.indices[fc_AE.indptr[bdr]]
+        if self.facet_bdr_attribute is not None and bdr.size:
+            battr = self.facet_bdr_attribute.tocsr()
+            attr = battr.indices[battr.indptr[bdr]]
+            bkeys = bdr_ae.astype(np.int64) * battr.shape[1] + attr
+            _, binv = np.unique(bkeys, return_inverse=True)
+            rows.append(bdr)
+            cols.append(nxt + binv)
+            vals.append(np.ones(bdr.size))
+            nxt += int(binv.max()) + 1
+        elif bdr.size:
+            _, binv = np.unique(bdr_ae, return_inverse=True)
+            rows.append(bdr)
+            cols.append(nxt + binv)
+            vals.append(np.ones(bdr.size))
+            nxt += int(binv.max()) + 1
+
+        return sp.csr_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(nfc, nxt))
 
     def _split_disconnected(self, ent_AF, codim):
         """Split coarse interface entities whose fine members are not

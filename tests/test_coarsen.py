@@ -103,3 +103,19 @@ def test_timer_and_profiler_utils():
         with named_scope("inner"):
             (jnp.ones(16) * 2).block_until_ready()
     assert TimeManager.get_timer("scoped").elapsed() > 0
+
+
+def test_invariants_on_algo2_coarse_facets():
+    """The full de Rham coarsening must also hold on the pair-based coarse
+    facet topology (coarsefaces_algo=2, reference ComputeCoarseFacets,
+    Topology.cpp:455-662; selectable in CoarsenLocalPartitioning,
+    Topology.cpp:665-668)."""
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 8),
+                                    coarsefaces_algo=2)
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    assert not bad, f"invariant violations: {bad} (all: {errs})"

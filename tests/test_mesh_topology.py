@@ -188,3 +188,55 @@ def test_netgen_reader():
     e = derive_entities(m)
     assert C.max_abs((e.B0 @ e.B1).tocsr()) == 0.0
     assert C.max_abs((e.B1 @ e.B2).tocsr()) == 0.0
+
+
+def test_coarse_facets_algo2_matches_mis_on_cartesian():
+    """coarsefaces_algo=2 (one coarse facet per agglomerate pair /
+    per (AE, bdr attr) pair — reference ComputeCoarseFacets,
+    Topology.cpp:455-662). On a Cartesian partition of a structured grid the
+    pair-based grouping must coincide with the MIS grouping up to ordering."""
+    m = hex_grid_mesh(4, 4, 4)
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+
+    t_mis = AgglomeratedTopology.from_mesh(m)
+    c_mis = t_mis.coarsen_local_partitioning(part.copy())
+    t_a2 = AgglomeratedTopology.from_mesh(m)
+    c_a2 = t_a2.coarsen_local_partitioning(part.copy(), coarsefaces_algo=2)
+
+    assert c_a2.num_entities(1) == c_mis.num_entities(1)
+    # identical grouping up to coarse-facet permutation and sign
+    mis = t_mis.AEntity_entity[1]
+    a2 = t_a2.AEntity_entity[1]
+    groups_mis = {frozenset(mis.indices[mis.indptr[i]:mis.indptr[i + 1]])
+                  for i in range(mis.shape[0])}
+    groups_a2 = {frozenset(a2.indices[a2.indptr[i]:a2.indptr[i + 1]])
+                 for i in range(a2.shape[0])}
+    assert groups_mis == groups_a2
+    # every non-interior fine facet in exactly one coarse facet (facets
+    # interior to an agglomerate belong to none; same coverage as MIS)
+    cover = np.diff(a2.T.tocsr().indptr)
+    assert cover.max() == 1 and cover.sum() == mis.nnz
+    # chain complex survives
+    assert C.max_abs((c_a2.B[0] @ c_a2.B[1]).tocsr()) == 0.0
+    assert C.max_abs((c_a2.B[1] @ c_a2.B[2]).tocsr()) == 0.0
+    assert c_a2.facet_bdr_attribute.nnz == c_mis.facet_bdr_attribute.nnz
+
+
+def test_coarse_facets_algo2_lumps_pair_interface():
+    """Unlike MIS, algo 2 lumps ALL facets between one agglomerate pair into
+    ONE coarse facet, and all boundary facets of one (AE, attribute) pair
+    into one — verified on a 2-agglomerate split."""
+    m = hex_grid_mesh(2, 2, 2)
+    topo = AgglomeratedTopology.from_mesh(m)
+    part = np.array([0, 1, 0, 1, 0, 1, 0, 1])  # x-interleaved -> 1 interface
+    coarse = topo.coarsen_local_partitioning(part, coarsefaces_algo=2)
+    a2 = topo.AEntity_entity[1]
+    sizes = np.diff(a2.indptr)
+    # inner AF first: the full 2x2 interface wall (4 fine facets)
+    assert sizes[0] == 4
+    # boundary AFs, one per (AE, attribute) pair: each 1x2x2 slab touches
+    # 5 of the 6 attributes (z0,y0,y1,z1 shared by both + its own x side)
+    # -> 10 boundary AFs of size 2 (shared sides) or 4 (own x side)
+    assert a2.shape[0] == 11
+    assert sorted(sizes[1:]) == [2] * 8 + [4, 4]
+    assert sizes[1:].sum() == 24  # all 24 boundary facets covered
