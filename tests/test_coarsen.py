@@ -119,3 +119,32 @@ def test_invariants_on_algo2_coarse_facets():
     seq.coarsen(svd_tol=1e-9)
     errs, bad = seq.check_invariants(tol=1e-8)
     assert not bad, f"invariant violations: {bad} (all: {errs})"
+
+
+def test_order1_upscaling_targets():
+    """upscalingOrder=1 (reference testsuite/UpscalingGeneralForm.cpp
+    --upscalingorder): richer polynomial targets enlarge every coarse space
+    while keeping all invariants and exact target reproduction."""
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(1)
+    coarse = seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-7)
+    assert not bad, f"invariant violations: {bad} (all: {errs})"
+    for j in range(4):
+        t = seq.targets[j]
+        assert t.shape[1] > 0
+        back = seq.P[j] @ (seq.Pi[j].matrix @ t)
+        assert np.abs(back - t).max() < 1e-7, j
+
+    # order-1 spaces strictly contain the order-0 ones
+    topo0 = AgglomeratedTopology.from_mesh(m)
+    topo0.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq0 = DeRhamSequenceFE(topo0, m)
+    seq0.set_upscaling_targets(0)
+    coarse0 = seq0.coarsen(svd_tol=1e-9)
+    for j in range(4):
+        assert coarse.dof[j].ndofs >= coarse0.dof[j].ndofs
+    assert coarse.dof[3].ndofs > coarse0.dof[3].ndofs
