@@ -56,19 +56,23 @@ def main():
     H, _, _ = build_amge_hierarchy(seqs, 0, A.astype(dtype),
                                    smoother="l1jacobi", sweeps=2,
                                    dtype=dtype)
-    A_ell = H.levels[0].A
     bj = jnp.asarray(b.astype(dtype))
     ndofs = A.shape[0]
     print(f"setup: {time.time()-t_setup:.1f}s ndofs={ndofs} "
+          f"fmt={type(H.levels[0].A).__name__} "
           f"device={jax.devices()[0]}", file=sys.stderr)
 
+    # The hierarchy is a jit ARGUMENT (pytree), not a closure constant:
+    # multi-MB constants embedded in an XLA module make the TPU compile
+    # pathologically slow (minutes), while the identical graph with the
+    # matrices passed as parameters compiles in seconds.
     @jax.jit
-    def solve(bb):
-        return pcg(lambda v: A_ell @ v, bb, precond=H.apply,
+    def solve(Harg, bb):
+        return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=Harg.apply,
                    rtol=1e-5, atol=0.0, maxiter=100)
 
     # warmup/compile
-    x, (it, nom) = solve(bj)
+    x, (it, nom) = solve(H, bj)
     x.block_until_ready()
     niter = int(it)
     res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
@@ -78,7 +82,7 @@ def main():
     reps = 20
     t0 = time.time()
     for _ in range(reps):
-        x, _ = solve(bj)
+        x, _ = solve(H, bj)
     x.block_until_ready()
     dt = (time.time() - t0) / reps
     value = ndofs * niter / dt

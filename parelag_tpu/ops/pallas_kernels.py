@@ -10,10 +10,11 @@ Kernels degrade gracefully: if the Mosaic lowering of the in-kernel gather
 is unsupported on the current backend, callers fall back to the XLA einsum
 path in ops.device_sparse (use `ell_matvec_best`). Status on the current
 axon TPU stack: the 1D-operand gather fails to lower ("Only 2D gather is
-supported"), so the probe returns False and the XLA path is used; the
-planned MXU-native alternative is a BCSR layout (8x128 blocks, per-block-row
-index lists via PrefetchScalarGridSpec) turning SpMV into masked dense
-(TILE, 128) @ (128,) products — see ROADMAP.
+supported"), so the probe returns False and the XLA path is used. The
+production fast path is the BCSR layout in ops.device_sparse (block
+gathers + batched contraction, ~4x over ELL on v5e) — which compiles fine
+PROVIDED the matrices reach jit as arguments, not closure constants
+(multi-MB XLA constants trigger pathological compile times on this stack).
 """
 
 import functools

@@ -18,7 +18,7 @@ from parelag_tpu.solvers import smoothers as sm
 
 def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
                          sweeps=2, mu=1, dtype=np.float64,
-                         cheby_degree=3):
+                         cheby_degree=3, matrix_format="auto"):
     """seqs: list of DeRhamSequence levels (finest first); A_fine: assembled
     + BC-eliminated fine operator. Returns (Hierarchy, A_levels, P_levels).
 
@@ -43,15 +43,27 @@ def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
             return sm.make_hiptmair(A, D)
         raise ValueError(smoother)
 
-    H = build_hierarchy(A_levels, P_levels, factory, mu=mu, dtype=dtype)
+    H = build_hierarchy(A_levels, P_levels, factory, mu=mu, dtype=dtype,
+                        matrix_format=matrix_format)
     return H, A_levels, P_levels
 
 
 def amge_pcg_solve(H, A_ell, b, rtol=1e-6, atol=1e-12, maxiter=500):
     """PCG with one MG cycle as preconditioner (the reference's
-    'Krylov + AMGe preconditioner' composition, CreateXFormParameterList)."""
+    'Krylov + AMGe preconditioner' composition, CreateXFormParameterList).
+
+    Jitted with the hierarchy/operator as ARGUMENTS: closing over multi-MB
+    device arrays embeds them as XLA constants, which the TPU compiler
+    handles pathologically slowly."""
+    import jax
     from parelag_tpu.solvers.cg import pcg
+
     bj = jnp.asarray(b)
-    x, info = pcg(lambda v: A_ell @ v, bj, precond=H.apply,
-                  rtol=rtol, atol=atol, maxiter=maxiter)
+
+    @jax.jit
+    def _solve(Harg, Aarg, bb):
+        return pcg(lambda v: Aarg @ v, bb, precond=Harg.apply,
+                   rtol=rtol, atol=atol, maxiter=maxiter)
+
+    x, info = _solve(H, A_ell, bj)
     return np.asarray(x), info

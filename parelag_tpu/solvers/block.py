@@ -128,14 +128,15 @@ def darcy_gmres_solve(H, A_scipy, b, rtol=1e-6, restart=50,
     """Device GMRES with one blocked V-cycle as right preconditioner
     (the GMRES-AMGe composition of the reference's darcy XML)."""
     from parelag_tpu.solvers.cg import gmres
-    A_ell = H.levels[0].A
     bj = jnp.asarray(np.asarray(b, dtype=dtype))
 
+    # hierarchy passed as a jit argument (closure constants of this size
+    # compile pathologically slowly on TPU)
     @jax.jit
-    def run(bb):
-        return gmres(lambda v: A_ell @ v, bb, precond=H.apply,
+    def run(Harg, bb):
+        return gmres(lambda v: Harg.levels[0].A @ v, bb, precond=Harg.apply,
                      rtol=rtol, restart=restart,
                      max_restarts=max_restarts)
 
-    x, (it, res) = run(bj)
+    x, (it, res) = run(H, bj)
     return np.asarray(x), (int(it), float(res))

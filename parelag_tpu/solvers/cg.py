@@ -108,6 +108,50 @@ def gmres(matvec, b, precond=None, x0=None, rtol=1e-6, atol=0.0,
     return x, (it, jnp.linalg.norm(b - matvec(x)))
 
 
+def make_pcg_stepper(matvec, precond=None, steps_per_sync=2):
+    """Host-driven PCG: one jitted CG step (matvec + preconditioner +
+    vector updates), convergence checked on host every `steps_per_sync`
+    steps. Use when the operator's XLA graph compiles poorly inside
+    lax.while_loop — on the current TPU stack the BCSR block-gather matvec
+    compiles in seconds standalone but pathologically slowly inside a
+    while_loop body, so the MXU-friendly format needs the loop on the host.
+    Same stopping rule as pcg (r.z <= max(rtol^2 * nom0, atol^2); mfem
+    IterativeSolver semantics). Returns solve(b, rtol, atol, maxiter) ->
+    (x, (niter, final r.z))."""
+    if precond is None:
+        precond = lambda r: r
+
+    @jax.jit
+    def init(b):
+        z = precond(b)
+        return jnp.zeros_like(b), b, z, z, b @ z
+
+    @jax.jit
+    def step(x, r, z, d, nom):
+        Ad = matvec(d)
+        alpha = nom / (d @ Ad)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = precond(r)
+        nom_new = r @ z
+        d = z + (nom_new / nom) * d
+        return x, r, z, d, nom_new
+
+    def solve(b, rtol=1e-6, atol=0.0, maxiter=500):
+        state = init(b)
+        nom = float(state[-1])
+        tol2 = max(rtol * rtol * nom, atol * atol)
+        it = 0
+        while nom > tol2 and it < maxiter:
+            for _ in range(min(steps_per_sync, maxiter - it)):
+                state = step(*state)
+                it += 1
+            nom = float(state[-1])
+        return state[0], (it, nom)
+
+    return solve
+
+
 def pcg_host(A_scipy, b, precond=None, rtol=1e-6, atol=1e-12, maxiter=500):
     """Host-convenience wrapper: scipy matrix in, numpy solution out."""
     from parelag_tpu.ops.device_sparse import from_scipy

@@ -98,11 +98,14 @@ def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
         M = sp.csr_matrix(M)
         fmt = matrix_format
         if fmt == "auto":
-            # BCSR wins 2.7x over ELL for standalone SpMV on TPU v5e, but
-            # its lowering inside lax.while_loop currently hangs the axon
-            # Mosaic/XLA compile - keep it opt-in until that is resolved
-            # (ROADMAP item 2)
-            fmt = "ell"
+            # BCSR SpMV is ~4x faster than ELL on TPU (block gathers feed
+            # the VPU/MXU; ELL is element-gather bound). Callers MUST pass
+            # the Hierarchy as a jit ARGUMENT, never close over it: the TPU
+            # compiler is pathologically slow on multi-MB constants embedded
+            # in the module (minutes per 25MB constant; measured on v5e) but
+            # compiles the same graph in seconds when tensors arrive as
+            # parameters. On CPU the padded tiles only add overhead.
+            fmt = "ell" if _jax.default_backend() == "cpu" else "bcsr"
         if fmt == "bcsr":
             B = to_bcsr(M, dtype=dtype)
             size_ok = (B.tiles.size * np.dtype(dtype).itemsize <= (1 << 29)
