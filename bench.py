@@ -62,17 +62,23 @@ def main():
           f"fmt={type(H.levels[0].A).__name__} "
           f"device={jax.devices()[0]}", file=sys.stderr)
 
-    # The hierarchy is a jit ARGUMENT (pytree), not a closure constant:
-    # multi-MB constants embedded in an XLA module make the TPU compile
-    # pathologically slow (minutes), while the identical graph with the
-    # matrices passed as parameters compiles in seconds.
+    # Mixed precision: Krylov vectors, dots and the A-matvec in f32; the
+    # V-cycle preconditioner streams bf16 tiles (SpMV is HBM-bound, so this
+    # buys ~25%). The hierarchy is a jit ARGUMENT (pytree), not a closure
+    # constant: multi-MB constants embedded in an XLA module make the TPU
+    # compile pathologically slow (minutes), while the identical graph with
+    # the matrices passed as parameters compiles in seconds.
+    Hb = H.cast(jnp.bfloat16)
+
     @jax.jit
-    def solve(Harg, bb):
-        return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=Harg.apply,
+    def solve(Harg, Hbarg, bb):
+        def precond(r):
+            return Hbarg.apply(r.astype(jnp.bfloat16)).astype(jnp.float32)
+        return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=precond,
                    rtol=1e-5, atol=0.0, maxiter=100)
 
     # warmup/compile
-    x, (it, nom) = solve(H, bj)
+    x, (it, nom) = solve(H, Hb, bj)
     x.block_until_ready()
     niter = int(it)
     res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
@@ -82,7 +88,7 @@ def main():
     reps = 20
     t0 = time.time()
     for _ in range(reps):
-        x, _ = solve(H, bj)
+        x, _ = solve(H, Hb, bj)
     x.block_until_ready()
     dt = (time.time() - t0) / reps
     value = ndofs * niter / dt

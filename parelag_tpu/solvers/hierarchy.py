@@ -61,6 +61,27 @@ class Hierarchy:
         """One cycle from zero guess — usable as a preconditioner."""
         return self.cycle(b)
 
+    def cast(self, dtype, keep_coarse_inv=True):
+        """Return a copy with all floating leaves cast to `dtype` (e.g.
+        jnp.bfloat16). The preconditioner tolerates low precision — SpMV on
+        TPU is HBM-bound, so bf16 tiles nearly halve cycle time — while the
+        Krylov vectors, dots, and A-matvec stay f32. The coarse dense
+        inverse is kept at full precision by default (it is tiny and its
+        conditioning matters most)."""
+        def cast_leaf(x):
+            if isinstance(x, jnp.ndarray) and jnp.issubdtype(
+                    x.dtype, jnp.floating):
+                return x.astype(dtype)
+            return x
+
+        levels = []
+        for lvl in self.levels:
+            new = jax.tree_util.tree_map(cast_leaf, lvl)
+            if keep_coarse_inv and lvl.coarse_inv is not None:
+                new.coarse_inv = lvl.coarse_inv
+            levels.append(new)
+        return Hierarchy(levels, self.mu)
+
 
 def _cycle(levels, l, b, x, mu, x_is_zero=False):
     lvl = levels[l]

@@ -88,3 +88,40 @@ def test_hierarchy_bcsr_format():
         x, info = pcg(lambda v: Hh2.levels[0].A @ v, jnp.asarray(b),
                       precond=Hh2.apply, rtol=1e-10)
         assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-6
+
+
+def test_hierarchy_bf16_cast_precond():
+    """Mixed precision: bf16 V-cycle preconditioner + f32 Krylov loop
+    converges to f32 accuracy (the bench.py production configuration)."""
+    import jax
+    from parelag_tpu.models.upscaling import (
+        build_hierarchy as bh, boundary_rhs, mark_dofs_on_bndr,
+        eliminate_rowcols)
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    mesh, topos, seqs = bh(nref_parallel=1)
+    s = seqs[0]
+    A = (s.compute_mass_operator(0)
+         + s.D[0].T @ s.compute_mass_operator(1) @ s.D[0]).tocsr()
+    b = boundary_rhs(s, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(s, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    H, _, _ = build_amge_hierarchy(seqs, 0, A.astype(np.float32),
+                                   smoother="l1jacobi", sweeps=2,
+                                   dtype=np.float32)
+    Hb = H.cast(jnp.bfloat16)
+    assert Hb.levels[0].A.values.dtype == jnp.bfloat16 \
+        if hasattr(Hb.levels[0].A, "values") \
+        else Hb.levels[0].A.tiles.dtype == jnp.bfloat16
+    assert Hb.levels[-1].coarse_inv.dtype == jnp.float32  # kept full prec
+
+    @jax.jit
+    def solve(Harg, Hbarg, bb):
+        def precond(r):
+            return Hbarg.apply(r.astype(jnp.bfloat16)).astype(jnp.float32)
+        return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=precond,
+                   rtol=1e-6, atol=0.0, maxiter=60)
+
+    x, (it, nom) = solve(H, Hb, jnp.asarray(b.astype(np.float32)))
+    res = np.linalg.norm(A @ np.asarray(x, np.float64) - b)
+    assert res < 1e-4 * np.linalg.norm(b)
+    assert int(it) < 30
