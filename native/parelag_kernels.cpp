@@ -87,4 +87,123 @@ void csr_extract_dense_i32(const int32_t* indptr, const int32_t* indices,
     for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = -1;
 }
 
+// Batched dense submatrix extraction: n_blocks independent (rows, cols)
+// selections from ONE CSR matrix, concatenated index arrays with offset
+// tables, outputs packed into out_cat at out_off. Removes the per-block
+// FFI/pointer overhead that dominates the coarsening profile when blocks
+// are small (one call per stage instead of one per agglomerate).
+void csr_extract_dense_many_i32(const int32_t* indptr,
+                                const int32_t* indices, const double* data,
+                                const int64_t* rows_cat,
+                                const int64_t* row_off,
+                                const int64_t* cols_cat,
+                                const int64_t* col_off, int64_t* pos,
+                                double* out_cat, const int64_t* out_off,
+                                int64_t n_blocks) {
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const int64_t* rows = rows_cat + row_off[b];
+        const int64_t n_rows = row_off[b + 1] - row_off[b];
+        const int64_t* cols = cols_cat + col_off[b];
+        const int64_t n_cols = col_off[b + 1] - col_off[b];
+        double* out = out_cat + out_off[b];
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = j;
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const int64_t row = rows[r];
+            double* out_row = out + r * n_cols;
+            for (int32_t k = indptr[row]; k < indptr[row + 1]; ++k) {
+                const int64_t m = pos[indices[k]];
+                if (m >= 0) out_row[m] = data[k];
+            }
+        }
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = -1;
+    }
+}
+
+void csr_extract_dense_many(const int64_t* indptr, const int64_t* indices,
+                            const double* data, const int64_t* rows_cat,
+                            const int64_t* row_off, const int64_t* cols_cat,
+                            const int64_t* col_off, int64_t* pos,
+                            double* out_cat, const int64_t* out_off,
+                            int64_t n_blocks) {
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const int64_t* rows = rows_cat + row_off[b];
+        const int64_t n_rows = row_off[b + 1] - row_off[b];
+        const int64_t* cols = cols_cat + col_off[b];
+        const int64_t n_cols = col_off[b + 1] - col_off[b];
+        double* out = out_cat + out_off[b];
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = j;
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const int64_t row = rows[r];
+            double* out_row = out + r * n_cols;
+            for (int64_t k = indptr[row]; k < indptr[row + 1]; ++k) {
+                const int64_t m = pos[indices[k]];
+                if (m >= 0) out_row[m] = data[k];
+            }
+        }
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = -1;
+    }
+}
+
+// Batched agglomerate block assembly: all agglomerates of a stage in one
+// call. ents_cat/ent_off: member entities per AE; ae_dofs_cat/ae_off: local
+// dof lists per AE; out_cat/out_off: packed dense outputs.
+void assemble_agglomerate_block_many(
+    const int64_t* ents_cat, const int64_t* ent_off, const int64_t* dofs,
+    const double* blocks, int64_t k, const int64_t* ae_dofs_cat,
+    const int64_t* ae_off, int64_t* pos, double* out_cat,
+    const int64_t* out_off, int64_t n_ae) {
+    for (int64_t a = 0; a < n_ae; ++a) {
+        const int64_t* ents = ents_cat + ent_off[a];
+        const int64_t n_ents = ent_off[a + 1] - ent_off[a];
+        const int64_t* ae_dofs = ae_dofs_cat + ae_off[a];
+        const int64_t n_ae_dofs = ae_off[a + 1] - ae_off[a];
+        double* out = out_cat + out_off[a];
+        for (int64_t i = 0; i < n_ae_dofs; ++i) pos[ae_dofs[i]] = i;
+        for (int64_t t = 0; t < n_ents; ++t) {
+            const int64_t e = ents[t];
+            const int64_t* d = dofs + e * k;
+            const double* b = blocks + e * k * k;
+            for (int64_t i = 0; i < k; ++i) {
+                double* out_row = out + pos[d[i]] * n_ae_dofs;
+                for (int64_t j = 0; j < k; ++j) {
+                    out_row[pos[d[j]]] += b[i * k + j];
+                }
+            }
+        }
+        for (int64_t i = 0; i < n_ae_dofs; ++i) pos[ae_dofs[i]] = -1;
+    }
+}
+
+// Variable-arity batched agglomerate assembly: per-entity dof lists and
+// dense blocks arrive concatenated with offset tables (coarse-level local
+// mass blocks have different sizes per entity).
+void assemble_agglomerate_blocks_var(
+    const int64_t* ents_cat, const int64_t* ent_off,
+    const int64_t* dof_cat, const int64_t* dof_off, const double* blk_cat,
+    const int64_t* blk_off, const int64_t* ae_dofs_cat,
+    const int64_t* ae_off, int64_t* pos, double* out_cat,
+    const int64_t* out_off, int64_t n_ae) {
+    for (int64_t a = 0; a < n_ae; ++a) {
+        const int64_t* ents = ents_cat + ent_off[a];
+        const int64_t n_ents = ent_off[a + 1] - ent_off[a];
+        const int64_t* ae_dofs = ae_dofs_cat + ae_off[a];
+        const int64_t n_ae_dofs = ae_off[a + 1] - ae_off[a];
+        double* out = out_cat + out_off[a];
+        for (int64_t i = 0; i < n_ae_dofs; ++i) pos[ae_dofs[i]] = i;
+        for (int64_t t = 0; t < n_ents; ++t) {
+            const int64_t e = ents[t];
+            const int64_t* d = dof_cat + dof_off[e];
+            const int64_t k = dof_off[e + 1] - dof_off[e];
+            const double* b = blk_cat + blk_off[e];
+            for (int64_t i = 0; i < k; ++i) {
+                double* out_row = out + pos[d[i]] * n_ae_dofs;
+                for (int64_t j = 0; j < k; ++j) {
+                    out_row[pos[d[j]]] += b[i * k + j];
+                }
+            }
+        }
+        for (int64_t i = 0; i < n_ae_dofs; ++i) pos[ae_dofs[i]] = -1;
+    }
+}
+
 }  // extern "C"

@@ -345,19 +345,40 @@ class DeRhamSequence:
         counter = self._P_ncols
         mass_dofs, mass_blocks = [], []
 
+        # ---- pass 0 (host): batched extraction of all per-AE blocks ----- #
+        # one native call per block family instead of one per agglomerate
+        ae_u = uagg.ae_dofs(codim_dom)
+        ae_p = pagg.ae_dofs(codim_dom)
+        nu_ints = uagg.n_interior(codim_dom)
+        np_ints = pagg.n_interior(codim_dom)
+        u_bdrs = [ae_u[i][int(nu_ints[i]):] for i in range(n_ae)]
+        p_ints = [ae_p[i][:int(np_ints[i])] for i in range(n_ae)]
+        cbdrs = [cdof.dofs_on_bdr(codim_dom, i) for i in range(n_ae)]
+        p_nulls_l = [pdof.null_dofs(codim_dom, i) for i in range(n_ae)]
+        Dlocs = C.extract_submatrix_many(D, ae_p, ae_u)
+        Pbs = C.extract_submatrix_many(self._P_snapshot, u_bdrs, cbdrs)
+        cPs = C.extract_submatrix_many(Pp, p_ints, p_nulls_l)
+        if use_lagrange:
+            pv_cdofs = [pdof.ranget_dofs(codim_dom, i) for i in range(n_ae)]
+            ploc_pvs = C.extract_submatrix_many(Pp, p_ints, pv_cdofs)
+        else:
+            ae_e2 = w2agg.ae_dofs(codim_dom)
+            D2locs = C.extract_submatrix_many(D2, ae_e2, ae_p)
+            dPcs = C.extract_submatrix_many(PDc, ae_p, cbdrs)
+
         # ---- pass 1 (host): gather per-AE systems and right-hand sides --- #
         recs = []
         for iae in range(n_ae):
-            u_all = uagg.ae_dofs(codim_dom)[iae]
-            nu_int = int(uagg.n_interior(codim_dom)[iae])
+            u_all = ae_u[iae]
+            nu_int = int(nu_ints[iae])
             u_int, u_bdr = u_all[:nu_int], u_all[nu_int:]
-            p_all = pagg.ae_dofs(codim_dom)[iae]
-            np_int = int(pagg.n_interior(codim_dom)[iae])
+            p_all = ae_p[iae]
+            np_int = int(np_ints[iae])
             p_int = p_all[:np_int]
 
             Mloc = Md[iae]
             Wloc = Wd[iae]
-            Dloc = C.extract_submatrix(D, p_all, u_all)
+            Dloc = Dlocs[iae]
             Bloc = Wloc @ Dloc                      # (p_all x u_all)
             M_ii = Mloc[:nu_int, :nu_int]
             M_ib = Mloc[:nu_int, nu_int:]
@@ -368,10 +389,9 @@ class DeRhamSequence:
             # ---- local system ---- #
             pv_cdof = None
             if use_lagrange:
-                pv_cdof = pdof.ranget_dofs(codim_dom, iae)
+                pv_cdof = pv_cdofs[iae]
                 assert pv_cdof.size == 1
-                ploc_pv = C.extract_submatrix(
-                    Pp, p_int, pv_cdof).ravel()
+                ploc_pv = ploc_pvs[iae].ravel()
                 Tvec = W_ii @ ploc_pv
                 nsys = nu_int + np_int + 1
                 A = np.zeros((nsys, nsys))
@@ -381,8 +401,7 @@ class DeRhamSequence:
                 A[-1, nu_int:nu_int + np_int] = Tvec
                 A[nu_int:nu_int + np_int, -1] = Tvec
             else:
-                e2_all = w2agg.ae_dofs(codim_dom)[iae]
-                D2loc = C.extract_submatrix(D2, e2_all, p_all)
+                D2loc = D2locs[iae]
                 Cloc = D2loc[:, :np_int].T @ W2d[iae] @ D2loc[:, :np_int]
                 nsys = nu_int + np_int
                 A = np.zeros((nsys, nsys))
@@ -397,21 +416,20 @@ class DeRhamSequence:
             do_solve = (use_lagrange or nu_int > 0) and nsys > 0
 
             # ---- rhs blocks: [trace ext | RangeT bubbles | Null targets] - #
-            cbdr = cdof.dofs_on_bdr(codim_dom, iae)
-            Pb = C.extract_submatrix(self._P_snapshot, u_bdr, cbdr)
+            cbdr = cbdrs[iae]
+            Pb = Pbs[iae]
             rhs_ext = np.zeros((nsys, cbdr.size))
             rhs_ext[:nu_int] = -M_ib @ Pb
             rhs_ext[nu_int:nu_int + np_int] = -B_ib @ Pb
             if not use_lagrange:
-                dPc = C.extract_submatrix(PDc, p_all, cbdr)
-                rhs_ext[nu_int:nu_int + np_int] += Wloc[:np_int, :] @ dPc
+                rhs_ext[nu_int:nu_int + np_int] += \
+                    Wloc[:np_int, :] @ dPcs[iae]
 
-            p_nulls = pdof.null_dofs(codim_dom, iae)
+            p_nulls = p_nulls_l[iae]
             n_rt = p_nulls.size
             rhs_rt = np.zeros((nsys, n_rt))
             if n_rt:
-                cP = C.extract_submatrix(Pp, p_int, p_nulls)
-                rhs_rt[nu_int:nu_int + np_int] = W_ii @ cP
+                rhs_rt[nu_int:nu_int + np_int] = W_ii @ cPs[iae]
 
             lt = loc_tars[iae] if loc_tars is not None else None
             n_tars_ae = n_targets + (lt.shape[1] if lt is not None else 0)

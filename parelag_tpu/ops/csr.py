@@ -204,6 +204,41 @@ def extract_submatrix(A, rows, cols) -> np.ndarray:
     return out
 
 
+def extract_submatrix_many(A, rows_list, cols_list) -> list:
+    """Batched extract_submatrix: all blocks from one CSR matrix in a single
+    native call (per-call FFI overhead dominates when blocks are small —
+    coarsening extracts ~5 small blocks per agglomerate per stage)."""
+    A = csr(A)
+    nb = len(rows_list)
+    if nb == 0:
+        return []
+    rsz = np.fromiter((len(r) for r in rows_list), np.int64, nb)
+    csz = np.fromiter((len(c) for c in cols_list), np.int64, nb)
+    row_off = np.zeros(nb + 1, np.int64)
+    col_off = np.zeros(nb + 1, np.int64)
+    out_off = np.zeros(nb + 1, np.int64)
+    np.cumsum(rsz, out=row_off[1:])
+    np.cumsum(csz, out=col_off[1:])
+    np.cumsum(rsz * csz, out=out_off[1:])
+    out_cat = np.zeros(int(out_off[-1]))
+
+    from parelag_tpu.ops import native
+    if A.data.dtype == np.float64 and native.available():
+        rows_cat = (np.concatenate(rows_list).astype(np.int64, copy=False)
+                    if int(row_off[-1]) else np.zeros(0, np.int64))
+        cols_cat = (np.concatenate(cols_list).astype(np.int64, copy=False)
+                    if int(col_off[-1]) else np.zeros(0, np.int64))
+        pos = _col_scratch(A.shape[1])
+        native.csr_extract_dense_many(
+            A.indptr, A.indices, A.data, np.ascontiguousarray(rows_cat),
+            row_off, np.ascontiguousarray(cols_cat), col_off, pos,
+            out_cat, out_off)
+        return [out_cat[out_off[b]:out_off[b + 1]].reshape(
+            int(rsz[b]), int(csz[b])) for b in range(nb)]
+    return [extract_submatrix(A, rows_list[b], cols_list[b])
+            for b in range(nb)]
+
+
 _SCRATCH = {}
 
 

@@ -23,8 +23,10 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.abspath(os.path.join(_ROOT, "libparelag_kernels.so"))
-    if not os.path.exists(so):
-        src = os.path.abspath(os.path.join(_ROOT, "parelag_kernels.cpp"))
+    src = os.path.abspath(os.path.join(_ROOT, "parelag_kernels.cpp"))
+    stale = (os.path.exists(src) and os.path.exists(so)
+             and os.path.getmtime(so) < os.path.getmtime(src))
+    if not os.path.exists(so) or stale:
         if not os.path.exists(src):
             return None
         try:
@@ -32,7 +34,8 @@ def _load():
                 ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
                 check=True, capture_output=True)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
@@ -52,6 +55,18 @@ def _load():
         ctypes.c_int64, i64p, f64p]
     lib.ell_spmv.argtypes = [
         i32p, f64p, ctypes.c_int64, ctypes.c_int64, f64p, f64p]
+    lib.csr_extract_dense_many.argtypes = [
+        i64p, i64p, f64p, i64p, i64p, i64p, i64p, i64p, f64p, i64p,
+        ctypes.c_int64]
+    lib.csr_extract_dense_many_i32.argtypes = [
+        i32p, i32p, f64p, i64p, i64p, i64p, i64p, i64p, f64p, i64p,
+        ctypes.c_int64]
+    lib.assemble_agglomerate_block_many.argtypes = [
+        i64p, i64p, i64p, f64p, ctypes.c_int64, i64p, i64p, i64p, f64p,
+        i64p, ctypes.c_int64]
+    lib.assemble_agglomerate_blocks_var.argtypes = [
+        i64p, i64p, i64p, i64p, f64p, i64p, i64p, i64p, i64p, f64p,
+        i64p, ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -84,6 +99,44 @@ def csr_extract_dense(indptr, indices, data, rows, cols, pos, out):
             _p64(indptr), _p64(indices), _pf(data), _p64(rows),
             ctypes.c_int64(rows.size), _p64(cols),
             ctypes.c_int64(cols.size), _p64(pos), _pf(out))
+
+
+def csr_extract_dense_many(indptr, indices, data, rows_cat, row_off,
+                           cols_cat, col_off, pos, out_cat, out_off):
+    lib = _load()
+    nb = ctypes.c_int64(row_off.size - 1)
+    if indptr.dtype == np.int32:
+        lib.csr_extract_dense_many_i32(
+            _p32(indptr), _p32(indices), _pf(data), _p64(rows_cat),
+            _p64(row_off), _p64(cols_cat), _p64(col_off), _p64(pos),
+            _pf(out_cat), _p64(out_off), nb)
+    else:
+        lib.csr_extract_dense_many(
+            _p64(indptr), _p64(indices), _pf(data), _p64(rows_cat),
+            _p64(row_off), _p64(cols_cat), _p64(col_off), _p64(pos),
+            _pf(out_cat), _p64(out_off), nb)
+
+
+def assemble_agglomerate_block_many(ents_cat, ent_off, dofs, blocks,
+                                    ae_dofs_cat, ae_off, pos, out_cat,
+                                    out_off):
+    lib = _load()
+    k = dofs.shape[1]
+    lib.assemble_agglomerate_block_many(
+        _p64(ents_cat), _p64(ent_off), _p64(dofs), _pf(blocks),
+        ctypes.c_int64(k), _p64(ae_dofs_cat), _p64(ae_off), _p64(pos),
+        _pf(out_cat), _p64(out_off), ctypes.c_int64(ent_off.size - 1))
+
+
+def assemble_agglomerate_blocks_var(ents_cat, ent_off, dof_cat, dof_off,
+                                    blk_cat, blk_off, ae_dofs_cat, ae_off,
+                                    pos, out_cat, out_off):
+    lib = _load()
+    lib.assemble_agglomerate_blocks_var(
+        _p64(ents_cat), _p64(ent_off), _p64(dof_cat), _p64(dof_off),
+        _pf(blk_cat), _p64(blk_off), _p64(ae_dofs_cat), _p64(ae_off),
+        _p64(pos), _pf(out_cat), _p64(out_off),
+        ctypes.c_int64(ent_off.size - 1))
 
 
 def assemble_agglomerate_block(ents, dofs, blocks, ae_dofs, pos, out):

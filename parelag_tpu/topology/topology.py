@@ -261,31 +261,29 @@ class AgglomeratedTopology:
         with 'bad topology'; cf. the LDL failure note in
         ParELAG_SaddlePointSolver.cpp:118-127). Returns the corrected
         entity x coarse-entity table with orientations preserved."""
-        ent_AF = ent_AF.tocsc()
-        B = C.pattern(self.B[codim])          # fine ent x sub-entity
         n_ent = ent_AF.shape[0]
-        rows, cols, vals = [], [], []
-        n_new = 0
-        for j in range(ent_AF.shape[1]):
-            members = ent_AF.indices[ent_AF.indptr[j]:ent_AF.indptr[j + 1]]
-            orient = ent_AF.data[ent_AF.indptr[j]:ent_AF.indptr[j + 1]]
-            if members.size > 1:
-                sub = B[members]
-                G = C.bool_mult(sub, sub.T)
-                ncomp, labels = sp.csgraph.connected_components(
-                    G, directed=False)
-            else:
-                ncomp, labels = 1, np.zeros(members.size, dtype=np.int64)
-            for comp in range(ncomp):
-                sel = labels == comp
-                rows.append(members[sel])
-                vals.append(orient[sel])
-                cols.append(np.full(int(sel.sum()), n_new))
-                n_new += 1
-        return sp.csr_matrix(
-            (np.concatenate(vals),
-             (np.concatenate(rows), np.concatenate(cols))),
-            shape=(n_ent, n_new))
+        coo = ent_AF.tocoo()
+        label = np.full(n_ent, -1, dtype=np.int64)    # -1: in no coarse ent
+        orient = np.zeros(n_ent)
+        label[coo.row] = coo.col
+        orient[coo.row] = coo.data
+
+        # one global pass: adjacency through shared sub-entities, masked to
+        # same-coarse-entity pairs, then a single connected-components sweep
+        B = C.pattern(self.B[codim])          # fine ent x sub-entity
+        G = (B @ B.T).tocoo()
+        keep = (label[G.row] >= 0) & (label[G.row] == label[G.col])
+        Gm = sp.csr_matrix(
+            (np.ones(int(keep.sum())), (G.row[keep], G.col[keep])),
+            shape=(n_ent, n_ent))
+        ncomp, comp = sp.csgraph.connected_components(Gm, directed=False)
+
+        sel = label >= 0
+        keys = label[sel] * np.int64(ncomp) + comp[sel]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        rows = np.where(sel)[0]
+        return sp.csr_matrix((orient[sel], (rows, inv)),
+                             shape=(n_ent, uniq.size))
 
     def _deagglomerate_bad(self, isbad):
         """Split every bad agglomerate into singleton elements (reference
