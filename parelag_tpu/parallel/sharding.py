@@ -93,6 +93,95 @@ def distribute_system(A, owner, ndev, dtype=np.float32) -> DistributedSystem:
 
 
 # ---------------------------------------------------------------------- #
+@dataclass
+class HaloPlan:
+    """Neighbor-only halo exchange plan (the SharingMap comm-pattern analog,
+    SharingMap.hpp:41-311): instead of all_gather-ing the whole virtual
+    vector, each device ships exactly the owned entries its neighbors read,
+    one ppermute per device offset actually present in the sparsity.
+
+    offsets:     static tuple of ring offsets s (receiver = sender + s)
+    send_slots:  per offset, (ndev, m_s) local slots each device sends to
+                 device (d + s) % ndev (padded with 0 — receivers never
+                 read padded ghost positions)
+    indices_ext: (ndev, n_loc, k) columns remapped into the extended local
+                 vector [own block | ghosts of offset 0 | offset 1 | ...]
+    """
+    offsets: tuple
+    send_slots: list
+    indices_ext: np.ndarray
+
+
+def build_halo_plan(system: "DistributedSystem") -> HaloPlan:
+    ndev, n_loc = system.ndev, system.n_loc
+    idx = system.indices.astype(np.int64)
+    own = idx // n_loc
+
+    # needs[d][src] = sorted unique remote slots device d reads from src
+    needs = [dict() for _ in range(ndev)]
+    for d in range(ndev):
+        remote = own[d] != d
+        srcs = own[d][remote]
+        slots = idx[d][remote] % n_loc
+        for s_dev in np.unique(srcs):
+            needs[d][int(s_dev)] = np.unique(slots[srcs == s_dev])
+
+    offsets = sorted({(d - src) % ndev
+                      for d in range(ndev) for src in needs[d]})
+    send_slots, widths = [], []
+    for s in offsets:
+        m_s = max((needs[(e + s) % ndev].get(e, np.zeros(0)).size
+                   for e in range(ndev)), default=0)
+        m_s = max(m_s, 1)
+        tbl = np.zeros((ndev, m_s), dtype=np.int32)
+        for e in range(ndev):
+            sl = needs[(e + s) % ndev].get(e)
+            if sl is not None:
+                tbl[e, : sl.size] = sl
+        send_slots.append(tbl)
+        widths.append(m_s)
+
+    # ghost layout per device: concatenated receive buffers in offset order
+    base = n_loc + np.concatenate([[0], np.cumsum(widths)[:-1]]) \
+        if offsets else np.zeros(0)
+    ghost_pos = [dict() for _ in range(ndev)]
+    for i, s in enumerate(offsets):
+        for d in range(ndev):
+            src = (d - s) % ndev
+            sl = needs[d].get(src)
+            if sl is not None:
+                for p, slot in enumerate(sl):
+                    ghost_pos[d][src * n_loc + int(slot)] = int(base[i]) + p
+
+    indices_ext = np.empty_like(system.indices)
+    for d in range(ndev):
+        flat = idx[d].reshape(-1)
+        out = np.empty(flat.size, dtype=np.int64)
+        local = own[d].reshape(-1) == d
+        out[local] = flat[local] % n_loc
+        gp = ghost_pos[d]
+        rem = np.where(~local)[0]
+        for i in rem:
+            out[i] = gp[int(flat[i])]
+        indices_ext[d] = out.reshape(idx[d].shape).astype(
+            system.indices.dtype)
+    return HaloPlan(tuple(int(s) for s in offsets), send_slots, indices_ext)
+
+
+def _halo_spmv_local(values_blk, indices_ext_blk, row_mask_blk, send_blks,
+                     offsets, ndev, x_blk):
+    """SpMV body inside shard_map: per-offset ppermute of the requested
+    entries, then a purely local gather over [own | ghosts]."""
+    ghosts = []
+    for i, s in enumerate(offsets):
+        buf = x_blk[0][send_blks[i][0]]                  # (m_s,)
+        perm = [(d, (d + s) % ndev) for d in range(ndev)]
+        ghosts.append(jax.lax.ppermute(buf, "dd", perm))
+    xext = jnp.concatenate([x_blk[0]] + ghosts) if ghosts else x_blk[0]
+    y = jnp.einsum("nk,nk->n", values_blk[0], xext[indices_ext_blk[0]])
+    return (y * row_mask_blk[0])[None, :]
+
+
 def make_dd_mesh(n_devices=None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -219,18 +308,78 @@ def distributed_mg_pcg_step(mesh: Mesh, nu=2, omega=1.0):
     return step
 
 
+def distributed_mg_pcg_step_halo(mesh: Mesh, plan: HaloPlan, nu=2,
+                                 omega=1.0):
+    """distributed_mg_pcg_step with neighbor-only ppermute halo exchange in
+    every SpMV (fine-level smoothing, residual, and the CG matvec) instead
+    of all_gather: traffic per device is O(surface) instead of O(volume),
+    riding only the ICI links that the subdomain graph actually uses."""
+    ndev = mesh.devices.size
+    offsets = plan.offsets
+    n_send = len(offsets)
+
+    def spmv(values, idx_ext, row_mask, sends, x):
+        return _halo_spmv_local(values, idx_ext, row_mask, sends,
+                                offsets, ndev, x)
+
+    def mg_apply(values, idx_ext, row_mask, dinv, sends, Pi, Pv,
+                 coarse_inv, r):
+        x = omega * dinv * r * row_mask
+        for _ in range(nu - 1):
+            x = x + omega * dinv * (r - spmv(values, idx_ext, row_mask,
+                                             sends, x)) * row_mask
+        res = (r - spmv(values, idx_ext, row_mask, sends, x)) * row_mask
+        nc = coarse_inv.shape[0]
+        rc_part = jnp.zeros(nc, dtype=r.dtype).at[Pi[0].reshape(-1)].add(
+            (Pv[0] * res[0][:, None]).reshape(-1))
+        rc = jax.lax.psum(rc_part, "dd")
+        ec = coarse_inv @ rc
+        x = x + jnp.einsum("nk,nk->n", Pv[0], ec[Pi[0]])[None, :] * row_mask
+        for _ in range(nu):
+            x = x + omega * dinv * (r - spmv(values, idx_ext, row_mask,
+                                             sends, x)) * row_mask
+        return x
+
+    from functools import partial as _partial
+
+    @_partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("dd"), P("dd"), P("dd"), P("dd"),
+                  tuple(P("dd") for _ in range(n_send)),
+                  P("dd"), P("dd"), P(),
+                  P("dd"), P("dd"), P("dd"), P("dd")),
+        out_specs=(P("dd"), P("dd"), P("dd"), P("dd")),
+    )
+    def step(values, idx_ext, row_mask, dinv, sends, Pi, Pv, coarse_inv,
+             x, r, z, d):
+        Ad = spmv(values, idx_ext, row_mask, sends, d)
+        rz = jax.lax.psum(jnp.vdot(r, z), "dd")
+        dAd = jax.lax.psum(jnp.vdot(d, Ad), "dd")
+        alpha = rz / jnp.where(dAd != 0, dAd, 1.0)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = mg_apply(values, idx_ext, row_mask, dinv, sends, Pi, Pv,
+                     coarse_inv, r)
+        rz_new = jax.lax.psum(jnp.vdot(r, z), "dd")
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        d = z + beta * d
+        return x, r, z, d
+
+    return step
+
+
 def distributed_mg_pcg(system: DistributedSystem, P_scipy, A_coarse,
                        b_global, mesh: Mesh, iters=20, dtype=np.float64,
-                       nu=2, omega=0.7):
-    """Distributed two-level MG-PCG solve; returns the global solution."""
+                       nu=2, omega=0.7, halo=False):
+    """Distributed two-level MG-PCG solve; returns the global solution.
+    halo=True uses the neighbor-only ppermute exchange (HaloPlan) instead
+    of all_gather."""
     Pi, Pv = distribute_rect(P_scipy, system.owner, system.ndev,
                              system.n_loc, dtype=dtype)
     coarse_inv = np.linalg.inv(np.asarray(
         A_coarse.todense() if sp.issparse(A_coarse) else A_coarse)
     ).astype(dtype)
-    step = jax.jit(distributed_mg_pcg_step(mesh, nu=nu, omega=omega))
     b = jnp.asarray(system.to_local(np.asarray(b_global, dtype=dtype)))
-    idx = jnp.asarray(system.indices)
     vals = jnp.asarray(system.values)
     mask = jnp.asarray(system.row_mask)
     dinv = jnp.asarray(system.dinv)
@@ -243,9 +392,19 @@ def distributed_mg_pcg(system: DistributedSystem, P_scipy, A_coarse,
     # produces z = MG(r), d = z — the correct PCG start
     z = b
     d = jnp.zeros_like(b)
-    x, r, z, d = step(idx, vals, mask, dinv, Pi, Pv, cinv, x, r, z, d)
+    if halo:
+        plan = build_halo_plan(system)
+        step = jax.jit(distributed_mg_pcg_step_halo(
+            mesh, plan, nu=nu, omega=omega))
+        idx_ext = jnp.asarray(plan.indices_ext)
+        sends = tuple(jnp.asarray(t) for t in plan.send_slots)
+        args = (vals, idx_ext, mask, dinv, sends, Pi, Pv, cinv)
+    else:
+        step = jax.jit(distributed_mg_pcg_step(mesh, nu=nu, omega=omega))
+        args = (jnp.asarray(system.indices), vals, mask, dinv, Pi, Pv, cinv)
+    x, r, z, d = step(*args, x, r, z, d)
     for _ in range(iters):
-        x, r, z, d = step(idx, vals, mask, dinv, Pi, Pv, cinv, x, r, z, d)
+        x, r, z, d = step(*args, x, r, z, d)
     return system.to_global(np.asarray(x))
 
 

@@ -109,3 +109,67 @@ def test_distributed_mg_pcg_matches_serial():
     x = distributed_mg_pcg(sysd, P, Ac, b, mesh, iters=15)
     xref = spla.spsolve(A.tocsc(), b)
     assert np.abs(x - xref).max() < 1e-12
+
+
+def test_halo_plan_spmv_matches(poisson):
+    """ppermute halo-exchange SpMV == all_gather SpMV == scipy."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from parelag_tpu.parallel.sharding import (
+        build_halo_plan, _halo_spmv_local)
+
+    seq, A, b = poisson
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+    owner = dof_partition(seq.dof[0].entity_dof_pattern(0), part)
+    sysd = distribute_system(A, owner, 8, dtype=np.float64)
+    plan = build_halo_plan(sysd)
+    # a DD split of a structured grid talks to few ring offsets only
+    assert len(plan.offsets) < 8
+    mesh = make_dd_mesh(8)
+    n_send = len(plan.offsets)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("dd"), P("dd"), P("dd"),
+                       tuple(P("dd") for _ in range(n_send)), P("dd")),
+             out_specs=P("dd"))
+    def spmv(vals, idx_ext, mask, sends, x):
+        return _halo_spmv_local(vals, idx_ext, mask, sends,
+                                plan.offsets, 8, x)
+
+    x = np.random.RandomState(3).rand(A.shape[0])
+    xl = jnp.asarray(sysd.to_local(x))
+    y = spmv(jnp.asarray(sysd.values), jnp.asarray(plan.indices_ext),
+             jnp.asarray(sysd.row_mask),
+             tuple(jnp.asarray(t) for t in plan.send_slots), xl)
+    yg = sysd.to_global(np.asarray(y))
+    assert np.abs(yg - A @ x).max() < 1e-12
+
+
+def test_distributed_mg_pcg_halo_matches_serial():
+    """Same 1-vs-N equivalence through the neighbor-only halo exchange."""
+    from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+    from parelag_tpu.parallel.sharding import distributed_mg_pcg
+    from parelag_tpu.solvers.hierarchy import rap
+
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen()
+    M = seq.compute_mass_operator(0)
+    W = seq.compute_mass_operator(1)
+    A = (M + seq.D[0].T @ W @ seq.D[0]).tocsr()
+    b = boundary_rhs(seq, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(seq, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    P = seq.P[0]
+    Ac = rap(A, P)
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+    owner = dof_partition(seq.dof[0].entity_dof_pattern(0), part)
+    sysd = distribute_system(A, owner, 8, dtype=np.float64)
+    mesh = make_dd_mesh(8)
+    x = distributed_mg_pcg(sysd, P, Ac, b, mesh, iters=15, halo=True)
+    xref = spla.spsolve(A.tocsc(), b)
+    assert np.abs(x - xref).max() < 1e-12
