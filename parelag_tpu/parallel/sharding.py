@@ -408,6 +408,185 @@ def distributed_mg_pcg(system: DistributedSystem, P_scipy, A_coarse,
     return system.to_global(np.asarray(x))
 
 
+# ---------------------------------------------------------------------- #
+# Distributed L-level multigrid
+# ---------------------------------------------------------------------- #
+@dataclass
+class DistributedHierarchy:
+    """L-level distributed MG: every level's operator is row-sharded with
+    its own HaloPlan; restriction reduces partial P^T r contributions with
+    psum_scatter (reduce-scatter over ICI); prolongation all_gathers the
+    (geometrically shrinking) coarse block; the coarsest level applies a
+    replicated dense inverse. The reference's analog is hypre's parallel
+    V-cycle over ParCSR operators (SURVEY.md §2.3)."""
+    systems: list                # DistributedSystem per level 0..L-1
+    plans: list                  # HaloPlan per level
+    P_rows: list                 # (Pi, Pv) per level: row-sharded by fine
+                                 # owner, columns = coarse VIRTUAL ids
+    coarse_inv: np.ndarray       # replicated dense inverse of level L
+    owners: list                 # dof owner per level
+
+    def device_args(self):
+        import jax.numpy as jnp
+        lv = []
+        for s, p, (Pi, Pv) in zip(self.systems, self.plans, self.P_rows):
+            lv.append(dict(
+                values=jnp.asarray(s.values),
+                idx_ext=jnp.asarray(p.indices_ext),
+                mask=jnp.asarray(s.row_mask),
+                dinv=jnp.asarray(s.dinv),
+                sends=tuple(jnp.asarray(t) for t in p.send_slots),
+                Pi=jnp.asarray(Pi), Pv=jnp.asarray(Pv)))
+        # virtual index of each global coarsest dof (for the replicated
+        # dense solve: virtual layout interleaves per-device padding)
+        g2v = jnp.asarray(self.systems[-1].virt.astype(np.int32))
+        return lv, jnp.asarray(self.coarse_inv), g2v
+
+
+def coarse_owner_from_P(P, fine_owner):
+    """Owner of a coarse dof = owner of its first fine dof (owner-computes,
+    the SharingMap convention for coarse SharingMaps)."""
+    Pc = sp.csc_matrix(P)
+    owner = np.zeros(Pc.shape[1], dtype=np.int64)
+    for c in range(Pc.shape[1]):
+        rows = Pc.indices[Pc.indptr[c]:Pc.indptr[c + 1]]
+        owner[c] = fine_owner[rows].min() if rows.size else 0
+    return owner
+
+
+def build_distributed_hierarchy(A_levels, P_levels, fine_owner, ndev,
+                                dtype=np.float64) -> DistributedHierarchy:
+    """A_levels: host CSR per level (finest first, coarsest last);
+    P_levels: interpolations; fine_owner: dof owner vector at level 0."""
+    owners = [np.asarray(fine_owner)]
+    for P_l in P_levels:
+        owners.append(coarse_owner_from_P(P_l, owners[-1]))
+    systems, plans, P_rows = [], [], []
+    for l, P_l in enumerate(P_levels):
+        s = distribute_system(A_levels[l], owners[l], ndev, dtype=dtype)
+        systems.append(s)
+        plans.append(build_halo_plan(s))
+        # coarse layout (needed for virtual column ids of P)
+        s_c = distribute_system(A_levels[l + 1], owners[l + 1], ndev,
+                                dtype=dtype)
+        P_csr = sp.csr_matrix(P_levels[l])
+        Pv_virt = sp.csr_matrix(
+            (P_csr.data, s_c.virt[P_csr.indices], P_csr.indptr),
+            shape=(P_csr.shape[0], ndev * s_c.n_loc))
+        Pi, Pv = distribute_rect(Pv_virt, owners[l], ndev, s.n_loc,
+                                 dtype=dtype)
+        P_rows.append((Pi, Pv))
+        if l == len(P_levels) - 1:
+            systems.append(s_c)
+            plans.append(build_halo_plan(s_c))
+    coarse_inv = np.linalg.inv(A_levels[-1].toarray()).astype(dtype)
+    return DistributedHierarchy(systems, plans, P_rows, coarse_inv, owners)
+
+
+def distributed_mg_l_step(mesh: Mesh, hierarchy: DistributedHierarchy,
+                          nu=2, omega=0.7):
+    """One MG(L-level V-cycle)-preconditioned CG iteration under shard_map.
+    Level arrays arrive as a pytree argument (levels list from
+    DistributedHierarchy.device_args)."""
+    ndev = mesh.devices.size
+    offsets = [p.offsets for p in hierarchy.plans]
+    n_levels = len(hierarchy.systems)
+    n_locs = [s.n_loc for s in hierarchy.systems]
+
+    def spmv(l, lv, x):
+        return _halo_spmv_local(lv["values"], lv["idx_ext"], lv["mask"],
+                                lv["sends"], offsets[l], ndev, x)
+
+    def smooth(l, lv, r, x):
+        return x + omega * lv["dinv"] * (
+            r - spmv(l, lv, x)) * lv["mask"]
+
+    def vcycle(l, levels, coarse_inv, g2v, r):
+        if l == n_levels - 1:
+            # replicated coarse solve: gather the full coarse vector
+            # (virtual layout), reorder to global, solve, scatter back
+            rg = jax.lax.all_gather(r, "dd").reshape(-1)
+            e = coarse_inv @ rg[g2v]
+            ep = jnp.zeros(ndev * n_locs[l], r.dtype).at[g2v].set(e)
+            me = jax.lax.axis_index("dd")
+            return jax.lax.dynamic_slice_in_dim(
+                ep, me * n_locs[l], n_locs[l])[None, :]
+        lv = levels[l]
+        x = omega * lv["dinv"] * r * lv["mask"]
+        for _ in range(nu - 1):
+            x = smooth(l, lv, r, x)
+        res = (r - spmv(l, lv, x)) * lv["mask"]
+        # restriction: partial P^T res into the coarse VIRTUAL layout,
+        # reduced and scattered in one collective
+        buf = jnp.zeros(ndev * n_locs[l + 1], r.dtype).at[
+            lv["Pi"][0].reshape(-1)].add(
+            (lv["Pv"][0] * res[0][:, None]).reshape(-1))
+        rc = jax.lax.psum_scatter(
+            buf.reshape(ndev, n_locs[l + 1]), "dd",
+            scatter_dimension=0, tiled=True)
+        ec = vcycle(l + 1, levels, coarse_inv, g2v, rc.reshape(1, -1))
+        # prolongation: all_gather the coarse block, local P rows
+        eg = jax.lax.all_gather(ec, "dd").reshape(-1)
+        x = x + jnp.einsum("nk,nk->n", lv["Pv"][0],
+                           eg[lv["Pi"][0]])[None, :] * lv["mask"]
+        for _ in range(nu):
+            x = smooth(l, lv, r, x)
+        return x
+
+    def make_spec(lv, with_P=True):
+        d = dict(values=P("dd"), idx_ext=P("dd"), mask=P("dd"),
+                 dinv=P("dd"),
+                 sends=tuple(P("dd") for _ in lv["sends"]))
+        if "Pi" in lv:
+            d.update(Pi=P("dd"), Pv=P("dd"))
+        return d
+
+    def bind(levels_args):
+        specs = [make_spec(lv) for lv in levels_args]
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(specs, P(), P(), P("dd"), P("dd"), P("dd"), P("dd")),
+            out_specs=(P("dd"), P("dd"), P("dd"), P("dd")),
+        )
+        def step(levels, coarse_inv, g2v, x, r, z, d):
+            lv0 = levels[0]
+            Ad = spmv(0, lv0, d)
+            rz = jax.lax.psum(jnp.vdot(r, z), "dd")
+            dAd = jax.lax.psum(jnp.vdot(d, Ad), "dd")
+            alpha = rz / jnp.where(dAd != 0, dAd, 1.0)
+            x = x + alpha * d
+            r = r - alpha * Ad
+            z = vcycle(0, levels, coarse_inv, g2v, r)
+            rz_new = jax.lax.psum(jnp.vdot(r, z), "dd")
+            beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+            d = z + beta * d
+            return x, r, z, d
+
+        return step
+
+    return bind
+
+
+def distributed_mg_l_pcg(hier: DistributedHierarchy, b_global, mesh: Mesh,
+                         iters=20, dtype=np.float64, nu=2, omega=0.7):
+    """Distributed L-level MG-PCG driver; returns the global solution."""
+    levels_args, cinv, g2v = hier.device_args()
+    step = jax.jit(distributed_mg_l_step(mesh, hier, nu=nu,
+                                         omega=omega)(levels_args))
+    s0 = hier.systems[0]
+    b = jnp.asarray(s0.to_local(np.asarray(b_global, dtype=dtype)))
+    x = jnp.zeros_like(b)
+    r = b
+    z = b
+    d = jnp.zeros_like(b)
+    # init step with d = 0: z becomes MG(r), (x, r) unchanged
+    x, r, z, d = step(levels_args, cinv, g2v, x, r, z, d)
+    for _ in range(iters):
+        x, r, z, d = step(levels_args, cinv, g2v, x, r, z, d)
+    return s0.to_global(np.asarray(x))
+
+
 def distributed_pcg(system: DistributedSystem, b_global, mesh: Mesh,
                     iters=20, dtype=np.float32):
     """Run `iters` distributed PCG iterations; returns global solution."""

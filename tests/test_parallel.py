@@ -173,3 +173,38 @@ def test_distributed_mg_pcg_halo_matches_serial():
     x = distributed_mg_pcg(sysd, P, Ac, b, mesh, iters=15, halo=True)
     xref = spla.spsolve(A.tocsc(), b)
     assert np.abs(x - xref).max() < 1e-12
+
+
+def test_distributed_l_level_mg_pcg():
+    """3-level fully distributed V-cycle (every level row-sharded with its
+    own halo plan; reduce-scatter restriction; replicated coarsest dense
+    solve) == serial direct solve."""
+    from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+    from parelag_tpu.parallel.sharding import (
+        build_distributed_hierarchy, distributed_mg_l_pcg)
+    from parelag_tpu.solvers.hierarchy import rap
+
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement().uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    t1 = topo.coarsen_local_partitioning(refined_mesh_partition(512, 64))
+    t1.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    s1 = seq.coarsen()
+    s1.coarsen()
+    M = seq.compute_mass_operator(0)
+    W = seq.compute_mass_operator(1)
+    A = (M + seq.D[0].T @ W @ seq.D[0]).tocsr()
+    b = boundary_rhs(seq, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(seq, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    A1 = rap(A, seq.P[0])
+    A2 = rap(A1, s1.P[0])
+    part = cartesian_partition((8, 8, 8), (4, 4, 4))
+    owner = dof_partition(seq.dof[0].entity_dof_pattern(0), part)
+    hier = build_distributed_hierarchy(
+        [A, A1, A2], [seq.P[0], s1.P[0]], owner, 8)
+    mesh = make_dd_mesh(8)
+    x = distributed_mg_l_pcg(hier, b, mesh, iters=25)
+    xref = spla.spsolve(A.tocsc(), b)
+    assert np.abs(x - xref).max() < 1e-11 * max(1.0, np.abs(xref).max())
