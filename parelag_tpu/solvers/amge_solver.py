@@ -18,13 +18,17 @@ from parelag_tpu.solvers import smoothers as sm
 
 def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
                          sweeps=2, mu=1, dtype=np.float64,
-                         cheby_degree=3, matrix_format="auto"):
+                         cheby_degree=3, matrix_format="auto",
+                         reorder=None):
     """seqs: list of DeRhamSequence levels (finest first); A_fine: assembled
     + BC-eliminated fine operator. Returns (Hierarchy, A_levels, P_levels).
 
     smoother: 'l1jacobi' | 'chebyshev' | 'hiptmair' (Hiptmair uses the
     potential-space derivative D[form-1] coarsened per level, the reference
     HiptmairSmootherFactory pattern)."""
+    assert not (smoother == "hiptmair" and reorder), \
+        "reorder folds into A/P only; the Hiptmair aux derivative is not " \
+        "permuted yet"
     n_lev = len(seqs)
     A_levels = [sp.csr_matrix(A_fine)]
     P_levels = []
@@ -44,7 +48,7 @@ def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
         raise ValueError(smoother)
 
     H = build_hierarchy(A_levels, P_levels, factory, mu=mu, dtype=dtype,
-                        matrix_format=matrix_format)
+                        matrix_format=matrix_format, reorder=reorder)
     return H, A_levels, P_levels
 
 
@@ -62,8 +66,14 @@ def amge_pcg_solve(H, A_ell, b, rtol=1e-6, atol=1e-12, maxiter=500):
 
     @jax.jit
     def _solve(Harg, Aarg, bb):
-        return pcg(lambda v: Aarg @ v, bb, precond=Harg.apply,
-                   rtol=rtol, atol=atol, maxiter=maxiter)
+        if Harg.perm is not None:
+            bb = bb[Harg.perm]
+            Aarg = Harg.levels[0].A
+        x, info = pcg(lambda v: Aarg @ v, bb, precond=Harg.apply,
+                      rtol=rtol, atol=atol, maxiter=maxiter)
+        if Harg.iperm is not None:
+            x = x[Harg.iperm]
+        return x, info
 
     x, info = _solve(H, A_ell, bj)
     return np.asarray(x), info

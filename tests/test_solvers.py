@@ -125,3 +125,26 @@ def test_hierarchy_bf16_cast_precond():
     res = np.linalg.norm(A @ np.asarray(x, np.float64) - b)
     assert res < 1e-4 * np.linalg.norm(b)
     assert int(it) < 30
+
+
+def test_rcm_reordered_hierarchy_solves():
+    """reorder='rcm' folds a bandwidth-reducing permutation into every
+    level; amge_pcg_solve handles perm/iperm transparently."""
+    from parelag_tpu.models.upscaling import (
+        build_hierarchy as bh, boundary_rhs, mark_dofs_on_bndr,
+        eliminate_rowcols)
+    from parelag_tpu.solvers.amge_solver import (
+        build_amge_hierarchy, amge_pcg_solve)
+    mesh, topos, seqs = bh(nref_parallel=1)
+    s = seqs[0]
+    A = (s.compute_mass_operator(0)
+         + s.D[0].T @ s.compute_mass_operator(1) @ s.D[0]).tocsr()
+    b = boundary_rhs(s, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(s, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    H, _, _ = build_amge_hierarchy(seqs, 0, A, smoother="l1jacobi",
+                                   reorder="rcm")
+    assert H.perm is not None
+    x, (it, _) = amge_pcg_solve(H, None, b, rtol=1e-10)
+    assert np.linalg.norm(A @ x - b) < 1e-7 * np.linalg.norm(b)
+    assert int(it) < 20
