@@ -65,7 +65,10 @@ def from_scipy(A, dtype=None, pad_to=None) -> EllMatrix:
 
 @jax.jit
 def ell_matvec(A: EllMatrix, x):
-    """y_i = sum_k vals[i,k] * x[idx[i,k]] — gather + row reduce."""
+    """y_i = sum_k vals[i,k] * x[idx[i,k]] — gather + row reduce.
+    x may be (m,) or (m, s) for multi-RHS (one gather, s-wide reduce)."""
+    if x.ndim == 2:
+        return jnp.einsum("nk,nks->ns", A.values, x[A.indices])
     return jnp.einsum("nk,nk->n", A.values, x[A.indices])
 
 
@@ -102,8 +105,17 @@ class BcsrMatrix:
         return cls(children[0], children[1], aux[0], aux[1])
 
     def matvec(self, x):
-        """x of logical length m (padded internally)."""
+        """x of logical length m, or (m, s) for multi-RHS: the contraction
+        becomes a true batched matmul (nbr, 8, kb*128) @ (nbr, kb*128, s),
+        feeding the MXU s columns wide (padded internally)."""
         m_pad = self.padded[1]
+        if x.ndim == 2:
+            s = x.shape[1]
+            xp = jnp.zeros((m_pad, s), x.dtype).at[: x.shape[0]].set(x)
+            xb = xp.reshape(-1, self.BC, s)
+            gathered = xb[self.col_blocks]          # (nbr, kb, 128, s)
+            y = jnp.einsum("nkrc,nkcs->nrs", self.tiles, gathered)
+            return y.reshape(-1, s)[: self.shape[0]]
         xp = jnp.zeros(m_pad, x.dtype).at[: x.shape[0]].set(x)
         xb = xp.reshape(-1, self.BC)
         gathered = xb[self.col_blocks]              # (nbr, kb, 128)

@@ -25,22 +25,27 @@ def pcg(matvec, b, precond=None, x0=None, rtol=1e-6, atol=1e-12,
     r = b - matvec(x)
     z = precond(r)
     d = z
-    nom0 = r @ z
+    # columnwise dots: b may be (n,) or (n, s) for multi-RHS — the loop
+    # then runs a simultaneous CG with per-column alpha/beta until every
+    # column converges
+    dot = lambda u, v: jnp.sum(u * v, axis=0)
+    nom0 = dot(r, z)
     tol2 = jnp.maximum(rtol * rtol * nom0, atol * atol)
 
     def cond(state):
         x, r, z, d, nom, it = state
-        return (nom > tol2) & (it < maxiter)
+        return jnp.any(nom > tol2) & (it < maxiter)
 
     def body(state):
         x, r, z, d, nom, it = state
         Ad = matvec(d)
-        alpha = nom / (d @ Ad)
+        dAd = dot(d, Ad)
+        alpha = nom / jnp.where(dAd != 0, dAd, 1.0)
         x = x + alpha * d
         r = r - alpha * Ad
         z = precond(r)
-        nom_new = r @ z
-        beta = nom_new / nom
+        nom_new = dot(r, z)
+        beta = nom_new / jnp.where(nom != 0, nom, 1.0)
         d = z + beta * d
         return x, r, z, d, nom_new, it + 1
 

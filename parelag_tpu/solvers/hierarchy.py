@@ -96,7 +96,7 @@ def _cycle(levels, l, b, x, mu, x_is_zero=False):
         x = lvl.pre.apply(lvl.A, b, x)
     r = b - lvl.A @ x
     rc = lvl.R @ r
-    ec = jnp.zeros(lvl.R.shape[0], dtype=b.dtype)
+    ec = jnp.zeros((lvl.R.shape[0],) + b.shape[1:], dtype=b.dtype)
     first = True
     for _ in range(mu):
         ec = _cycle(levels, l + 1, rc, ec, mu, x_is_zero=first)

@@ -39,16 +39,21 @@ class L1JacobiSmoother:
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
 
+    def _d(self, b):
+        return self.dinv if b.ndim == 1 else self.dinv[:, None]
+
     def apply(self, A: EllMatrix, b, x):
+        d = self._d(b)
         for _ in range(self.sweeps):
-            x = x + self.omega * self.dinv * (b - A @ x)
+            x = x + self.omega * d * (b - A @ x)
         return x
 
     def apply_zero(self, A: EllMatrix, b):
         """Smooth from a known-zero initial guess (saves one SpMV)."""
-        x = self.omega * self.dinv * b
+        d = self._d(b)
+        x = self.omega * d * b
         for _ in range(self.sweeps - 1):
-            x = x + self.omega * self.dinv * (b - A @ x)
+            x = x + self.omega * d * (b - A @ x)
         return x
 
 
@@ -68,16 +73,17 @@ class ChebyshevSmoother:
 
     def apply(self, A: EllMatrix, b, x):
         lmin, lmax, degree = self.coeffs
+        dinv = self.dinv if b.ndim == 1 else self.dinv[:, None]
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma = theta / delta
         rho = 1.0 / sigma
-        r = self.dinv * (b - A @ x)
+        r = dinv * (b - A @ x)
         d = r / theta
         for _ in range(degree - 1):
             rho_new = 1.0 / (2.0 * sigma - rho)
             x = x + d
-            r = self.dinv * (b - A @ x)
+            r = dinv * (b - A @ x)
             d = rho_new * rho * d + 2.0 * rho_new / delta * r
             rho = rho_new
         return x + d

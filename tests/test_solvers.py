@@ -148,3 +148,50 @@ def test_rcm_reordered_hierarchy_solves():
     x, (it, _) = amge_pcg_solve(H, None, b, rtol=1e-10)
     assert np.linalg.norm(A @ x - b) < 1e-7 * np.linalg.norm(b)
     assert int(it) < 20
+
+
+def test_multi_rhs_pcg():
+    """Simultaneous multi-RHS PCG: (n, s) right-hand sides in ONE jitted
+    solve — SpMV becomes a batched matmul feeding the MXU s columns wide
+    (the SampleGenerator many-solve workload, HdivL2SampleGenerator.cpp)."""
+    import jax
+    from parelag_tpu.models.upscaling import (
+        build_hierarchy as bh, boundary_rhs, mark_dofs_on_bndr,
+        eliminate_rowcols)
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    mesh, topos, seqs = bh(nref_parallel=1)
+    s = seqs[0]
+    A = (s.compute_mass_operator(0)
+         + s.D[0].T @ s.compute_mass_operator(1) @ s.D[0]).tocsr()
+    b = boundary_rhs(s, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(s, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    H, _, _ = build_amge_hierarchy(seqs, 0, A, smoother="l1jacobi")
+    rng = np.random.RandomState(7)
+    B = np.stack([b] + [rng.rand(b.size) * (b != 0) + b
+                        for _ in range(3)], axis=1)
+
+    @jax.jit
+    def solve(Ha, BB):
+        return pcg(lambda v: Ha.levels[0].A @ v, BB, precond=Ha.apply,
+                   rtol=1e-10, maxiter=100)
+
+    X, (it, nom) = solve(H, jnp.asarray(B))
+    X = np.asarray(X)
+    for j in range(B.shape[1]):
+        assert np.linalg.norm(A @ X[:, j] - B[:, j]) < \
+            1e-7 * max(np.linalg.norm(B[:, j]), 1.0), j
+    # matches the single-RHS path exactly enough
+    x0, _ = solve(H, jnp.asarray(b))
+    assert np.abs(np.asarray(x0) - X[:, 0]).max() < 1e-8
+
+
+def test_bcsr_matmat_multi_rhs():
+    rng = np.random.RandomState(5)
+    A = sp.random(200, 170, density=0.05, random_state=rng, format="csr")
+    from parelag_tpu.ops.device_sparse import to_bcsr, from_scipy
+    B = to_bcsr(A, dtype=np.float64)
+    E = from_scipy(A, dtype=np.float64)
+    X = rng.rand(170, 6)
+    assert np.allclose(np.asarray(B @ jnp.asarray(X)), A @ X)
+    assert np.allclose(np.asarray(E @ jnp.asarray(X)), A @ X)
