@@ -235,8 +235,9 @@ class DeRhamSequence:
         n_targets = targets.shape[1] if targets is not None else 0
         loc_tars = self.local_targets.get((codim, jform))
 
-        coarse_dofs_lists, coarse_blocks = [], []
-        counter = 0
+        # gather pass: deflated target blocks per AE, then ONE stacked
+        # LAPACK call per shape group for the M-weighted SVDs
+        Ts, pv_locs, pv_dots = [], [], []
         for iae in range(n_ae):
             dofs = ae_dofs[iae]
             Mloc = Md_blocks[iae]
@@ -247,12 +248,22 @@ class DeRhamSequence:
                 T = np.concatenate([T, loc_tars[iae]], axis=1)
             pv_m = Mloc @ loc_pv
             pv_dot_pv = float(loc_pv @ pv_m)
-            # deflate targets against pv in the M inner product
             if T.shape[1]:
                 T -= np.outer(loc_pv, (pv_m @ T) / pv_dot_pv)
-                U, s = _weighted_svd_on(Mloc, T)
-            else:
-                U, s = np.zeros((dofs.size, 0)), np.zeros(0)
+            Ts.append(T)
+            pv_locs.append(loc_pv)
+            pv_dots.append(pv_dot_pv)
+        from parelag_tpu.ops.batched import batched_weighted_svd
+        svds = batched_weighted_svd(Md_blocks, Ts)
+
+        coarse_dofs_lists, coarse_blocks = [], []
+        counter = 0
+        for iae in range(n_ae):
+            dofs = ae_dofs[iae]
+            Mloc = Md_blocks[iae]
+            loc_pv = pv_locs[iae]
+            pv_dot_pv = pv_dots[iae]
+            U, s = svds[iae]
             s_tol = pv_dot_pv * self.svd_tol
             nkeep = int(np.searchsorted(-s, -s_tol))
             p_loc = np.concatenate(

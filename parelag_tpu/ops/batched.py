@@ -37,25 +37,36 @@ def batched_solve(systems, rhs, backend="auto"):
     if backend == "auto":
         # setup runs in float64; the TPU f64 path is software-emulated (and
         # unreliable on the experimental axon platform), so auto only takes
-        # the device route for f32 data on an accelerator backend
+        # the device route for f32 data on an accelerator backend. Check the
+        # dtype FIRST — jax.default_backend() initializes the TPU client
+        # (~10s tunnel handshake), which f64 setup must never trigger.
         backend = "host"
-        try:
-            import jax
-            if (jax.default_backend() != "cpu" and n_items >= 64
-                    and all(s.dtype == np.float32 for s in systems[:1])):
-                backend = "device"
-        except Exception:
-            pass
+        if n_items >= 64 and all(s.dtype == np.float32
+                                 for s in systems[:1]):
+            try:
+                import jax
+                if jax.default_backend() != "cpu":
+                    backend = "device"
+            except Exception:
+                pass
 
     if backend == "host":
-        import scipy.linalg
-        out = []
-        for A, b in zip(systems, rhs):
+        # group identical shapes and run stacked LAPACK gesv in one numpy
+        # call per group (the shape distribution is highly repetitive on
+        # quasi-uniform agglomerations; Python-per-system overhead dominated
+        # this stage before)
+        out = [np.zeros_like(b) for b in rhs]
+        groups = {}
+        for i, (A, b) in enumerate(zip(systems, rhs)):
             if A.shape[0] == 0 or b.shape[1] == 0:
-                out.append(np.zeros_like(b))
-            else:
-                out.append(scipy.linalg.lu_solve(
-                    scipy.linalg.lu_factor(A), b))
+                continue
+            groups.setdefault((A.shape[0], b.shape[1]), []).append(i)
+        for (n, k), idxs in groups.items():
+            Ast = np.stack([systems[i] for i in idxs])
+            Bst = np.stack([rhs[i] for i in idxs])
+            X = np.linalg.solve(Ast, Bst)
+            for j, i in enumerate(idxs):
+                out[i] = X[j]
         return out
 
     import jax
@@ -105,13 +116,13 @@ def batched_svd_basis(mats, backend="auto"):
         return []
     if backend == "auto":
         backend = "host"
-        try:
-            import jax
-            if (jax.default_backend() != "cpu" and n_items >= 64
-                    and all(m.dtype == np.float32 for m in mats[:1])):
-                backend = "device"
-        except Exception:
-            pass
+        if n_items >= 64 and all(m.dtype == np.float32 for m in mats[:1]):
+            try:
+                import jax
+                if jax.default_backend() != "cpu":
+                    backend = "device"
+            except Exception:
+                pass
     if backend == "host":
         out = []
         for T in mats:
@@ -149,4 +160,40 @@ def batched_svd_basis(mats, backend="auto"):
             n, k = mats[i].shape
             kk = min(n, k)
             out[i] = (U[j, :n, :kk], s[j, :kk])
+    return out
+
+
+def batched_weighted_svd(Ms, Ts):
+    """M-weighted SVD orthonormalization for ragged lists (the trace-stage
+    hot loop): returns [(U_i, s_i)] with U^T M U = I. Groups identical
+    shapes and runs ONE stacked LAPACK call per group (np.linalg batches in
+    C), instead of one Python-level eigh/svd per agglomerate."""
+    out = [None] * len(Ms)
+    groups = {}
+    for i, (M, T) in enumerate(zip(Ms, Ts)):
+        if T.shape[1] == 0 or T.shape[0] == 0:
+            out[i] = (np.zeros((T.shape[0], 0)), np.zeros(0))
+            continue
+        groups.setdefault(T.shape, []).append(i)
+    for (n, t), idxs in groups.items():
+        Mst = np.stack([Ms[i] for i in idxs])          # (m, n, n)
+        Tst = np.stack([Ts[i] for i in idxs])          # (m, n, t)
+        d = np.einsum("bii->bi", Mst)
+        offd = Mst - d[:, :, None] * np.eye(n)
+        if np.count_nonzero(offd) == 0:
+            sc = np.sqrt(d)                            # (m, n)
+            U, s, _ = np.linalg.svd(Tst * sc[:, :, None],
+                                    full_matrices=False)
+            U = U / sc[:, :, None]
+        else:
+            w, V = np.linalg.eigh(Mst)
+            w = np.maximum(w, 0.0)
+            sq = np.sqrt(w)
+            isq = 1.0 / np.sqrt(np.maximum(w, 1e-300))
+            X = np.einsum("bij,bj,bkj->bik", V, sq, V)
+            Xinv = np.einsum("bij,bj,bkj->bik", V, isq, V)
+            U0, s, _ = np.linalg.svd(X @ Tst, full_matrices=False)
+            U = Xinv @ U0
+        for j, i in enumerate(idxs):
+            out[i] = (U[j], s[j])
     return out
