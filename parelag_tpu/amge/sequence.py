@@ -424,7 +424,11 @@ class DeRhamSequence:
             # (FacetSaddlePoint ctor); the [M B^T; B -C] system only when
             # there are interior u dofs (RidgePeakSaddlePoint + the
             # GetLocalOffsets(1) != 0 guards in hRidgePeakExtension)
-            do_solve = (use_lagrange or nu_int > 0) and nsys > 0
+            # a Lagrange system with empty u interior is singular (the p-p
+            # block is zero); the multiplier is then determined directly by
+            # T lambda = rhs_p in pass 3 (degenerate case from pinched
+            # separators — the reference aborts here)
+            do_solve = nu_int > 0 and nsys > 0
 
             # ---- rhs blocks: [trace ext | RangeT bubbles | Null targets] - #
             cbdr = cbdrs[iae]
@@ -438,6 +442,14 @@ class DeRhamSequence:
 
             p_nulls = p_nulls_l[iae]
             n_rt = p_nulls.size
+            if nu_int == 0:
+                # pinched entity (e.g. promoted shared-vertex separator
+                # leaves a facet/ridge with empty u interior): no interior
+                # dofs can carry the RangeT bubble — create none, instead
+                # of the reference's implicit zero column (its sharedvertex
+                # lanes fail outright, testsuite CMakeLists.txt:94-109)
+                n_rt = 0
+                p_nulls = p_nulls[:0]
             rhs_rt = np.zeros((nsys, n_rt))
             if n_rt:
                 rhs_rt[nu_int:nu_int + np_int] = W_ii @ cPs[iae]
@@ -465,6 +477,8 @@ class DeRhamSequence:
                 u_all=u_all, u_int=u_int, nu_int=nu_int, cbdr=cbdr, Pb=Pb,
                 A=A, do_solve=do_solve, pv_cdof=pv_cdof, p_nulls=p_nulls,
                 n_rt=n_rt, t_int=t_int, Mloc=Mloc, M_ii=M_ii,
+                np_int=np_int,
+                Tvec=(Tvec if use_lagrange else None),
                 k_ext=cbdr.size, k_rt=n_rt, k_null=rhs_null.shape[1],
                 rhs=np.concatenate([rhs_ext, rhs_rt, rhs_null], axis=1)))
 
@@ -487,7 +501,15 @@ class DeRhamSequence:
             sol_null = sol[:, k_ext + k_rt:]
 
             if use_lagrange:
-                lam = sol_ext[-1, :]
+                if r["do_solve"]:
+                    lam = sol_ext[-1, :]
+                else:
+                    # degenerate Lagrange (empty u interior): p-rows read
+                    # T lambda = rhs_p, so lambda = (T . rhs_p) / (T . T)
+                    T = r["Tvec"]
+                    rhs_p = r["rhs"][nu_int:nu_int + r["np_int"], :k_ext]
+                    tt = float(T @ T)
+                    lam = (T @ rhs_p) / tt if tt > 0 else np.zeros(k_ext)
                 dvals = np.where(np.abs(lam) > _EPS, -lam, 0.0)
                 self._D_builder.add_entries(
                     np.full(k_ext, r["pv_cdof"][0]), cbdr, dvals)

@@ -64,7 +64,19 @@ def batched_solve(systems, rhs, backend="auto"):
         for (n, k), idxs in groups.items():
             Ast = np.stack([systems[i] for i in idxs])
             Bst = np.stack([rhs[i] for i in idxs])
-            X = np.linalg.solve(Ast, Bst)
+            try:
+                X = np.linalg.solve(Ast, Bst)
+            except np.linalg.LinAlgError:
+                X = np.stack([
+                    np.linalg.lstsq(A, b, rcond=None)[0]
+                    for A, b in zip(Ast, Bst)])
+            # singular/ill-conditioned local systems (pinched-topology
+            # saddles) solve to garbage without raising — verify residuals
+            # and redo offenders with min-norm least squares
+            res = np.abs(Ast @ X - Bst).max(axis=(1, 2))
+            scale = np.maximum(np.abs(Bst).max(axis=(1, 2)), 1.0)
+            for j in np.where(res > 1e-8 * scale)[0]:
+                X[j] = np.linalg.lstsq(Ast[j], Bst[j], rcond=1e-12)[0]
             for j, i in enumerate(idxs):
                 out[i] = X[j]
         return out

