@@ -16,5 +16,44 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-from parelag_tpu.mesh.mesh import Mesh, hex_grid_mesh
+from parelag_tpu.mesh.mesh import (
+    Mesh, hex_grid_mesh, quad_grid_mesh, read_mesh)
 from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.partitioning.partitioners import (
+    refined_mesh_partition, cartesian_partition, geometric_box_partition,
+    logical_partition, graph_partition)
+
+# jax-heavy subsystems load lazily so host-only topology work stays light
+_LAZY = {
+    "DeRhamSequenceFE": ("parelag_tpu.amge.fespace", "DeRhamSequenceFE"),
+    "DeRhamSequence2DFE": ("parelag_tpu.amge.fespace2d",
+                           "DeRhamSequence2DFE"),
+    "SolverLibrary": ("parelag_tpu.solvers.library", "SolverLibrary"),
+    "SolverState": ("parelag_tpu.solvers.library", "SolverState"),
+    "ParameterList": ("parelag_tpu.utils.params", "ParameterList"),
+    "read_xml": ("parelag_tpu.utils.params", "read_xml"),
+    "build_amge_hierarchy": ("parelag_tpu.solvers.amge_solver",
+                             "build_amge_hierarchy"),
+    "amge_pcg_solve": ("parelag_tpu.solvers.amge_solver", "amge_pcg_solve"),
+    "Hierarchy": ("parelag_tpu.solvers.hierarchy", "Hierarchy"),
+    "build_hierarchy": ("parelag_tpu.solvers.hierarchy", "build_hierarchy"),
+    "HybridHdivL2": ("parelag_tpu.amge.hybridization", "HybridHdivL2"),
+    "write_vtk": ("parelag_tpu.mesh.vtk", "write_vtk"),
+    "save_agglomerates_vtk": ("parelag_tpu.mesh.vtk",
+                              "save_agglomerates_vtk"),
+    "TimeManager": ("parelag_tpu.utils.timing", "TimeManager"),
+    "save_pytree": ("parelag_tpu.utils.checkpoint", "save_pytree"),
+    "load_pytree": ("parelag_tpu.utils.checkpoint", "load_pytree"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'parelag_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
