@@ -217,6 +217,27 @@ class HybridHdivL2:
             gf = d * gf
         if solver == "direct":
             xf = spla.spsolve(Hff, gf)
+        elif solver == "device":
+            # TPU-native path: the hybridized multiplier system is SPD and
+            # well-conditioned after rescaling — jitted l1-Jacobi PCG on the
+            # device sparse format (operator passed as a jit argument)
+            import jax
+            import jax.numpy as jnp
+            from parelag_tpu.ops.device_sparse import from_scipy
+            from parelag_tpu.solvers.smoothers import make_l1_jacobi
+            from parelag_tpu.solvers.cg import pcg
+            Hcsr = Hff.tocsr()
+            Hd = from_scipy(Hcsr, dtype=np.float64)
+            smoother = make_l1_jacobi(Hcsr)
+
+            @jax.jit
+            def _solve(Hdev, dinv, b):
+                return pcg(lambda v: Hdev @ v, b,
+                           precond=lambda r: dinv * r,
+                           rtol=rtol, atol=0.0, maxiter=2000)
+
+            xj, info = _solve(Hd, smoother.dinv, jnp.asarray(gf))
+            xf = np.asarray(xj)
         else:
             dinv = 1.0 / Hff.diagonal()
             M = spla.LinearOperator(Hff.shape, matvec=lambda r: dinv * r)

@@ -72,3 +72,21 @@ def test_hybrid_cg_with_rescaling(hierarchy):
     u, p = hyb.solve(rhs_u, rhs_p, solver="cg", rtol=1e-12, rescale=True)
     assert np.abs(u - u_ref).max() < 1e-8
     assert np.abs(p - p_ref).max() < 1e-8
+
+
+def test_hybridization_device_solver():
+    """TPU-native multiplier solve (jitted l1-Jacobi PCG) matches the
+    direct solve."""
+    from parelag_tpu.models.darcy import build_darcy_hierarchy
+    from parelag_tpu.amge.hybridization import HybridHdivL2
+    from parelag_tpu.amge import hexfe
+    mesh, topos, seqs = build_darcy_hierarchy(nref_parallel=1)
+    s = seqs[0]
+    vols = hexfe.hex_volumes(mesh.vertices[mesh.elements])
+    hyb = HybridHdivL2(s)
+    b_u = np.zeros(s.dof[2].ndofs)
+    u1, p1 = hyb.solve(b_u, vols, solver="direct", rescale=True)
+    u2, p2 = hyb.solve(b_u, vols, solver="device", rescale=True,
+                       rtol=1e-12)
+    assert np.abs(u1 - u2).max() < 1e-7
+    assert np.abs(p1 - p2).max() < 1e-7
