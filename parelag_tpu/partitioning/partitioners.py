@@ -75,6 +75,141 @@ def logical_partition(elem_elem, logical_info) -> np.ndarray:
     return part
 
 
+def _heavy_edge_matching(A, w, rng):
+    """One level of heavy-edge-matching graph coarsening: returns
+    (coarse label per node, coarse adjacency with summed edge weights,
+    coarse node weights)."""
+    n = A.shape[0]
+    match = np.full(n, -1, dtype=np.int64)
+    order = rng.permutation(n)
+    for u in order:
+        if match[u] >= 0:
+            continue
+        lo, hi = A.indptr[u], A.indptr[u + 1]
+        best, best_w = -1, -1.0
+        for j in range(lo, hi):
+            v = A.indices[j]
+            if v != u and match[v] < 0 and A.data[j] > best_w:
+                best, best_w = v, A.data[j]
+        match[u] = u if best < 0 else best
+        if best >= 0:
+            match[best] = u
+    # coarse labels
+    label = np.full(n, -1, dtype=np.int64)
+    nxt = 0
+    for u in range(n):
+        if label[u] < 0:
+            label[u] = nxt
+            label[match[u]] = nxt
+            nxt += 1
+    coo = A.tocoo()
+    keep = coo.row != coo.col
+    Ac = sp.csr_matrix(
+        (coo.data[keep], (label[coo.row[keep]], label[coo.col[keep]])),
+        shape=(nxt, nxt))
+    Ac.sum_duplicates()
+    wc = np.zeros(nxt)
+    np.add.at(wc, label, w)
+    return label, Ac, wc
+
+
+def multilevel_graph_partition(elem_elem, n_parts, weights=None, seed=0,
+                               min_coarse=None) -> np.ndarray:
+    """Multilevel k-way partition (the METIS recipe,
+    MetisGraphPartitioner.cpp:37-): heavy-edge-matching V-cycle — coarsen
+    until ~15 nodes per part, partition the coarsest graph with the greedy
+    grower, then uncoarsen with boundary refinement at every level."""
+    A = sp.csr_matrix(elem_elem).astype(float)
+    n = A.shape[0]
+    if n_parts <= 1:
+        return np.zeros(n, dtype=np.int64)
+    w = np.ones(n) if weights is None else np.asarray(weights, dtype=float)
+    min_coarse = min_coarse or max(15 * n_parts, 32)
+    rng = np.random.RandomState(seed)
+
+    graphs, labels, nodew = [A], [], [w]
+    while graphs[-1].shape[0] > min_coarse:
+        label, Ac, wc = _heavy_edge_matching(graphs[-1], nodew[-1], rng)
+        if Ac.shape[0] >= graphs[-1].shape[0]:   # matching stalled
+            break
+        labels.append(label)
+        graphs.append(Ac)
+        nodew.append(wc)
+
+    part = graph_partition(graphs[-1], n_parts, weights=nodew[-1],
+                           seed=seed, n_refine_sweeps=6)
+    for lvl in range(len(labels) - 1, -1, -1):
+        part = part[labels[lvl]]
+        part = _balance_partition(graphs[lvl], part, nodew[lvl], n_parts)
+        part = _refine_partition(graphs[lvl], part, nodew[lvl], n_parts,
+                                 sweeps=3)
+    part = _balance_partition(graphs[0], part, nodew[0], n_parts)
+    return part
+
+
+def _balance_partition(A, part, w, n_parts, tol=1.15, max_rounds=60):
+    """Move boundary nodes out of overweight parts into their lightest
+    adjacent part until every part is within tol of the mean."""
+    A = sp.csr_matrix(A)
+    size = np.zeros(n_parts)
+    np.add.at(size, part, w)
+    target = w.sum() / n_parts
+    for _ in range(max_rounds):
+        heavy = np.where(size > tol * target)[0]
+        if heavy.size == 0:
+            break
+        moved = 0
+        for u in np.argsort(-w):            # try big nodes first
+            pu = part[u]
+            if size[pu] <= tol * target:
+                continue
+            nbrs = A.indices[A.indptr[u]:A.indptr[u + 1]]
+            cand = np.unique(part[nbrs[nbrs != u]])
+            cand = cand[cand != pu]
+            cand = cand[size[cand] + w[u] <= tol * target]
+            if cand.size == 0:
+                continue
+            best = cand[np.argmin(size[cand])]
+            part[u] = best
+            size[pu] -= w[u]
+            size[best] += w[u]
+            moved += 1
+        if moved == 0:
+            break
+    return part
+
+
+def _refine_partition(A, part, w, n_parts, sweeps=3):
+    """Boundary KL/FM-style sweeps (shared by the greedy and multilevel
+    partitioners)."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    size = np.zeros(n_parts)
+    np.add.at(size, part, w)
+    target = w.sum() / n_parts
+    for _ in range(sweeps):
+        moved = 0
+        for u in range(n):
+            pu = part[u]
+            nbrs = A.indices[A.indptr[u]:A.indptr[u + 1]]
+            nbr_parts, counts = np.unique(part[nbrs[nbrs != u]],
+                                          return_counts=True)
+            if nbr_parts.size <= 1:
+                continue
+            best = nbr_parts[np.argmax(counts)]
+            gain = counts.max() - counts[nbr_parts == pu].sum()
+            if (best != pu and gain > 0 and
+                    size[pu] - w[u] >= 0.5 * target and
+                    size[best] + w[u] <= 1.5 * target):
+                part[u] = best
+                size[pu] -= w[u]
+                size[best] += w[u]
+                moved += 1
+        if moved == 0:
+            break
+    return part
+
+
 def graph_partition(elem_elem, n_parts, weights=None, seed=0,
                     n_refine_sweeps=4) -> np.ndarray:
     """Balanced contiguous k-way partition of an element adjacency graph.
@@ -83,7 +218,9 @@ def graph_partition(elem_elem, n_parts, weights=None, seed=0,
     the currently-smallest part) followed by boundary Kernighan-Lin-style
     refinement sweeps that move boundary elements to reduce edge cut subject
     to balance. Deterministic for a fixed seed. Serves the role of
-    METIS_PartGraphKway with CONTIG+MINCONN (MetisGraphPartitioner.cpp:37-).
+    METIS_PartGraphKway with CONTIG+MINCONN (MetisGraphPartitioner.cpp:37-);
+    for large graphs prefer multilevel_graph_partition (the full METIS
+    recipe with heavy-edge-matching coarsening).
     """
     A = sp.csr_matrix(elem_elem)
     n = A.shape[0]

@@ -240,3 +240,28 @@ def test_coarse_facets_algo2_lumps_pair_interface():
     assert a2.shape[0] == 11
     assert sorted(sizes[1:]) == [2] * 8 + [4, 4]
     assert sizes[1:].sum() == 24  # all 24 boundary facets covered
+
+
+def test_multilevel_graph_partition():
+    """Multilevel heavy-edge-matching partitioner (the METIS recipe,
+    MetisGraphPartitioner.cpp): better cut than the greedy grower at equal
+    balance constraints; deterministic; all parts populated."""
+    import scipy.sparse as sp
+    from parelag_tpu.partitioning.partitioners import (
+        graph_partition, multilevel_graph_partition)
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement().uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    G = topo.local_element_element()
+
+    def cut(part):
+        coo = sp.csr_matrix(G).tocoo()
+        return int(((part[coo.row] != part[coo.col])
+                    & (coo.row < coo.col)).sum())
+
+    p_ml = multilevel_graph_partition(G, 8, seed=0)
+    p_gr = graph_partition(G, 8, seed=0)
+    assert np.array_equal(p_ml, multilevel_graph_partition(G, 8, seed=0))
+    sizes = np.bincount(p_ml, minlength=8)
+    assert sizes.min() > 0
+    assert sizes.max() <= 1.3 * sizes.mean()
+    assert cut(p_ml) < cut(p_gr)          # strictly better cut here
