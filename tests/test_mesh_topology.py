@@ -249,7 +249,9 @@ def test_multilevel_graph_partition():
     import scipy.sparse as sp
     from parelag_tpu.partitioning.partitioners import (
         graph_partition, multilevel_graph_partition)
-    m = hex_grid_mesh(2, 2, 2).uniform_refinement().uniform_refinement()
+    m = hex_grid_mesh(2, 2, 2)
+    for _ in range(3):
+        m = m.uniform_refinement()        # 4096 elements
     topo = AgglomeratedTopology.from_mesh(m)
     G = topo.local_element_element()
 
@@ -264,4 +266,6 @@ def test_multilevel_graph_partition():
     sizes = np.bincount(p_ml, minlength=8)
     assert sizes.min() > 0
     assert sizes.max() <= 1.3 * sizes.mean()
-    assert cut(p_ml) < cut(p_gr)          # strictly better cut here
+    # multilevel wins where it matters (large graphs); on tiny graphs the
+    # one-shot greedy grower can be equal or better
+    assert cut(p_ml) < cut(p_gr)
