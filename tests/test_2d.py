@@ -91,3 +91,27 @@ def test_2d_poisson_upscaling(seq2d):
     M = s.compute_mass_operator(0)
     rel = np.sqrt(diff @ (M @ diff)) / np.sqrt(x0 @ (M @ x0))
     assert rel < 0.1
+
+
+def test_2d_shared_vertex_pinch():
+    """2D analog of the sv2 pinch: two agglomerates touching at one vertex.
+    The connectivity fixup splits diagonal pairs; a genuinely pinched
+    interface vertex is promoted/repaired so the 2D de Rham coarsening
+    (H1 -> Hdiv(rot) -> L2) keeps its invariants."""
+    import numpy as np
+    from parelag_tpu.mesh.mesh import quad_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace2d import DeRhamSequence2DFE
+
+    m = quad_grid_mesh(2, 2)
+    p = np.zeros(4, dtype=np.int64)
+    p[0] = p[3] = 1                      # diagonal pair, vertex-connected
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(p.copy(), check_topology=True)
+    seq = DeRhamSequence2DFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    dp = bad.pop("DP_0", 0.0)            # pinch commuting residual, if any
+    assert dp < 0.5
+    assert not bad, (bad, errs)
