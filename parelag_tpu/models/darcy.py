@@ -73,6 +73,11 @@ def build_darcy_hierarchy(nref_parallel=1, coarsening_factor=8,
         elif partition == "derefine":
             part = refined_mesh_partition(topos[il].num_entities(0),
                                           level_ne[il + 1])
+        elif partition == "multilevel":
+            from parelag_tpu.partitioning.partitioners import (
+                multilevel_graph_partition)
+            part = multilevel_graph_partition(
+                topos[il].local_element_element(), level_ne[il + 1], seed=0)
         else:
             part = graph_partition(topos[il].local_element_element(),
                                    level_ne[il + 1], seed=0)
