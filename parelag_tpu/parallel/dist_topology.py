@@ -71,6 +71,30 @@ def make_shards(topo, rank_of_elem, part, R):
     return shards, facet_owner
 
 
+def distributed_partition(shards, n_parts_total):
+    """Distributed k-way partitioning (the ParMETIS PartKway role,
+    reference ParmetisGraphPartitioner): each rank runs the multilevel
+    partitioner on its LOCAL element subgraph (built from its own B0 rows —
+    no remote data), with a quota proportional to its element count; global
+    part ids by exclusive prefix over ranks. Agglomerates therefore refine
+    the rank decomposition, which is exactly what the distributed
+    coarsening protocol requires."""
+    from parelag_tpu.partitioning.partitioners import (
+        multilevel_graph_partition)
+    n_total = sum(s.elems.size for s in shards)
+    quotas = [max(1, round(n_parts_total * s.elems.size / n_total))
+              for s in shards]
+    out = np.full(n_total, -1, dtype=np.int64)
+    nxt = 0
+    for s, k in zip(shards, quotas):
+        # local adjacency through shared facets (pattern of B0_r B0_r^T)
+        local = C.bool_mult(s.B0_rows, s.B0_rows.T)
+        p = multilevel_graph_partition(local, k, seed=s.rank)
+        out[s.elems] = nxt + p
+        nxt += int(p.max()) + 1
+    return out
+
+
 def distributed_coarsen_facets(shards, R):
     """Run the owner-computes coarse-facet construction. Returns
     (fc_AF global csr, AE_elem global csr, exchange_stats dict)."""

@@ -65,3 +65,30 @@ def test_distributed_facets_8_ranks():
     t2 = AgglomeratedTopology.from_mesh(m)
     t2.coarsen_local_partitioning(part.copy())
     assert _group_sets(fc_AF) == _group_sets(t2.AEntity_entity[1].T.tocsr())
+
+
+def test_distributed_partition_and_coarsen():
+    """ParMETIS-role distributed partitioning: each rank multilevel-
+    partitions its local subgraph; the result refines the rank split and
+    feeds the owner-computes coarsening + the serial de Rham pipeline."""
+    from parelag_tpu.parallel.dist_topology import distributed_partition
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+
+    m = hex_grid_mesh(4, 4, 4)
+    topo = AgglomeratedTopology.from_mesh(m)
+    ranks = cartesian_partition((4, 4, 4), (4, 4, 2))     # 2 ranks
+    shards, _ = make_shards(topo, ranks, np.zeros(64, np.int64), 2)
+    part = distributed_partition(shards, 8)
+    assert part.min() >= 0
+    # refines the rank decomposition
+    for pid in np.unique(part):
+        assert np.unique(ranks[part == pid]).size == 1
+    # full pipeline on the distributed partition
+    topo2 = AgglomeratedTopology.from_mesh(m)
+    topo2.coarsen_local_partitioning(part.copy(), check_topology=True)
+    seq = DeRhamSequenceFE(topo2, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    bad.pop("DP_1", None)     # allow localized pinch residual if any
+    assert not bad, (bad, errs)
