@@ -100,11 +100,8 @@ def compute_local_hdiv_l2_spectral_targets(
         Wloc = Wd[iae]
         Dloc = C.extract_submatrix(D, p_all, u_all)
         Bloc = Wloc @ Dloc
-        # C: boundary trace operator (identity rows on bdr dofs)
-        nb = u_bdr.size
-        Cloc = np.zeros((nb, u_all.size))
-        Cloc[np.arange(nb), nu_int + np.arange(nb)] = 1.0
         # Q: assembled facet trace mass on the AE's boundary dofs
+        nb = u_bdr.size
         Qloc = np.zeros((nb, nb))
         pos = {int(d): i for i, d in enumerate(u_bdr)}
         bfacets = AE_bfc.indices[AE_bfc.indptr[iae]:AE_bfc.indptr[iae + 1]]
@@ -112,6 +109,12 @@ def compute_local_hdiv_l2_spectral_targets(
             dofs = np.asarray(Qlocal.dofs[f])
             idx = np.array([pos[int(d)] for d in dofs])
             Qloc[np.ix_(idx, idx)] += np.asarray(Qlocal.blocks[f])
+        # C: Q-weighted boundary trace rows against all AE dofs (reference
+        # extracts C from the Q matrix itself,
+        # LocalSpectralTargets.cpp:139 — NOT identity rows; the trace block
+        # of the Schur eigenproblem is Q M^{-1} Q vs Q)
+        Cloc = np.concatenate(
+            [np.zeros((nb, nu_int)), Qloc], axis=1)
         Minv_BC = np.linalg.solve(
             Mloc, np.concatenate([Bloc, Cloc], axis=0).T)
         S = np.concatenate([Bloc, Cloc], axis=0) @ Minv_BC

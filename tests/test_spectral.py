@@ -60,13 +60,15 @@ def test_checkerboard_values():
 
 
 def test_2form_spectral_amge():
-    """form2spectralAMGe analog (examples/CMakeLists.txt:66-73): the middle
-    level is essentially exact (reference ~1e-7 = its PCG noise; ours
-    direct-solved ~1e-15); the coarsest-level value depends on the flux-dof
-    scaling convention entering the boundary-trace block of the local
-    eigenproblem, so we assert its band."""
+    """form2spectralAMGe golden lane (examples/CMakeLists.txt:66-73),
+    digit-exact: u 7.4780e-04, energy 1.3227e-02 at the coarsest level
+    (the boundary block of the local Schur eigenproblem is the Q-weighted
+    trace, LocalSpectralTargets.cpp:139). The middle level is exact up to
+    solver noise (reference ~1e-7 = its PCG tolerance; ours direct-solved
+    ~1e-15)."""
     from parelag_tpu.models.spectral import upscaling_2form_spectral_amge
     r = upscaling_2form_spectral_amge()
-    assert r.u_l2_errors[1] < 1e-10        # middle level exact
+    assert f"{r.u_l2_errors[0]:.4e}" == "7.4780e-04"
+    assert f"{r.u_energy_errors[0]:.4e}" == "1.3227e-02"
+    assert r.u_l2_errors[1] < 1e-10
     assert r.u_energy_errors[1] < 1e-10
-    assert r.u_l2_errors[0] <= 1.9011e-02  # never worse than non-spectral
