@@ -79,18 +79,27 @@ def main():
 
     # warmup/compile
     x, (it, nom) = solve(H, Hb, bj)
-    x.block_until_ready()
     niter = int(it)
     res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
     rel = res / float(np.linalg.norm(b))
     print(f"iters={niter} rel_res={rel:.2e}", file=sys.stderr)
 
-    reps = 20
-    t0 = time.time()
-    for _ in range(reps):
-        x, _ = solve(H, Hb, bj)
-    x.block_until_ready()
-    dt = (time.time() - t0) / reps
+    # Timing: on this TPU stack block_until_ready() does NOT synchronize
+    # (the tunnel pipelines dispatches), so we measure the amortized
+    # steady-state cost as a slope between two pipelined batches, each
+    # terminated by a forced device->host read of the last result.
+    def run_batch(nreps):
+        t0 = time.time()
+        xx = None
+        for _ in range(nreps):
+            xx, _ = solve(H, Hb, bj)
+        float(np.asarray(xx)[0])        # true sync: all nreps completed
+        return time.time() - t0
+
+    run_batch(5)                        # fill the pipeline
+    t_small = run_batch(20)
+    t_large = run_batch(60)
+    dt = (t_large - t_small) / 40.0
     value = ndofs * niter / dt
     print(json.dumps({
         "metric": "h1_amge_vcycle_pcg_throughput",
