@@ -1,0 +1,64 @@
+"""Distributed trace stage (sequence-level SharedEntityCommunication,
+reference DeRhamSequence.cpp:1723-2000): owner-computed coarse facet
+traces are digit-identical to the serial stage."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from parelag_tpu.mesh.mesh import hex_grid_mesh
+from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.amge.fespace import DeRhamSequenceFE
+from parelag_tpu.partitioning.partitioners import cartesian_partition
+from parelag_tpu.parallel.dist_sequence import distributed_facet_traces
+
+
+def test_distributed_facet_traces_match_serial():
+    m = hex_grid_mesh(4, 4, 4)
+    ranks = cartesian_partition((4, 4, 4), (4, 4, 2))      # 2 ranks
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))       # 8 AEs
+
+    # serial twin
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(part.copy())
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    coarse = seq.coarsen(svd_tol=1e-9)
+
+    # distributed stage on a fresh sequence with the same topology tables
+    topo2 = AgglomeratedTopology.from_mesh(m)
+    topo2.coarsen_local_partitioning(part.copy())
+    seq2 = DeRhamSequenceFE(topo2, m)
+    seq2.set_upscaling_targets(0)
+    seq2.agglomerate_dofs()
+    seq2.svd_tol = 1e-9
+    fc_AF = topo2.AEntity_entity[1].T.tocsr()
+    results, stats = distributed_facet_traces(
+        seq2, 2, fc_AF, ranks, 2, svd_tol=1e-9)
+    assert stats["n_af"] == topo2.AEntity_entity[1].shape[0]
+    # interface coarse facets between the 2 ranks were broadcast
+    assert stats["n_msgs"] > 0
+
+    # serial per-facet trace blocks: rows = facet dofs, cols = the coarse
+    # facet's codim-1 interior dofs (RangeT + Null)
+    cdof = coarse.dof[2]
+    uagg = seq.dofagg[2]
+    P = sp.csc_matrix(seq.P[2])
+    for r in results:
+        iae = r.facet
+        dofs_serial = uagg.ae_dofs(1)[iae]
+        cols = np.concatenate([cdof.ranget_dofs(1, iae),
+                               cdof.null_dofs(1, iae)])
+        blk = np.asarray(P[:, cols].todense())[dofs_serial, :]
+        # align distributed rows (np.unique order) to the serial dof order
+        pos = {int(d): i for i, d in enumerate(r.dofs)}
+        perm = np.array([pos[int(d)] for d in dofs_serial])
+        got = r.p_block[perm]
+        assert got.shape == blk.shape, (iae, got.shape, blk.shape)
+        # columns may flip sign (SVD); compare up to per-column sign
+        for c in range(blk.shape[1]):
+            d1 = np.abs(got[:, c] - blk[:, c]).max()
+            d2 = np.abs(got[:, c] + blk[:, c]).max()
+            assert min(d1, d2) < 1e-12, (iae, c, d1, d2)
+    # owners: every coarse facet owned by the min adjacent rank
+    owners = {r.facet: r.owner for r in results}
+    assert set(owners.values()) == {0, 1}
