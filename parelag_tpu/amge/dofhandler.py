@@ -134,6 +134,8 @@ class DofHandlerALG(DofHandlerBase):
         self.dof_types = []        # per dof: RANGET | NULLSPACE
         self._entity_dof = {}      # codim -> list of np arrays (closure dofs)
         self._finalized = set()
+        self._extra_interior = {}  # (codim, ient) -> np array of dof ids
+                                   # appended after finalize (enrichment)
 
     # ------------------------------------------------------------------ #
     def init_codim(self, codim):
@@ -182,12 +184,32 @@ class DofHandlerALG(DofHandlerBase):
         self._finalized.add(codim)
 
     # ------------------------------------------------------------------ #
+    def append_interior_dofs(self, codim, ient, k) -> np.ndarray:
+        """Append k NEW interior (NullSpace-like) dofs to an entity AFTER
+        finalize, numbered at the end of the global dof range (coarse-space
+        enrichment, e.g. the curl-range repair at pinched topology). Returns
+        the new dof ids."""
+        new = np.arange(self.ndofs, self.ndofs + k, dtype=np.int64)
+        self.ndofs += k
+        key = (codim, ient)
+        prev = self._extra_interior.get(key, np.zeros(0, dtype=np.int64))
+        self._extra_interior[key] = np.concatenate([prev, new])
+        self._entity_dof[codim][ient] = np.concatenate(
+            [self._entity_dof[codim][ient], new])
+        self.dof_types.extend(["NULLSPACE"] * k)
+        return new
+
+    def _extras(self, codim, ient):
+        return self._extra_interior.get(
+            (codim, ient), np.zeros(0, dtype=np.int64))
+
     def entity_dofs(self, codim):
         return self._entity_dof[codim]
 
     def interior_dofs(self, codim, ient) -> np.ndarray:
         o = self.interior_offsets[codim]
-        return np.arange(o[ient], o[ient + 1])
+        return np.concatenate([np.arange(o[ient], o[ient + 1]),
+                               self._extras(codim, ient)])
 
     def ranget_dofs(self, codim, ient) -> np.ndarray:
         """RangeT-type interior dofs of the entity (first within interior)."""
@@ -196,7 +218,9 @@ class DofHandlerALG(DofHandlerBase):
 
     def null_dofs(self, codim, ient) -> np.ndarray:
         o = self.interior_offsets[codim]
-        return np.arange(o[ient] + self.n_ranget[codim][ient], o[ient + 1])
+        return np.concatenate([
+            np.arange(o[ient] + self.n_ranget[codim][ient], o[ient + 1]),
+            self._extras(codim, ient)])
 
     def dofs_on_bdr(self, codim, ient) -> np.ndarray:
         """Interior dofs of all higher-codim sub-entities on the closure
@@ -211,5 +235,9 @@ class DofHandlerALG(DofHandlerBase):
 
     def n_interior(self, codim, ient=None):
         if ient is None:
-            return int((self.n_ranget[codim] + self.n_null[codim]).sum())
-        return int(self.n_ranget[codim][ient] + self.n_null[codim][ient])
+            extra = sum(v.size for (c, _), v in
+                        self._extra_interior.items() if c == codim)
+            return int((self.n_ranget[codim]
+                        + self.n_null[codim]).sum()) + extra
+        return int(self.n_ranget[codim][ient] + self.n_null[codim][ient]
+                   + self._extras(codim, ient).size)

@@ -201,6 +201,11 @@ class DeRhamSequence:
             assert self.P[jform].shape[1] == cdof.ndofs
             self.Pi[jform].compute_projector(self.P[jform])
 
+            if jform == self.nforms - 3 and jform + 1 < self.nforms:
+                # after the Hcurl-class stage: enrich coarse Hdiv with any
+                # curl components the pinched topology left uncovered
+                self._repair_curl_range(jform)
+
         # coarsen targets and the L2 constant representation
         for j in range(self.jform_start, self.nforms):
             if self.targets[j] is not None:
@@ -559,6 +564,141 @@ class DeRhamSequence:
         self._P_ncols = counter
         self._refresh_P()
         self.coarser.M[(codim_dom, jform)] = LocalMass(mass_dofs, mass_blocks)
+
+    # ------------------------------------------------------------------ #
+    def _repair_curl_range(self, jform):
+        """Close the commuting gap D P_j = P_{j+1} D_c at pinched topology:
+        if a coarse jform basis function's derivative has a component
+        outside the coarse (jform+1) space (possible only after
+        pinched-separator repairs — regular MIS topology never triggers
+        this; the reference has no counterpart and its shared-vertex lanes
+        simply fail, ELAG-19), append the M-orthonormalized residuals as
+        extra agglomerate-interior coarse dofs of form jform+1 and extend
+        P, D_c, the coarse mass and the cochain projector accordingly.
+        Derivative exactness is preserved: the new functions are
+        derivatives, so D_{j+1} of them vanishes."""
+        jp = jform + 1
+        P1, P2 = self.P[jform], self.P[jp]
+        D1 = self.D[jform].tocsr()
+        D1c = self.coarser.D[jform].tocsr()
+        R = (D1 @ P1 - P2 @ D1c).tocsc()
+        scale = max(C.max_abs((D1 @ P1).tocsr()), 1.0)
+        colmax = np.zeros(R.shape[1])
+        for j in range(R.shape[1]):
+            seg = np.abs(R.data[R.indptr[j]:R.indptr[j + 1]])
+            colmax[j] = seg.max() if seg.size else 0.0
+        bad_cols = np.where(colmax > 1e-9 * scale)[0]
+        if bad_cols.size == 0:
+            return
+
+        uagg = self.dofagg[jp]
+        ae_dofs = uagg.ae_dofs(0)
+        nu_ints = uagg.n_interior(0)
+        # fine (jform+1) dof -> owning agglomerate (interior dofs only)
+        n_fine = self.dof[jp].ndofs
+        owner = np.full(n_fine, -1, dtype=np.int64)
+        for iae in range(len(ae_dofs)):
+            ints = ae_dofs[iae][: int(nu_ints[iae])]
+            owner[ints] = iae
+
+        per_ae = {}
+        for j in bad_cols:
+            rows = R.indices[R.indptr[j]:R.indptr[j + 1]]
+            vals = R.data[R.indptr[j]:R.indptr[j + 1]]
+            keep = np.abs(vals) > 1e-12 * scale
+            rows, vals = rows[keep], vals[keep]
+            aes = np.unique(owner[rows])
+            assert (aes >= 0).all(), \
+                "curl residual outside agglomerate interiors"
+            for iae in aes:
+                sel = owner[rows] == iae
+                per_ae.setdefault(int(iae), []).append(
+                    (int(j), rows[sel], vals[sel]))
+
+        AE_e = self.topo.AEntity_entity[0]
+        Md = assemble_agglomerate_blocks(
+            self.M[(0, jp)], AE_e, uagg, 0)
+        cdof2 = self.coarser.dof[jp]
+        P2 = P2.tolil()
+        extra_cols = []
+        d_rows, d_cols, d_vals = [], [], []
+        for iae, items in per_ae.items():
+            u_all = ae_dofs[iae]
+            nu_int = int(nu_ints[iae])
+            u_int = u_all[:nu_int]
+            pos = {int(d): i for i, d in enumerate(u_int)}
+            Bres = np.zeros((nu_int, len(items)))
+            cols_of = []
+            for k, (j, rows, vals) in enumerate(items):
+                idx = np.array([pos[int(r)] for r in rows])
+                Bres[idx, k] = vals
+                cols_of.append(j)
+            Mloc = Md[iae]
+            M_ii = Mloc[:nu_int, :nu_int]
+            U, s = _weighted_svd_on(M_ii, Bres)
+            nkeep = int(np.sum(s > 1e-12 * max(float(s[0]), 1.0))) \
+                if s.size else 0
+            if nkeep == 0:
+                continue
+            V = U[:, :nkeep]                       # M-orthonormal
+            coeffs = V.T @ (M_ii @ Bres)           # (nkeep, n_items)
+            new_ids = cdof2.append_interior_dofs(0, iae, nkeep)
+            for t, nd in enumerate(new_ids):
+                for k, j in enumerate(cols_of):
+                    if abs(coeffs[t, k]) > 1e-13:
+                        d_rows.append(nd)
+                        d_cols.append(j)
+                        d_vals.append(coeffs[t, k])
+            extra_cols.append((u_int, new_ids, V))
+            # extend the coarse mass block of this agglomerate: products of
+            # every existing coarse dof on the AE with the new functions
+            lm = self.coarser.M[(0, jp)]
+            old_dofs = lm.dofs[iae]
+            basis_old = np.asarray(
+                P2[u_all.reshape(-1, 1), old_dofs.reshape(1, -1)].todense())
+            Vfull = np.zeros((u_all.size, nkeep))
+            Vfull[:nu_int] = V
+            X = basis_old.T @ (Mloc @ Vfull)
+            blk = lm.blocks[iae]
+            lm.blocks[iae] = np.block(
+                [[blk, X], [X.T, np.eye(nkeep)]])
+            lm.dofs[iae] = np.concatenate([old_dofs, new_ids])
+            # refresh the cochain functional with the enriched interior
+            # basis [old interior columns | V]
+            int_cols = cdof2.interior_dofs(0, iae)
+            L = np.zeros((nu_int, int_cols.size))
+            L[:, : int_cols.size - nkeep] = np.asarray(
+                P2[u_int.reshape(-1, 1),
+                   int_cols[: int_cols.size - nkeep].reshape(1, -1)]
+                .todense())
+            L[:, int_cols.size - nkeep:] = V
+            self.Pi[jp].create_dof_functional(0, iae, L, M_ii)
+
+        if not extra_cols:
+            return
+        # grow P2 with the new columns
+        n_new = cdof2.ndofs - P2.shape[1]
+        P2 = sp.hstack(
+            [P2.tocsr(),
+             sp.csr_matrix((P2.shape[0], n_new))], format="lil")
+        for u_int, new_ids, V in extra_cols:
+            for t, nd in enumerate(new_ids):
+                P2[u_int, nd] = V[:, t]
+        self.P[jp] = P2.tocsr()
+        # D_c rows for the new dofs; D_{jp} gets zero columns (the new
+        # functions are derivatives -> derivative-free)
+        D1c = sp.csr_matrix(
+            (np.concatenate([D1c.tocoo().data, d_vals]),
+             (np.concatenate([D1c.tocoo().row, d_rows]),
+              np.concatenate([D1c.tocoo().col, d_cols]))),
+            shape=(cdof2.ndofs, D1c.shape[1]))
+        self.coarser.D[jform] = D1c
+        if self.coarser.D[jp] is not None:
+            Dup = self.coarser.D[jp].tocoo()
+            self.coarser.D[jp] = sp.csr_matrix(
+                (Dup.data, (Dup.row, Dup.col)),
+                shape=(Dup.shape[0], cdof2.ndofs))
+        self.Pi[jp].compute_projector(self.P[jp])
 
     # ------------------------------------------------------------------ #
     # invariants (reference DeRhamSequence::CheckInvariants,

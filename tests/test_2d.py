@@ -112,6 +112,4 @@ def test_2d_shared_vertex_pinch():
     seq.set_upscaling_targets(0)
     seq.coarsen(svd_tol=1e-9)
     errs, bad = seq.check_invariants(tol=1e-8)
-    dp = bad.pop("DP_0", 0.0)            # pinch commuting residual, if any
-    assert dp < 0.5
     assert not bad, (bad, errs)

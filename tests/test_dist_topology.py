@@ -90,5 +90,4 @@ def test_distributed_partition_and_coarsen():
     seq.set_upscaling_targets(0)
     seq.coarsen(svd_tol=1e-9)
     errs, bad = seq.check_invariants(tol=1e-8)
-    bad.pop("DP_1", None)     # allow localized pinch residual if any
     assert not bad, (bad, errs)

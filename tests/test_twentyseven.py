@@ -73,29 +73,28 @@ def sharedvertex():
 # NOTE: unlike the reference, disconnected partitions are ALWAYS repaired by
 # the connected-components fixup before Betti ever runs, so "disconnected"
 # cases assert the split happened rather than a bad Betti number.
-# third field: largest tolerated DP_1 (ND->RT commuting) residual. The
-# shared-vertex pinches are the reference's KNOWN-FAILING lanes (testsuite
-# CMakeLists.txt:94-109, issue ELAG-19: "the simplest example of a bad
-# topology that gets past all our checks and corrections"); here the repair
-# (deagglomerate facets around the pinch + degenerate-Lagrange multipliers
-# + least-squares fallback) yields fully exact H1/RT/L2 chains, with only a
-# localized ND->RT commuting residual remaining at the pinch.
+# The shared-vertex pinches are the reference's KNOWN-FAILING lanes
+# (testsuite CMakeLists.txt:94-109, issue ELAG-19: "the simplest example of
+# a bad topology that gets past all our checks and corrections"). Here the
+# repair chain — facet deagglomeration around the pinch, degenerate-Lagrange
+# multipliers, least-squares local solves, and the curl-range enrichment —
+# yields FULLY EXACT de Rham invariants on every lane.
 CASES = {
-    "simple": (simple, "n_ae", 2, 0.0),
-    "disconnected": (disconnected, "n_ae", 3, 0.0),  # {0},{26} split
-    "donut": (donut, "betti1", None, 0.0),           # tunnel: b1 = 1
-    "void": (void, "betti2", None, 0.0),             # enclosed: b2 = 1
-    "discface": (discface, "ok", None, 0.0),         # interface split only
-    "facehole": (facehole, "bad_facet", None, 0.0),  # annular coarse facet
-    "sharededge": (sharededge, "ok", None, 0.0),
-    "sharedvertex": (sharedvertex, "ok", None, 0.5),
+    "simple": (simple, "n_ae", 2),
+    "disconnected": (disconnected, "n_ae", 3),   # {0},{26} split
+    "donut": (donut, "betti1", None),            # tunnel: b1 = 1
+    "void": (void, "betti2", None),              # enclosed: b2 = 1
+    "discface": (discface, "ok", None),          # interface split only
+    "facehole": (facehole, "bad_facet", None),   # annular coarse facet
+    "sharededge": (sharededge, "ok", None),
+    "sharedvertex": (sharedvertex, "ok", None),
 }
 
 
 @pytest.mark.parametrize("name", list(CASES))
 def test_pathological_partition(name):
     from parelag_tpu.topology.betti import mark_bad_agglomerates
-    make, kind, val, dp1_tol = CASES[name]
+    make, kind, val = CASES[name]
     m = hex_grid_mesh(3, 3, 3)
     topo = AgglomeratedTopology.from_mesh(m)
     part = make()
@@ -121,8 +120,6 @@ def test_pathological_partition(name):
     seq.set_upscaling_targets(0)
     seq.coarsen(svd_tol=1e-9)
     errs, bad = seq.check_invariants(tol=1e-8)
-    dp1 = bad.pop("DP_1", 0.0)
-    assert dp1 <= dp1_tol, (name, dp1)
     assert not bad, (name, bad, errs)
 
 
@@ -143,8 +140,6 @@ def test_sv2_diagonal_pair():
     seq.set_upscaling_targets(0)
     seq.coarsen(svd_tol=1e-9)
     errs, bad = seq.check_invariants(tol=1e-8)
-    # full H1/RT/L2 exactness; only the ND->RT commuting residual remains
-    # localized at the pinch (the reference fails this case entirely)
-    dp1 = bad.pop("DP_1", 0.0)
-    assert dp1 <= 0.2
+    # FULL exactness, including the Hcurl->Hdiv commuting property (the
+    # reference fails this case entirely)
     assert not bad, (bad, errs)
