@@ -63,11 +63,8 @@ def distributed_facet_traces(seq, jform, fc_AF, rank_of_elem, R,
     csc = sp.csc_matrix(fc_AF)
     n_af = csc.shape[1]
 
-    # per coarse facet: members + owner (min over members for robustness)
-    results = []
+    # per coarse facet: members + owner (min adjacent rank)
     Ms, Ts, metas = [], [], []
-    n_msgs = 0
-    bytes_moved = 0
     for j in range(n_af):
         members = csc.indices[csc.indptr[j]:csc.indptr[j + 1]]
         if members.size == 0:
@@ -96,6 +93,13 @@ def distributed_facet_traces(seq, jform, fc_AF, rank_of_elem, R,
                       tuple(int(r) for r in adj if r != owner)))
 
     svds = batched_weighted_svd(Ms, Ts)
+    return _finish_traces(metas, Ms, svds, svd_tol)
+
+
+def _finish_traces(metas, Ms, svds, svd_tol):
+    results = []
+    n_msgs = 0
+    bytes_moved = 0
     for (j, owner, dofs, loc_pv, pv_dot_pv, receivers), Mloc, (U, s) in zip(
             metas, Ms, svds):
         s_tol = pv_dot_pv * svd_tol
@@ -113,3 +117,131 @@ def distributed_facet_traces(seq, jform, fc_AF, rank_of_elem, R,
         bytes_moved += p_block.size * 8 * len(receivers)
     return results, dict(n_msgs=n_msgs, bytes_moved=bytes_moved,
                          n_af=len(results))
+
+
+@dataclass
+class AEExtensionResult:
+    ae: int
+    owner: int
+    u_int: np.ndarray           # fine interior Hdiv dofs of the AE
+    cbdr_facets: tuple          # coarse facets on the AE boundary
+    ext: np.ndarray             # (n_int, n_cbdr) extension columns
+    rt: np.ndarray              # (n_int, n_rt) RangeT bubbles
+    nulls: np.ndarray           # (n_int, n_null) target-extension columns
+    dvals: np.ndarray           # coarse-D row entries of the AE's L2 PV
+                                # against [cbdr dofs | rt dofs]
+
+
+def distributed_rt_extension(seq, trace_results, rank_of_elem,
+                             svd_tol=None):
+    """Stage 2 for the Hdiv form, distributed per agglomerate owner: the
+    hFacetExtension saddle [M B^T 0; B 0 T^T; 0 T 0] of each agglomerate
+    runs on the rank owning its elements; the boundary data is exactly the
+    trace blocks broadcast in stage 1 (reference hFacetExtension,
+    DeRhamSequence.cpp:2293-2530, distributed through
+    SharedEntityCommunication).
+
+    Every input is rank-local: the AE's assembled mass/derivative blocks,
+    its L2 PV (constant), the trace blocks of its boundary coarse facets
+    (owned or received), and the targets on its dofs."""
+    import scipy.sparse as sp
+    from parelag_tpu.amge.localmass import assemble_agglomerate_blocks
+    from parelag_tpu.ops import csr as C
+    from parelag_tpu.ops.batched import batched_solve
+
+    jform = seq.nforms - 2          # Hdiv
+    svd_tol = seq.svd_tol if svd_tol is None else svd_tol
+    rank_of_elem = np.asarray(rank_of_elem)
+    topo = seq.topo
+    uagg, pagg = seq.dofagg[jform], seq.dofagg[jform + 1]
+    AE_e = topo.AEntity_entity[0]
+    Md = assemble_agglomerate_blocks(seq.M[(0, jform)], AE_e, uagg, 0)
+    Wd = assemble_agglomerate_blocks(seq.M[(0, jform + 1)], AE_e, pagg, 0)
+    D = seq.D[jform].tocsr()
+
+    # coarse facets on each AE boundary
+    AE_AF = C.pattern(topo.coarser.B[0]).tocsr()
+    by_facet = {r.facet: r for r in trace_results}
+
+    n_ae = len(Md)
+    recs = []
+    for iae in range(n_ae):
+        elems = AE_e.tocsr().indices[
+            AE_e.tocsr().indptr[iae]:AE_e.tocsr().indptr[iae + 1]]
+        owner = int(rank_of_elem[elems].min())
+        u_all = uagg.ae_dofs(0)[iae]
+        nu_int = int(uagg.n_interior(0)[iae])
+        u_int, u_bdr = u_all[:nu_int], u_all[nu_int:]
+        p_all = pagg.ae_dofs(0)[iae]
+        Mloc, Wloc = Md[iae], Wd[iae]
+        Dloc = C.extract_submatrix(D, p_all, u_all)
+        Bloc = Wloc @ Dloc
+        M_ii = Mloc[:nu_int, :nu_int]
+        B_ii = Bloc[:, :nu_int]
+        B_ib = Bloc[:, nu_int:]
+        np_int = p_all.size
+        # L2 PV on the AE = the constant function's interpolant = ones
+        ploc_pv = np.ones(np_int)
+        Tvec = Wloc @ ploc_pv
+        nsys = nu_int + np_int + 1
+        A = np.zeros((nsys, nsys))
+        A[:nu_int, :nu_int] = M_ii
+        A[nu_int:nu_int + np_int, :nu_int] = B_ii
+        A[:nu_int, nu_int:nu_int + np_int] = B_ii.T
+        A[-1, nu_int:nu_int + np_int] = Tvec
+        A[nu_int:nu_int + np_int, -1] = Tvec
+
+        # boundary data: stage-1 trace blocks of the AE's coarse facets
+        facets = AE_AF.indices[AE_AF.indptr[iae]:AE_AF.indptr[iae + 1]]
+        pos = {int(d): i for i, d in enumerate(u_bdr)}
+        blocks = []
+        for f in facets:
+            r = by_facet[int(f)]
+            rows = np.array([pos[int(d)] for d in r.dofs])
+            blk = np.zeros((u_bdr.size, r.p_block.shape[1]))
+            blk[rows] = r.p_block
+            blocks.append(blk)
+        Pb = np.concatenate(blocks, axis=1) if blocks else np.zeros(
+            (u_bdr.size, 0))
+        k_ext = Pb.shape[1]
+        rhs_ext = np.zeros((nsys, k_ext))
+        rhs_ext[:nu_int] = -Mloc[:nu_int, nu_int:] @ Pb
+        rhs_ext[nu_int:nu_int + np_int] = -B_ib @ Pb
+        # null-target extensions (rank-local target values on the AE)
+        targets = seq.targets[jform]
+        n_tars = targets.shape[1] if targets is not None else 0
+        if n_tars and nu_int > 0:
+            t_int = targets[u_int, :]
+            t_bdr = targets[u_bdr, :]
+            rhs_null = np.zeros((nsys, n_tars))
+            rhs_null[:nu_int] = -Mloc[:nu_int, nu_int:] @ t_bdr
+            rhs_null[nu_int:nu_int + np_int] = B_ii @ t_int
+        else:
+            t_int = np.zeros((nu_int, 0))
+            rhs_null = np.zeros((nsys, 0))
+        recs.append(dict(iae=iae, owner=owner, u_int=u_int,
+                         facets=tuple(int(f) for f in facets),
+                         A=A, rhs=np.concatenate([rhs_ext, rhs_null],
+                                                 axis=1),
+                         t_int=t_int,
+                         nu_int=nu_int, np_int=np_int, k_ext=k_ext))
+
+    sols = batched_solve([r["A"] for r in recs], [r["rhs"] for r in recs])
+    out = []
+    for r, sol in zip(recs, sols):
+        nu_int, k_ext = r["nu_int"], r["k_ext"]
+        sol_ext = sol[:, :k_ext]
+        sol_null = sol[:, k_ext:]
+        lam = sol_ext[-1, :]
+        dvals = np.where(np.abs(lam) > 1e-12, -lam, 0.0)
+        null_basis = np.zeros((nu_int, 0))
+        if sol_null.shape[1]:
+            bub = r["t_int"] - sol_null[:nu_int]
+            U, sv, _ = np.linalg.svd(bub, full_matrices=False)
+            n_null = int(np.searchsorted(-sv, -svd_tol))
+            null_basis = U[:, :n_null]
+        out.append(AEExtensionResult(
+            ae=r["iae"], owner=r["owner"], u_int=r["u_int"],
+            cbdr_facets=r["facets"], ext=sol_ext[:nu_int],
+            rt=np.zeros((nu_int, 0)), nulls=null_basis, dvals=dvals))
+    return out

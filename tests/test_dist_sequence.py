@@ -62,3 +62,62 @@ def test_distributed_facet_traces_match_serial():
     # owners: every coarse facet owned by the min adjacent rank
     owners = {r.facet: r.owner for r in results}
     assert set(owners.values()) == {0, 1}
+
+
+def test_distributed_rt_extension_matches_serial():
+    """Stage 2 distributed per agglomerate owner: extension and
+    null-target columns plus the coarse-D row entries are digit-identical
+    to the serial hFacetExtension (up to SVD column signs)."""
+    from parelag_tpu.parallel.dist_sequence import distributed_rt_extension
+
+    m = hex_grid_mesh(4, 4, 4)
+    ranks = cartesian_partition((4, 4, 4), (4, 4, 2))
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(part.copy())
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    coarse = seq.coarsen(svd_tol=1e-9)
+
+    topo2 = AgglomeratedTopology.from_mesh(m)
+    topo2.coarsen_local_partitioning(part.copy())
+    seq2 = DeRhamSequenceFE(topo2, m)
+    seq2.set_upscaling_targets(0)
+    seq2.agglomerate_dofs()
+    seq2.svd_tol = 1e-9
+    fc_AF = topo2.AEntity_entity[1].T.tocsr()
+    traces, _ = distributed_facet_traces(seq2, 2, fc_AF, ranks, 2,
+                                         svd_tol=1e-9)
+    exts = distributed_rt_extension(seq2, traces, ranks, svd_tol=1e-9)
+
+    cdof = coarse.dof[2]
+    uagg = seq.dofagg[2]
+    P = sp.csc_matrix(seq.P[2])
+    D2c = sp.csr_matrix(coarse.D[2])
+    pdof = coarse.dof[3]
+    for r in exts:
+        iae = r.ae
+        u_int_serial = uagg.ae_dofs(0)[iae][: int(uagg.n_interior(0)[iae])]
+        assert np.array_equal(np.sort(r.u_int), np.sort(u_int_serial))
+        # serial extension columns = P entries at (u_int, boundary coarse
+        # dofs of the AE in facet order)
+        cbdr = cdof.dofs_on_bdr(0, iae)
+        blk = np.asarray(P[:, cbdr].todense())[r.u_int, :]
+        assert r.ext.shape == blk.shape
+        assert np.abs(r.ext - blk).max() < 1e-11, iae
+        # null-target columns match up to sign
+        ncols = cdof.null_dofs(0, iae)
+        if ncols.size:
+            nb = np.asarray(P[:, ncols].todense())[r.u_int, :]
+            assert nb.shape == r.nulls.shape
+            for c in range(nb.shape[1]):
+                d1 = np.abs(r.nulls[:, c] - nb[:, c]).max()
+                d2 = np.abs(r.nulls[:, c] + nb[:, c]).max()
+                assert min(d1, d2) < 1e-11, (iae, c)
+        # coarse D row of the AE's L2 PV against its boundary coarse dofs
+        pvrow = pdof.ranget_dofs(0, iae)
+        drow = np.asarray(D2c[pvrow, :].todense()).ravel()[cbdr]
+        assert np.abs(drow - r.dvals).max() < 1e-11, iae
+    owners = {r.ae: r.owner for r in exts}
+    assert set(owners.values()) == {0, 1}
