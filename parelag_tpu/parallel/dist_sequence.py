@@ -245,3 +245,48 @@ def distributed_rt_extension(seq, trace_results, rank_of_elem,
             cbdr_facets=r["facets"], ext=sol_ext[:nu_int],
             rt=np.zeros((nu_int, 0)), nulls=null_basis, dvals=dvals))
     return out
+
+
+def assemble_distributed_P(seq, trace_results, ext_results):
+    """Assemble the global coarse Hdiv interpolation from the distributed
+    stage outputs, with OWNER-PREFIX coarse dof numbering (facets in owner
+    order, then per-AE null dofs): returns (P csr, facet_col_ranges,
+    ae_null_ranges). Together with the per-stage equality tests this closes
+    the loop: the distributed protocol reproduces the serial coarse space
+    exactly (up to the owner-order dof permutation)."""
+    import scipy.sparse as sp
+
+    # facet trace dofs numbered by (owner, facet id)
+    order = sorted(trace_results, key=lambda r: (r.owner, r.facet))
+    col_of_facet = {}
+    nxt = 0
+    rows, cols, vals = [], [], []
+    for r in order:
+        k = r.p_block.shape[1]
+        col_of_facet[r.facet] = (nxt, k)
+        for c in range(k):
+            rows.extend(r.dofs)
+            cols.extend([nxt + c] * r.dofs.size)
+            vals.extend(r.p_block[:, c])
+        nxt += k
+    ae_null = {}
+    for e in sorted(ext_results, key=lambda r: (r.owner, r.ae)):
+        # extension columns accumulate into the facet columns
+        ofs = 0
+        for f in e.cbdr_facets:
+            base, k = col_of_facet[f]
+            for c in range(k):
+                rows.extend(e.u_int)
+                cols.extend([base + c] * e.u_int.size)
+                vals.extend(e.ext[:, ofs + c])
+            ofs += k
+        if e.nulls.shape[1]:
+            ae_null[e.ae] = (nxt, e.nulls.shape[1])
+            for c in range(e.nulls.shape[1]):
+                rows.extend(e.u_int)
+                cols.extend([nxt + c] * e.u_int.size)
+                vals.extend(e.nulls[:, c])
+            nxt += e.nulls.shape[1]
+    P = sp.csr_matrix((vals, (rows, cols)),
+                      shape=(seq.dof[seq.nforms - 2].ndofs, nxt))
+    return P, col_of_facet, ae_null

@@ -121,3 +121,60 @@ def test_distributed_rt_extension_matches_serial():
         assert np.abs(drow - r.dvals).max() < 1e-11, iae
     owners = {r.ae: r.owner for r in exts}
     assert set(owners.values()) == {0, 1}
+
+
+def test_assembled_distributed_P_equals_serial():
+    """End-to-end: the distributed stages assemble to the SAME coarse Hdiv
+    interpolation as the serial coarsening, up to the owner-order dof
+    permutation and SVD column signs."""
+    from parelag_tpu.parallel.dist_sequence import (
+        distributed_rt_extension, assemble_distributed_P)
+
+    m = hex_grid_mesh(4, 4, 4)
+    ranks = cartesian_partition((4, 4, 4), (4, 4, 2))
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(part.copy())
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    coarse = seq.coarsen(svd_tol=1e-9)
+
+    topo2 = AgglomeratedTopology.from_mesh(m)
+    topo2.coarsen_local_partitioning(part.copy())
+    seq2 = DeRhamSequenceFE(topo2, m)
+    seq2.set_upscaling_targets(0)
+    seq2.agglomerate_dofs()
+    fc_AF = topo2.AEntity_entity[1].T.tocsr()
+    traces, _ = distributed_facet_traces(seq2, 2, fc_AF, ranks, 2,
+                                         svd_tol=1e-9)
+    exts = distributed_rt_extension(seq2, traces, ranks, svd_tol=1e-9)
+    Pd, col_of_facet, ae_null = assemble_distributed_P(seq2, traces, exts)
+
+    Ps = sp.csc_matrix(seq.P[2])
+    assert Pd.shape == Ps.shape
+    Pd = sp.csc_matrix(Pd)
+    cdof = coarse.dof[2]
+    # facet columns (coarse facet ids coincide: same topology tables)
+    n_af = topo2.AEntity_entity[1].shape[0]
+    for f in range(n_af):
+        base, k = col_of_facet[f]
+        scols = np.concatenate([cdof.ranget_dofs(1, f),
+                                cdof.null_dofs(1, f)])
+        assert scols.size == k
+        A = np.asarray(Pd[:, base:base + k].todense())
+        B = np.asarray(Ps[:, scols].todense())
+        for c in range(k):
+            d = min(np.abs(A[:, c] - B[:, c]).max(),
+                    np.abs(A[:, c] + B[:, c]).max())
+            assert d < 1e-11, (f, c, d)
+    # AE null columns
+    for iae, (base, k) in ae_null.items():
+        scols = cdof.null_dofs(0, iae)
+        assert scols.size == k
+        A = np.asarray(Pd[:, base:base + k].todense())
+        B = np.asarray(Ps[:, scols].todense())
+        for c in range(k):
+            d = min(np.abs(A[:, c] - B[:, c]).max(),
+                    np.abs(A[:, c] + B[:, c]).max())
+            assert d < 1e-11, (iae, c, d)
