@@ -25,10 +25,11 @@ class DofHandlerBase:
     def entity_dof_pattern(self, codim) -> sp.csr_matrix:
         """Pattern CSR (n_entities x ndofs) of the closure dofs."""
         lists = self.entity_dofs(codim)
-        rows = np.concatenate([
-            np.full(len(d), i) for i, d in enumerate(lists)]) \
-            if len(lists) else np.zeros(0, dtype=np.int64)
-        cols = np.concatenate(lists) if len(lists) else np.zeros(
+        if not len(lists):
+            return sp.csr_matrix((0, self.ndofs))
+        sizes = np.fromiter((len(d) for d in lists), np.int64, len(lists))
+        rows = np.repeat(np.arange(len(lists)), sizes)
+        cols = np.concatenate(lists) if sizes.sum() else np.zeros(
             0, dtype=np.int64)
         return sp.csr_matrix(
             (np.ones(cols.size), (rows, cols)),
@@ -191,6 +192,7 @@ class DofHandlerALG(DofHandlerBase):
         the new dof ids."""
         new = np.arange(self.ndofs, self.ndofs + k, dtype=np.int64)
         self.ndofs += k
+        self._bdr_cache = {}
         key = (codim, ient)
         prev = self._extra_interior.get(key, np.zeros(0, dtype=np.int64))
         self._extra_interior[key] = np.concatenate([prev, new])
@@ -224,14 +226,24 @@ class DofHandlerALG(DofHandlerBase):
 
     def dofs_on_bdr(self, codim, ient) -> np.ndarray:
         """Interior dofs of all higher-codim sub-entities on the closure
-        (reference DofHandlerALG::GetDofsOnBdr, DofHandler.cpp:1013-1049)."""
+        (reference DofHandlerALG::GetDofsOnBdr, DofHandler.cpp:1013-1049).
+        Cached — invalidated by append_interior_dofs."""
+        key = (codim, ient)
+        cache = getattr(self, "_bdr_cache", None)
+        if cache is None:
+            cache = self._bdr_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         parts = []
         for sub in range(self.max_codim, codim, -1):
             for s in self.topo.boundary_of_entity(codim, sub, ient):
                 o = self.interior_offsets[sub]
                 parts.append(np.arange(o[s], o[s + 1]))
-        return (np.concatenate(parts) if parts
-                else np.zeros(0, dtype=np.int64))
+        out = (np.concatenate(parts) if parts
+               else np.zeros(0, dtype=np.int64))
+        cache[key] = out
+        return out
 
     def n_interior(self, codim, ient=None):
         if ient is None:

@@ -495,6 +495,17 @@ class DeRhamSequence:
         it = iter(sols)
         full_sols = [next(it) if r["do_solve"] else r["rhs"] for r in recs]
 
+        # pre-pass: all null-bubble SVDs in shape-grouped stacked calls
+        from parelag_tpu.ops.batched import batched_plain_svd
+        bub_idx, bub_mats = [], []
+        for iae, r in enumerate(recs):
+            if r["k_null"]:
+                nu_i = r["nu_int"]
+                sn = full_sols[iae][:, r["k_ext"] + r["k_rt"]:]
+                bub_idx.append(iae)
+                bub_mats.append(r["t_int"] - sn[:nu_i])
+        bub_svds = dict(zip(bub_idx, batched_plain_svd(bub_mats)))
+
         # ---- pass 3 (host): scatter into P, coarse D, Pi, coarse mass --- #
         for iae, r in enumerate(recs):
             sol = full_sols[iae]
@@ -533,8 +544,7 @@ class DeRhamSequence:
 
             null_basis = np.zeros((nu_int, 0))
             if k_null:
-                bub = r["t_int"] - sol_null[:nu_int]
-                U, sv, _ = np.linalg.svd(bub, full_matrices=False)
+                U, sv = bub_svds[iae]
                 n_null = int(np.searchsorted(-sv, -self.svd_tol))
                 null_basis = U[:, :n_null]
             n_null = null_basis.shape[1]

@@ -209,3 +209,21 @@ def batched_weighted_svd(Ms, Ts):
         for j, i in enumerate(idxs):
             out[i] = (U[j], s[j])
     return out
+
+
+def batched_plain_svd(mats):
+    """Thin-SVD (U, s) for a ragged list, one stacked LAPACK call per
+    shape group (the null-bubble stage of the extensions)."""
+    out = [None] * len(mats)
+    groups = {}
+    for i, B in enumerate(mats):
+        if B.shape[0] == 0 or B.shape[1] == 0:
+            out[i] = (np.zeros((B.shape[0], 0)), np.zeros(0))
+            continue
+        groups.setdefault(B.shape, []).append(i)
+    for shape, idxs in groups.items():
+        st = np.stack([mats[i] for i in idxs])
+        U, sv, _ = np.linalg.svd(st, full_matrices=False)
+        for j, i in enumerate(idxs):
+            out[i] = (U[j], sv[j])
+    return out
