@@ -34,27 +34,32 @@ class FacetTraceResult:
 
 
 def distributed_facet_traces(seq, jform, fc_AF, rank_of_elem, R,
-                             svd_tol=None):
-    """Owner-computes codim-1 trace stage for `jform` (RT in 3D).
+                             svd_tol=None, codim=1):
+    """Owner-computes trace stage for `jform` at `codim` (facets for RT,
+    ridges for ND, ...).
 
     seq: fine DeRhamSequenceFE with targets set and agglomerate_dofs done.
-    fc_AF: fine-facet x coarse-facet table; rank_of_elem: rank per fine
-    element (coarse-facet owner = min adjacent rank; receivers = the other
-    adjacent ranks). Returns (list of FacetTraceResult, stats dict).
-    """
+    fc_AF: fine-entity x coarse-entity table at that codim; rank_of_elem:
+    rank per fine element (coarse-entity owner = min adjacent rank;
+    receivers = the other adjacent ranks). Returns
+    (list of FacetTraceResult, stats dict)."""
     import scipy.sparse as sp
+    from parelag_tpu.ops import csr as C
 
-    B0t = sp.csr_matrix(seq.topo.B[0]).T.tocsr()
+    # elements adjacent to each fine entity of this codim
+    conn = C.pattern(seq.topo.B[0])
+    for c in range(1, codim):
+        conn = C.bool_mult(conn, C.pattern(seq.topo.B[c]))
+    ent_elem = sp.csr_matrix(conn).T.tocsr()
     rank_of_elem = np.asarray(rank_of_elem)
 
     def adjacent_ranks(members):
         elems = np.unique(np.concatenate(
-            [B0t.indices[B0t.indptr[f]:B0t.indptr[f + 1]]
+            [ent_elem.indices[ent_elem.indptr[f]:ent_elem.indptr[f + 1]]
              for f in members]))
         return np.unique(rank_of_elem[elems])
 
     svd_tol = seq.svd_tol if svd_tol is None else svd_tol
-    codim = 1
     pv = seq.compute_pv_traces(codim)
     targets = seq.targets[jform]
     n_targets = targets.shape[1] if targets is not None else 0

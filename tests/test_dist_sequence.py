@@ -178,3 +178,45 @@ def test_assembled_distributed_P_equals_serial():
             d = min(np.abs(A[:, c] - B[:, c]).max(),
                     np.abs(A[:, c] + B[:, c]).max())
             assert d < 1e-11, (iae, c, d)
+
+
+def test_distributed_ridge_traces_hcurl():
+    """The same owner-computes protocol at codim 2: distributed Hcurl
+    ridge traces equal the serial stage."""
+    m = hex_grid_mesh(4, 4, 4)
+    ranks = cartesian_partition((4, 4, 4), (4, 4, 2))
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(part.copy())
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    coarse = seq.coarsen(svd_tol=1e-9)
+
+    topo2 = AgglomeratedTopology.from_mesh(m)
+    topo2.coarsen_local_partitioning(part.copy())
+    seq2 = DeRhamSequenceFE(topo2, m)
+    seq2.set_upscaling_targets(0)
+    seq2.agglomerate_dofs()
+    rg_AR = topo2.AEntity_entity[2].T.tocsr()
+    results, stats = distributed_facet_traces(
+        seq2, 1, rg_AR, ranks, 2, svd_tol=1e-9, codim=2)
+    assert stats["n_af"] == topo2.AEntity_entity[2].shape[0]
+
+    cdof = coarse.dof[1]
+    uagg = seq.dofagg[1]
+    P = sp.csc_matrix(seq.P[1])
+    for r in results:
+        iae = r.facet
+        dofs_serial = uagg.ae_dofs(2)[iae]
+        cols = np.concatenate([cdof.ranget_dofs(2, iae),
+                               cdof.null_dofs(2, iae)])
+        blk = np.asarray(P[:, cols].todense())[dofs_serial, :]
+        pos = {int(d): i for i, d in enumerate(r.dofs)}
+        perm = np.array([pos[int(d)] for d in dofs_serial])
+        got = r.p_block[perm]
+        assert got.shape == blk.shape
+        for c in range(blk.shape[1]):
+            d1 = np.abs(got[:, c] - blk[:, c]).max()
+            d2 = np.abs(got[:, c] + blk[:, c]).max()
+            assert min(d1, d2) < 1e-12, (iae, c)
