@@ -195,3 +195,21 @@ def test_bcsr_matmat_multi_rhs():
     X = rng.rand(170, 6)
     assert np.allclose(np.asarray(B @ jnp.asarray(X)), A @ X)
     assert np.allclose(np.asarray(E @ jnp.asarray(X)), A @ X)
+
+
+def test_pcg_stepper_host_driven():
+    """make_pcg_stepper (host-driven CG for loop-compile-hostile
+    operators) matches the while_loop pcg."""
+    from parelag_tpu.solvers.cg import make_pcg_stepper
+    from parelag_tpu.ops.device_sparse import from_scipy
+    rng = np.random.RandomState(0)
+    n = 120
+    A = sp.random(n, n, density=0.08, random_state=rng)
+    A = (A @ A.T + n * sp.eye(n)).tocsr()
+    b = rng.rand(n)
+    Ad = from_scipy(A, dtype=np.float64)
+    solve = make_pcg_stepper(lambda v: Ad @ v)
+    x, (it, nom) = solve(jnp.asarray(b), rtol=1e-12, maxiter=300)
+    assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-8
+    x2, _ = pcg(lambda v: Ad @ v, jnp.asarray(b), rtol=1e-12, maxiter=300)
+    assert np.abs(np.asarray(x) - np.asarray(x2)).max() < 1e-9
