@@ -90,3 +90,27 @@ def test_hybridization_device_solver():
                        rtol=1e-12)
     assert np.abs(u1 - u2).max() < 1e-7
     assert np.abs(p1 - p2).max() < 1e-7
+
+
+def test_hybridization_with_l2_mass_weight():
+    """The MGDarcyWithL2MassHybrid variant (--L2mass-weight 1.0,
+    examples/CMakeLists.txt:178-186): hybridized solve of
+    [M B^T; B -W] equals the direct saddle solve."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from parelag_tpu.models.darcy import build_darcy_hierarchy
+    from parelag_tpu.amge.hybridization import HybridHdivL2
+    from parelag_tpu.amge import hexfe
+    mesh, topos, seqs = build_darcy_hierarchy(nref_parallel=1)
+    s = seqs[0]
+    vols = hexfe.hex_volumes(mesh.vertices[mesh.elements])
+    hyb = HybridHdivL2(s, W_weight=1.0)
+    b_u = np.zeros(s.dof[2].ndofs)
+    u, p = hyb.solve(b_u, vols, solver="direct", rescale=True)
+    M = s.compute_mass_operator(2)
+    W = s.compute_mass_operator(3)
+    B = (W @ s.D[2]).tocsr()
+    A = sp.bmat([[M, B.T], [B, -W]], format="csc")
+    x = spla.spsolve(A, np.concatenate([b_u, vols]))
+    assert np.abs(u - x[:M.shape[0]]).max() < 1e-8
+    assert np.abs(p - x[M.shape[0]:]).max() < 1e-8
