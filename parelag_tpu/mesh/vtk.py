@@ -94,3 +94,36 @@ def agglomerate_cell_data(topo, level_topo=None):
 def save_agglomerates_vtk(topo, mesh, path, level_topo=None):
     """One-call agglomerate visualization artifact."""
     write_vtk(mesh, path, cell_data=agglomerate_cell_data(topo, level_topo))
+
+
+def save_basis_functions_vtk(seq_fe, jform, coarse_dofs, path_prefix):
+    """Export coarse basis functions (columns of P[jform]) as VTK fields —
+    the reference's HdivL2ExtensionVisualize.cpp GLVis loop, batch form.
+    Scalar forms (H1/L2) export nodal/cell scalars; vector forms export
+    cell-centered vectors reconstructed from the FE dofs. Writes one file
+    per coarse dof; returns the file list."""
+    import scipy.sparse as sp
+
+    P = sp.csc_matrix(seq_fe.P[jform])
+    mesh = seq_fe.mesh
+    nforms = seq_fe.nforms
+    files = []
+    for cd in coarse_dofs:
+        col = np.asarray(P[:, cd].todense()).ravel()
+        out = f"{path_prefix}_form{jform}_dof{cd}.vtk"
+        if jform == 0:
+            write_vtk(mesh, out, point_data={"basis": col})
+        elif jform == nforms - 1:
+            write_vtk(mesh, out, cell_data={"basis": col})
+        else:
+            ec = mesh.vertices[mesh.elements]
+            shapes = seq_fe._vector_shapes_at_quad(jform, ec)
+            ents = seq_fe.ents
+            if jform == nforms - 2:        # Hdiv
+                coeff = col[ents.elem_face] * ents.elem_face_sign
+            else:                          # Hcurl
+                coeff = col[ents.elem_edge] * ents.elem_edge_sign
+            field = np.einsum("nqia,ni->nqa", shapes, coeff).mean(axis=1)
+            write_vtk(mesh, out, cell_data={"basis": field})
+        files.append(out)
+    return files

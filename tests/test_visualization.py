@@ -53,3 +53,21 @@ def test_agglomerate_vtk(tmp_path):
     assert set(np.unique(d["partitioning"])) == set(range(8))
     # neighbouring agglomerates got different colors
     assert np.unique(d["coloring"]).size >= 2
+
+
+def test_basis_function_export(tmp_path):
+    """HdivL2ExtensionVisualize analog: coarse basis functions exported as
+    VTK fields for every form."""
+    from parelag_tpu.mesh.vtk import save_basis_functions_vtk
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+    m = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen()
+    for j in range(4):
+        fs = save_basis_functions_vtk(seq, j, [0], str(tmp_path / "b"))
+        text = open(fs[0]).read()
+        assert "basis" in text and "CELL_TYPES" in text
