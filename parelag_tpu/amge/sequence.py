@@ -201,9 +201,12 @@ class DeRhamSequence:
             assert self.P[jform].shape[1] == cdof.ndofs
             self.Pi[jform].compute_projector(self.P[jform])
 
-            if jform == self.nforms - 3 and jform + 1 < self.nforms:
+            if (jform == self.nforms - 3 and jform + 1 < self.nforms
+                    and getattr(self.topo, "had_pinch_repair", False)):
                 # after the Hcurl-class stage: enrich coarse Hdiv with any
                 # curl components the pinched topology left uncovered
+                # (regular MIS topology never needs this — gated on the
+                # pinch-repair flag to skip the global commuting check)
                 self._repair_curl_range(jform)
 
         # coarsen targets and the L2 constant representation

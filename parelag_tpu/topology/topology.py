@@ -188,6 +188,7 @@ class AgglomeratedTopology:
         # faces and rebuild ridges/peaks; elementary entities then flow
         # through the standard machinery (incl. the degenerate-Lagrange path
         # in sequence._extension).
+        self.had_pinch_repair = False
         for _repair_round in range(4):
             for icodim in range(1, self.n_codim):
                 AE_fc2 = C.mult_orientation(self.AEntity_entity[icodim],
@@ -205,6 +206,7 @@ class AgglomeratedTopology:
             bad_facets = self._pinched_parent_facets()
             if not bad_facets.any():
                 break
+            self.had_pinch_repair = True
             fc_AF = self._deagglomerate_entities(fc_AF, bad_facets)
             self.AEntity_entity[1] = fc_AF.T.tocsr()
 
