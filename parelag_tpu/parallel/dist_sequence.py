@@ -295,3 +295,132 @@ def assemble_distributed_P(seq, trace_results, ext_results):
     P = sp.csr_matrix((vals, (rows, cols)),
                       shape=(seq.dof[seq.nforms - 2].ndofs, nxt))
     return P, col_of_facet, ae_null
+
+
+def distributed_nd_facet_extension(seq, ridge_traces, facet_traces,
+                                   rank_of_elem, svd_tol=None):
+    """The Hcurl facet Lagrange stage, distributed per coarse-facet owner:
+    extend the ridge trace dofs into facet interiors through the saddle
+    [M B^T 0; B 0 T^T; 0 T 0] with the facet's Hdiv PV as multiplier
+    (serial: sequence._extension(jform=1, codim=1, use_lagrange=True)).
+    Inputs per facet are rank-local + the broadcast stage-1 blocks: ridge
+    traces (boundary data) and the facet's own Hdiv trace block (PV and
+    null columns feed T and the RangeT right-hand sides)."""
+    import scipy.sparse as sp
+    from parelag_tpu.ops import csr as C
+    from parelag_tpu.ops.batched import batched_solve, batched_plain_svd
+
+    jform = seq.nforms - 3          # Hcurl in 3D
+    codim = 1
+    svd_tol = seq.svd_tol if svd_tol is None else svd_tol
+    uagg = seq.dofagg[jform]
+    pagg = seq.dofagg[jform + 1]
+    topo = seq.topo
+    AF_e = topo.AEntity_entity[codim]
+    Md = None
+    from parelag_tpu.amge.localmass import assemble_agglomerate_blocks
+    Md = assemble_agglomerate_blocks(seq.M[(codim, jform)], AF_e, uagg,
+                                     codim)
+    Wd = assemble_agglomerate_blocks(seq.M[(codim, jform + 1)], AF_e, pagg,
+                                     codim)
+    D = seq.D[jform].tocsr()
+    targets = seq.targets[jform]
+    n_tars = targets.shape[1] if targets is not None else 0
+
+    # boundary coarse dofs of each facet = ridge-trace blocks on its ridges
+    AF_AR = C.pattern(topo.coarser.B[codim]).tocsr()
+    ridge_by_id = {r.facet: r for r in ridge_traces}
+    facet_by_id = {r.facet: r for r in facet_traces}
+    rank_of_elem = np.asarray(rank_of_elem)
+    elem_of = sp.csr_matrix(C.pattern(topo.B[0])).T.tocsr()
+
+    n_af = len(Md)
+    recs = []
+    for iaf in range(n_af):
+        u_all = uagg.ae_dofs(codim)[iaf]
+        nu_int = int(uagg.n_interior(codim)[iaf])
+        u_int, u_bdr = u_all[:nu_int], u_all[nu_int:]
+        p_all = pagg.ae_dofs(codim)[iaf]
+        np_int = int(pagg.n_interior(codim)[iaf])
+        p_int = p_all[:np_int]
+        Mloc, Wloc = Md[iaf], Wd[iaf]
+        Dloc = C.extract_submatrix(D, p_all, u_all)
+        Bloc = Wloc @ Dloc
+        M_ii = Mloc[:nu_int, :nu_int]
+        M_ib = Mloc[:nu_int, nu_int:]
+        B_ii = Bloc[:np_int, :nu_int]
+        B_ib = Bloc[:np_int, nu_int:]
+        W_ii = Wloc[:np_int, :np_int]
+
+        ftr = facet_by_id[iaf]
+        fpos = {int(d): i for i, d in enumerate(ftr.dofs)}
+        fidx = np.array([fpos[int(d)] for d in p_int])
+        ploc_pv = ftr.p_block[fidx, 0]
+        cP = ftr.p_block[fidx, 1:]             # facet Hdiv null columns
+        Tvec = W_ii @ ploc_pv
+        nsys = nu_int + np_int + 1
+        A = np.zeros((nsys, nsys))
+        A[:nu_int, :nu_int] = M_ii
+        A[nu_int:nu_int + np_int, :nu_int] = B_ii
+        A[:nu_int, nu_int:nu_int + np_int] = B_ii.T
+        A[-1, nu_int:nu_int + np_int] = Tvec
+        A[nu_int:nu_int + np_int, -1] = Tvec
+
+        # boundary data: ridge-trace blocks of the facet's ridges
+        ridges = AF_AR.indices[AF_AR.indptr[iaf]:AF_AR.indptr[iaf + 1]]
+        bpos = {int(d): i for i, d in enumerate(u_bdr)}
+        blocks = []
+        for rg in ridges:
+            rtr = ridge_by_id[int(rg)]
+            rows = np.array([bpos[int(d)] for d in rtr.dofs])
+            blk = np.zeros((u_bdr.size, rtr.p_block.shape[1]))
+            blk[rows] = rtr.p_block
+            blocks.append(blk)
+        Pb = np.concatenate(blocks, axis=1) if blocks else np.zeros(
+            (u_bdr.size, 0))
+        k_ext = Pb.shape[1]
+        rhs_ext = np.zeros((nsys, k_ext))
+        rhs_ext[:nu_int] = -M_ib @ Pb
+        rhs_ext[nu_int:nu_int + np_int] = -B_ib @ Pb
+        n_rt = cP.shape[1] if nu_int > 0 else 0
+        rhs_rt = np.zeros((nsys, n_rt))
+        if n_rt:
+            rhs_rt[nu_int:nu_int + np_int] = W_ii @ cP[:, :n_rt]
+        if n_tars and nu_int > n_rt:
+            t_int = targets[u_int, :]
+            t_bdr = targets[u_bdr, :]
+            rhs_null = np.zeros((nsys, n_tars))
+            rhs_null[:nu_int] = -M_ib @ t_bdr
+            rhs_null[nu_int:nu_int + np_int] = B_ii @ t_int
+        else:
+            t_int = np.zeros((nu_int, 0))
+            rhs_null = np.zeros((nsys, 0))
+        elems = np.unique(np.concatenate(
+            [elem_of.indices[elem_of.indptr[f]:elem_of.indptr[f + 1]]
+             for f in AF_e.tocsr().indices[
+                 AF_e.tocsr().indptr[iaf]:AF_e.tocsr().indptr[iaf + 1]]]))
+        recs.append(dict(
+            iaf=iaf, owner=int(rank_of_elem[elems].min()),
+            u_int=u_int, nu_int=nu_int, k_ext=k_ext, k_rt=n_rt,
+            t_int=t_int, A=A,
+            rhs=np.concatenate([rhs_ext, rhs_rt, rhs_null], axis=1)))
+
+    sols = batched_solve([r["A"] for r in recs], [r["rhs"] for r in recs])
+    bubs = []
+    for r, sol in zip(recs, sols):
+        k0 = r["k_ext"] + r["k_rt"]
+        bubs.append(r["t_int"] - sol[:r["nu_int"], k0:]
+                    if sol.shape[1] > k0 else np.zeros((r["nu_int"], 0)))
+    svds = batched_plain_svd(bubs)
+    out = []
+    for r, sol, (U, sv) in zip(recs, sols, svds):
+        nu_int = r["nu_int"]
+        lam = sol[-1, :r["k_ext"]]
+        n_null = int(np.searchsorted(-sv, -svd_tol))
+        out.append(AEExtensionResult(
+            ae=r["iaf"], owner=r["owner"], u_int=r["u_int"],
+            cbdr_facets=(), ext=sol[:nu_int, :r["k_ext"]],
+            rt=sol[:nu_int, r["k_ext"]:r["k_ext"] + r["k_rt"]],
+            nulls=U[:, :n_null],
+            dvals=np.where(np.abs(lam) > 1e-12, -lam, 0.0)))
+    return out

@@ -220,3 +220,68 @@ def test_distributed_ridge_traces_hcurl():
             d1 = np.abs(got[:, c] - blk[:, c]).max()
             d2 = np.abs(got[:, c] + blk[:, c]).max()
             assert min(d1, d2) < 1e-12, (iae, c)
+
+
+def test_distributed_nd_facet_extension_matches_serial():
+    """The Hcurl facet Lagrange stage distributed per facet owner matches
+    the serial extension: boundary-extension, RangeT bubble and null
+    columns plus the coarse-D row from the multiplier."""
+    from parelag_tpu.parallel.dist_sequence import (
+        distributed_nd_facet_extension)
+
+    m = hex_grid_mesh(4, 4, 4)
+    ranks = cartesian_partition((4, 4, 4), (4, 4, 2))
+    part = cartesian_partition((4, 4, 4), (2, 2, 2))
+
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(part.copy())
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    coarse = seq.coarsen(svd_tol=1e-9)
+
+    topo2 = AgglomeratedTopology.from_mesh(m)
+    topo2.coarsen_local_partitioning(part.copy())
+    seq2 = DeRhamSequenceFE(topo2, m)
+    seq2.set_upscaling_targets(0)
+    seq2.agglomerate_dofs()
+    ridges, _ = distributed_facet_traces(
+        seq2, 1, topo2.AEntity_entity[2].T.tocsr(), ranks, 2,
+        svd_tol=1e-9, codim=2)
+    facets, _ = distributed_facet_traces(
+        seq2, 2, topo2.AEntity_entity[1].T.tocsr(), ranks, 2,
+        svd_tol=1e-9, codim=1)
+    exts = distributed_nd_facet_extension(seq2, ridges, facets, ranks,
+                                          svd_tol=1e-9)
+
+    cdof1 = coarse.dof[1]
+    cdof2 = coarse.dof[2]
+    uagg = seq.dofagg[1]
+    P = sp.csc_matrix(seq.P[1])
+    D1c = sp.csr_matrix(coarse.D[1])
+    for r in exts:
+        iaf = r.ae
+        nu = int(uagg.n_interior(1)[iaf])
+        u_int_serial = uagg.ae_dofs(1)[iaf][:nu]
+        assert np.array_equal(r.u_int, u_int_serial)
+        # extension columns
+        cbdr = cdof1.dofs_on_bdr(1, iaf)
+        blk = np.asarray(P[:, cbdr].todense())[r.u_int, :]
+        assert np.abs(r.ext - blk).max() < 1e-11, iaf
+        # RangeT bubble columns
+        rts = cdof1.ranget_dofs(1, iaf)
+        if rts.size:
+            rb = np.asarray(P[:, rts].todense())[r.u_int, :]
+            assert np.abs(r.rt - rb).max() < 1e-10, iaf
+        # null columns up to sign
+        ncols = cdof1.null_dofs(1, iaf)
+        if ncols.size:
+            nb = np.asarray(P[:, ncols].todense())[r.u_int, :]
+            for c in range(nb.shape[1]):
+                d = min(np.abs(r.nulls[:, c] - nb[:, c]).max(),
+                        np.abs(r.nulls[:, c] + nb[:, c]).max())
+                assert d < 1e-10, (iaf, c)
+        # coarse-D row of the facet's Hdiv PV dof against the ND cbdr dofs
+        pvrow = cdof2.ranget_dofs(1, iaf)
+        drow = np.asarray(D1c[pvrow, :].todense()).ravel()[cbdr]
+        assert np.abs(drow - r.dvals).max() < 1e-11, iaf
+    assert {r.owner for r in exts} == {0, 1}
