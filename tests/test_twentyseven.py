@@ -143,3 +143,19 @@ def test_sv2_diagonal_pair():
     # FULL exactness, including the Hcurl->Hdiv commuting property (the
     # reference fails this case entirely)
     assert not bad, (bad, errs)
+
+
+@pytest.mark.parametrize("name", ["facehole", "sharedvertex", "donut"])
+def test_pathological_partition_algo2(name):
+    """The repair chain also holds on the pair-based coarse facet
+    algorithm (coarsefaces_algo=2)."""
+    make = CASES[name][0]
+    m = hex_grid_mesh(3, 3, 3)
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(make(), check_topology=True,
+                                    coarsefaces_algo=2)
+    seq = DeRhamSequenceFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    assert not bad, (name, bad, errs)
