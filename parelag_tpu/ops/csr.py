@@ -282,16 +282,21 @@ class _CooBuilder:
         self.vals.append(np.asarray(vals, dtype=np.float64))
 
     def tocsr(self, shape, sum_duplicates=False) -> sp.csr_matrix:
+        """COO -> CSR. Duplicate (row, col) pairs are summed (standard COO
+        semantics); with sum_duplicates=False duplicates are treated as a
+        caller bug and raise instead of silently summing."""
         if not self.rows:
             return sp.csr_matrix(shape)
         r = np.concatenate(self.rows)
         c = np.concatenate(self.cols)
         v = np.concatenate(self.vals)
-        A = sp.coo_matrix((v, (r, c)), shape=shape)
         if not sum_duplicates:
-            # duplicate entries would silently sum; catch misuse in debug
-            pass
-        return A.tocsr()
+            keys = r.astype(np.int64) * shape[1] + c
+            if np.unique(keys).size != keys.size:
+                raise ValueError(
+                    "duplicate (row, col) entries in COO builder; pass "
+                    "sum_duplicates=True to accumulate them")
+        return sp.coo_matrix((v, (r, c)), shape=shape).tocsr()
 
 
 def norm_linf(A) -> float:

@@ -97,6 +97,10 @@ class BcsrMatrix:
     BR = 8
     BC = 128
 
+    @property
+    def dtype(self):
+        return self.tiles.dtype
+
     def tree_flatten(self):
         return (self.col_blocks, self.tiles), (self.shape, self.padded)
 

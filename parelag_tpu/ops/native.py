@@ -6,6 +6,7 @@ callers fall back to the numpy implementations when the toolchain or the
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -24,15 +25,24 @@ def _load():
     _TRIED = True
     so = os.path.abspath(os.path.join(_ROOT, "libparelag_kernels.so"))
     src = os.path.abspath(os.path.join(_ROOT, "parelag_kernels.cpp"))
-    stale = (os.path.exists(src) and os.path.exists(so)
-             and os.path.getmtime(so) < os.path.getmtime(src))
-    if not os.path.exists(so) or stale:
-        if not os.path.exists(src):
-            return None
+    if not os.path.exists(src):
+        return None
+    # Staleness via a source-hash sidecar (mtimes are unreliable after git
+    # checkout). The .so is never committed; every checkout builds fresh.
+    with open(src, "rb") as f:
+        srchash = hashlib.sha256(f.read()).hexdigest()
+    sidecar = so + ".srchash"
+    stale = True
+    if os.path.exists(so) and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            stale = f.read().strip() != srchash
+    if stale:
         try:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
                 check=True, capture_output=True)
+            with open(sidecar, "w") as f:
+                f.write(srchash)
         except Exception:
             if not os.path.exists(so):
                 return None

@@ -55,6 +55,11 @@ class Hierarchy:
 
     # -------------------------------------------------------------- #
     def cycle(self, b, x=None):
+        # Promote to a floating dtype: scipy's LinearOperator dtype-probes
+        # preconditioners with an int8 zero vector, and an integer b would
+        # otherwise propagate into zeros_like/scatter-adds.
+        if not jnp.issubdtype(jnp.asarray(b).dtype, jnp.floating):
+            b = jnp.asarray(b, dtype=self.levels[0].A.dtype)
         if x is None:
             return _cycle(self.levels, 0, b, jnp.zeros_like(b), self.mu,
                           x_is_zero=True)

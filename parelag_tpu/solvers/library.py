@@ -50,6 +50,7 @@ class Solver:
         return self.solve(r)
 
     iterations = 0
+    converged = True
 
 
 class SolverLibrary:
@@ -166,8 +167,8 @@ class _SmootherSolver(Solver):
         self._jnp = jnp
 
     def solve(self, b):
-        x = self._sm.apply(self._A, self._jnp.asarray(b),
-                           self._jnp.zeros(len(b)))
+        x = self._sm.apply(self._A, self._jnp.asarray(b, dtype=self._A.dtype),
+                           self._jnp.zeros(len(b), dtype=self._A.dtype))
         return np.array(x)
 
 
@@ -183,8 +184,8 @@ class _HiptmairSolver(Solver):
         self._jnp = jnp
 
     def solve(self, b):
-        x = self._sm.apply(self._A, self._jnp.asarray(b),
-                           self._jnp.zeros(len(b)))
+        x = self._sm.apply(self._A, self._jnp.asarray(b, dtype=self._A.dtype),
+                           self._jnp.zeros(len(b), dtype=self._A.dtype))
         return np.array(x)
 
 
@@ -201,8 +202,13 @@ class _KrylovSolver(Solver):
     def solve(self, b):
         M = None
         if self._prec is not None:
+            # scipy's LinearOperator dtype-probes matvec with an int8 zero
+            # vector; cast so integer dtypes never reach the device solvers
+            # (zeros_like would make x int and scatter-adds of floats fail).
             M = spla.LinearOperator(
-                self._A.shape, matvec=lambda r: self._prec.apply(r))
+                self._A.shape,
+                matvec=lambda r: self._prec.apply(
+                    np.asarray(r, dtype=np.float64)))
         it = [0]
 
         def cb(x):
@@ -221,6 +227,12 @@ class _KrylovSolver(Solver):
                                  restart=50, callback=cb,
                                  callback_type="x")
         self.iterations = it[0]
+        self.converged = (info == 0)
+        if info != 0:
+            import warnings
+            warnings.warn(
+                f"{self._kind} did not converge in {it[0]} iterations "
+                f"(scipy info={info})", RuntimeWarning, stacklevel=2)
         return x
 
 
@@ -270,8 +282,10 @@ class _AMGeSolver(Solver):
         self._jnp = jnp
 
     def solve(self, b):
-        # np.array (copy): scipy's Krylov drivers write into prec outputs
-        return np.array(self._H.cycle(self._jnp.asarray(b)))
+        # np.array (copy): scipy's Krylov drivers write into prec outputs.
+        # Explicit float cast: LinearOperator dtype-probes with int8 zeros.
+        return np.array(self._H.cycle(
+            self._jnp.asarray(b, dtype=self._jnp.float64)))
 
 
 class _SmootherAdapter:

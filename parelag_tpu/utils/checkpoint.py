@@ -12,6 +12,13 @@ without redoing setup:
 
 Orbax is the natural tool for multi-host sharded state; for the host-side
 setup products a flat npz keeps zero dependencies and loads anywhere.
+
+SECURITY: checkpoints are TRUSTED-INPUT ONLY. The pytree structure is
+serialized with pickle (jax treedefs have no other stable wire format), and
+although loading runs through a restricted unpickler that only resolves
+classes from jax/parelag_tpu/numpy modules, a maliciously crafted file could
+still probe those namespaces. Never load a checkpoint file from an
+untrusted source.
 """
 
 import io
@@ -20,6 +27,27 @@ import pickle
 import numpy as np
 import scipy.sparse as sp
 import jax
+
+_ALLOWED_MODULES = ("jax", "jaxlib", "parelag_tpu", "numpy", "builtins")
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Unpickler that only resolves globals from the framework's own
+    namespaces — blocks the classic os.system/posix payloads."""
+
+    def find_class(self, module, name):
+        ok = any(module == p or module.startswith(p + ".")
+                 for p in _ALLOWED_MODULES)
+        if not ok:
+            raise pickle.UnpicklingError(
+                f"checkpoint references disallowed global {module}.{name}")
+        if module == "builtins" and name not in (
+                "tuple", "list", "dict", "set", "frozenset", "slice",
+                "complex", "bytes", "bytearray", "int", "float", "bool",
+                "str", "type", "object", "getattr", "NoneType"):
+            raise pickle.UnpicklingError(
+                f"checkpoint references disallowed builtin {name}")
+        return super().find_class(module, name)
 
 
 def save_pytree(tree, path):
@@ -33,10 +61,14 @@ def save_pytree(tree, path):
 
 def load_pytree(path, device=True):
     """Restore a pytree saved by save_pytree. device=True puts array leaves
-    back on the default device (jnp), else keeps NumPy."""
+    back on the default device (jnp), else keeps NumPy.
+
+    Trusted-input only (see module docstring): the treedef is unpickled
+    through a restricted unpickler limited to jax/parelag_tpu/numpy."""
     import jax.numpy as jnp
     with np.load(path, allow_pickle=False) as z:
-        treedef = pickle.loads(z["treedef"].tobytes())
+        treedef = _RestrictedUnpickler(
+            io.BytesIO(z["treedef"].tobytes())).load()
         n = sum(1 for k in z.files if k.startswith("leaf_"))
         leaves = [z[f"leaf_{i}"] for i in range(n)]
     if device:
