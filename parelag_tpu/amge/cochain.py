@@ -23,7 +23,25 @@ class CochainProjector:
         self.cdof = cdof          # DofHandlerALG of the coarse level
         self.dofagg = dofagg      # fine DofAgglomeration of the form
         self.functionals = {}     # (codim, ient) -> (ncoarse_int x nfine_int)
+        # codim -> list of (entity idxs, stacked F (m, nc, nf)) from the
+        # group-level setup path; per-entity dict entries override these
+        # (enrichment/repair re-creates individual functionals)
+        self.grouped = {}
         self.matrix = None
+
+    def add_functionals_group(self, codim, idxs, Lst, M_iist):
+        """Group-level functional creation: Lst (m, nf, nc) coarse basis
+        columns on interior fine dofs, M_iist (m, nf, nf) interior mass.
+        One stacked LAPACK solve for the whole group."""
+        idxs = np.asarray(idxs, dtype=np.int64)
+        if Lst.shape[2] == 0 or idxs.size == 0:
+            return
+        ML = M_iist @ Lst
+        G = np.einsum("bij,bik->bjk", Lst, ML)
+        F = np.linalg.solve(G, ML.transpose(0, 2, 1))
+        assert np.all(np.isfinite(F)), \
+            f"singular local Gram matrix at codim {codim}"
+        self.grouped.setdefault(codim, []).append((idxs, F))
 
     def create_dof_functional(self, codim, ient, local_projector, M_ii):
         """local_projector: (nfine_int x ncoarse_int) coarse basis columns on
@@ -39,17 +57,67 @@ class CochainProjector:
             f"singular local Gram matrix at codim {codim} entity {ient}"
         self.functionals[(codim, ient)] = F
 
+    def create_dof_functionals(self, codim, Ls, M_iis):
+        """Batch variant over ALL entities of a codim: one stacked LAPACK
+        solve per shape group instead of one Python solve per entity."""
+        groups = {}
+        for i, L in enumerate(Ls):
+            if L.shape[1] == 0:
+                self.functionals[(codim, i)] = np.zeros((0, L.shape[0]))
+                continue
+            groups.setdefault(L.shape, []).append(i)
+        for shape, idxs in groups.items():
+            Lst = np.stack([Ls[i] for i in idxs])
+            Mst = np.stack([M_iis[i] for i in idxs])
+            ML = Mst @ Lst
+            G = np.einsum("bij,bik->bjk", Lst, ML)
+            F = np.linalg.solve(G, ML.transpose(0, 2, 1))
+            assert np.all(np.isfinite(F)), \
+                f"singular local Gram matrix at codim {codim}"
+            for j, i in enumerate(idxs):
+                self.functionals[(codim, i)] = F[j]
+
     # ------------------------------------------------------------------ #
     def _hat_pi(self, codim, nfine) -> sp.csr_matrix:
+        from parelag_tpu.ops import ragged as R
         b = C.coo_builder()
         n_ent = self.cdof.topo.num_entities(codim)
-        for ient in range(n_ent):
-            F = self.functionals.get((codim, ient))
+        override = np.zeros(n_ent, dtype=bool)
+        for (cd, ient) in self.functionals:
+            if cd == codim:
+                override[ient] = True
+
+        # group-level entries (uniform shapes): fully vectorized scatter
+        o = self.cdof.interior_offsets.get(codim)
+        u_cat, u_off = self.dofagg.ae_dofs_cat(codim)
+        for idxs, Fst in self.grouped.get(codim, []):
+            keep = ~override[idxs]
+            ii = idxs[keep]
+            if ii.size == 0:
+                continue
+            m, nc, nf = len(ii), Fst.shape[1], Fst.shape[2]
+            rows = (o[ii][:, None]
+                    + np.arange(nc, dtype=np.int64)).ravel()
+            cols = u_cat[u_off[ii][:, None]
+                         + np.arange(nf, dtype=np.int64)].ravel()
+            b.add_blocks_var(
+                rows, np.arange(m + 1, dtype=np.int64) * nc,
+                cols, np.arange(m + 1, dtype=np.int64) * nf,
+                Fst.ravel() if keep.all() else Fst[keep].ravel())
+        # per-entity entries (0-form picks, enrichment overrides)
+        rows_l, cols_l, vals_l = [], [], []
+        for ient in np.nonzero(override)[0]:
+            F = self.functionals.get((codim, int(ient)))
             if F is None or F.shape[0] == 0:
                 continue
-            crows = self.cdof.interior_dofs(codim, ient)
-            fine = self.dofagg.interior_dofs(codim, ient)
-            b.add_block(crows, fine, F)
+            rows_l.append(self.cdof.interior_dofs(codim, int(ient)))
+            cols_l.append(self.dofagg.interior_dofs(codim, int(ient)))
+            vals_l.append(F.reshape(-1))
+        if rows_l:
+            rcat, roff = R.lists_to_cat(rows_l)
+            ccat, coff = R.lists_to_cat(cols_l)
+            b.add_blocks_var(rcat, roff, ccat, coff,
+                             np.concatenate(vals_l))
         return b.tocsr((self.cdof.ndofs, nfine))
 
     def compute_projector(self, P: sp.csr_matrix):

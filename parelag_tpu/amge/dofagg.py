@@ -35,27 +35,39 @@ class DofAgglomeration:
             septype[closure[c].indices] = c
         self.septype = septype
 
-        # interior-first ordered dof lists + interior counts
+        # interior-first ordered dof lists + interior counts, built with one
+        # global lexsort per codim (vectorized; the per-AE loop was a setup
+        # hot spot)
         self._ae_dofs = {}
+        self._ae_cat = {}
         self._n_interior = {}
         for c in range(max_codim + 1):
             M = closure[c]
-            lists, nint = [], []
-            for iae in range(M.shape[0]):
-                d = M.indices[M.indptr[iae]:M.indptr[iae + 1]]
-                st = septype[d]
-                order = np.lexsort((d, st))
-                d = d[order]
-                lists.append(d)
-                nint.append(int(np.sum(st[order] == c)) if c < max_codim
-                            else d.size)
-            self._ae_dofs[c] = lists
-            self._n_interior[c] = np.array(nint, dtype=np.int64)
+            n_ae = M.shape[0]
+            rows = np.repeat(np.arange(n_ae, dtype=np.int64),
+                             np.diff(M.indptr))
+            d = M.indices.astype(np.int64)
+            st = septype[d]
+            order = np.lexsort((d, st, rows))
+            dcat = d[order]
+            off = M.indptr.astype(np.int64)
+            if c < max_codim:
+                nint = np.bincount(rows, weights=(st == c),
+                                   minlength=n_ae).astype(np.int64)
+            else:
+                nint = np.diff(off)
+            self._ae_cat[c] = (dcat, off)
+            self._ae_dofs[c] = np.split(dcat, off[1:-1])
+            self._n_interior[c] = nint
 
     # ------------------------------------------------------------------ #
     def ae_dofs(self, codim):
         """List per AE: closure dof ids, interior first."""
         return self._ae_dofs[codim]
+
+    def ae_dofs_cat(self, codim):
+        """(cat, off) flat layout of ae_dofs."""
+        return self._ae_cat[codim]
 
     def n_interior(self, codim):
         return self._n_interior[codim]

@@ -17,23 +17,35 @@ Rebuild of reference src/amge/DofHandler.{hpp,cpp}:
 import numpy as np
 import scipy.sparse as sp
 
+from parelag_tpu.ops import ragged as R
+
 RANGET = 1
 NULLSPACE = 2
 
 
 class DofHandlerBase:
+    def entity_dofs_cat(self, codim):
+        """(cat, off) flat layout of entity_dofs; default built from lists
+        (uniform-arity 2D tables take the zero-loop path)."""
+        t = self.entity_dofs(codim)
+        if isinstance(t, np.ndarray) and t.ndim == 2:
+            n, k = t.shape
+            return (t.reshape(-1).astype(np.int64, copy=False),
+                    np.arange(n + 1, dtype=np.int64) * k)
+        return R.lists_to_cat(t)
+
     def entity_dof_pattern(self, codim) -> sp.csr_matrix:
         """Pattern CSR (n_entities x ndofs) of the closure dofs."""
-        lists = self.entity_dofs(codim)
-        if not len(lists):
+        cat, off = self.entity_dofs_cat(codim)
+        n = off.size - 1
+        if n == 0:
             return sp.csr_matrix((0, self.ndofs))
-        sizes = np.fromiter((len(d) for d in lists), np.int64, len(lists))
-        rows = np.repeat(np.arange(len(lists)), sizes)
-        cols = np.concatenate(lists) if sizes.sum() else np.zeros(
-            0, dtype=np.int64)
-        return sp.csr_matrix(
-            (np.ones(cols.size), (rows, cols)),
-            shape=(len(lists), self.ndofs))
+        A = sp.csr_matrix(
+            (np.ones(cat.size), cat.astype(np.int32), off),
+            shape=(n, self.ndofs))
+        A.sum_duplicates()
+        A.sort_indices()
+        return A
 
 
 class DofHandlerFE(DofHandlerBase):
@@ -67,7 +79,8 @@ class DofHandlerFE(DofHandlerBase):
             t = self._entity_dofs_2d(codim)
         else:
             t = self._entity_dofs_3d(codim)
-        self._tables[codim] = [np.asarray(row) for row in t]
+        # FE tables are uniform-arity: keep as one 2D array (rows indexable)
+        self._tables[codim] = np.asarray(t)
         return self._tables[codim]
 
     def _entity_dofs_3d(self, codim):
@@ -82,7 +95,7 @@ class DofHandlerFE(DofHandlerBase):
             return np.arange(m.num_elements)[:, None]
         if codim == 1:
             if form == 0:
-                return np.array([list(c) for c in e.face_verts])
+                return np.asarray(e.face_verts)
             if form == 1:
                 return e.face_edge
             if form == 2:
@@ -134,6 +147,8 @@ class DofHandlerALG(DofHandlerBase):
         self.ndofs = 0
         self.dof_types = []        # per dof: RANGET | NULLSPACE
         self._entity_dof = {}      # codim -> list of np arrays (closure dofs)
+        self._entity_dof_cat = {}  # codim -> (cat, off) flat layout
+        self._bdr_tables = {}      # codim -> (cat, off) boundary-dof table
         self._finalized = set()
         self._extra_interior = {}  # (codim, ient) -> np array of dof ids
                                    # appended after finalize (enrichment)
@@ -168,21 +183,37 @@ class DofHandlerALG(DofHandlerBase):
         self.entity_ndofs[codim] = self.ndofs
 
         # entity_dof rows: interior dofs of sub-entities (codim descending:
-        # peaks, ridges, facets), then own interior dofs
-        rows = []
-        for ient in range(n):
-            parts = []
-            for sub in range(self.max_codim, codim, -1):
-                subents = self.topo.boundary_of_entity(codim, sub, ient)
-                for s in subents:
-                    o = self.interior_offsets[sub]
-                    parts.append(np.arange(o[s], o[s + 1]))
-            o = offsets
-            parts.append(np.arange(o[ient], o[ient + 1]))
-            rows.append(np.concatenate(parts) if parts
-                        else np.zeros(0, dtype=np.int64))
-        self._entity_dof[codim] = rows
+        # peaks, ridges, facets), then own interior dofs — vectorized over
+        # all entities via ragged merges
+        bdr_cat, bdr_off = self._bdr_table(codim)
+        own_cat, own_off = R.ranges_cat(offsets[:-1], offsets[1:])
+        cat, off = R.merge_ragged([(bdr_cat, bdr_off), (own_cat, own_off)])
+        self._entity_dof_cat[codim] = (cat, off)
+        self._entity_dof[codim] = np.split(cat, off[1:-1])
         self._finalized.add(codim)
+
+    def _bdr_table(self, codim):
+        """(cat, off) of boundary dofs (interior dofs of all higher-codim
+        sub-entities, codim descending) for ALL entities of `codim`."""
+        hit = self._bdr_tables.get(codim)
+        if hit is not None:
+            return hit
+        n = self.topo.num_entities(codim)
+        parts = []
+        for sub in range(self.max_codim, codim, -1):
+            conn = self.topo.connectivity(codim, sub).tocsr()
+            o = self.interior_offsets[sub]
+            sub_cat = conn.indices.astype(np.int64)
+            sub_off = conn.indptr.astype(np.int64)
+            cat, off = R.two_level_ranges(sub_cat, sub_off, o[:-1], o[1:])
+            parts.append((cat, off))
+        if parts:
+            out = R.merge_ragged(parts)
+        else:
+            out = (np.zeros(0, dtype=np.int64),
+                   np.zeros(n + 1, dtype=np.int64))
+        self._bdr_tables[codim] = out
+        return out
 
     # ------------------------------------------------------------------ #
     def append_interior_dofs(self, codim, ient, k) -> np.ndarray:
@@ -192,12 +223,12 @@ class DofHandlerALG(DofHandlerBase):
         the new dof ids."""
         new = np.arange(self.ndofs, self.ndofs + k, dtype=np.int64)
         self.ndofs += k
-        self._bdr_cache = {}
         key = (codim, ient)
         prev = self._extra_interior.get(key, np.zeros(0, dtype=np.int64))
         self._extra_interior[key] = np.concatenate([prev, new])
         self._entity_dof[codim][ient] = np.concatenate(
             [self._entity_dof[codim][ient], new])
+        self._entity_dof_cat.pop(codim, None)   # rows mutated -> rebuild
         self.dof_types.extend(["NULLSPACE"] * k)
         return new
 
@@ -207,6 +238,13 @@ class DofHandlerALG(DofHandlerBase):
 
     def entity_dofs(self, codim):
         return self._entity_dof[codim]
+
+    def entity_dofs_cat(self, codim):
+        hit = self._entity_dof_cat.get(codim)
+        if hit is None:
+            hit = R.lists_to_cat(self._entity_dof[codim])
+            self._entity_dof_cat[codim] = hit
+        return hit
 
     def interior_dofs(self, codim, ient) -> np.ndarray:
         o = self.interior_offsets[codim]
@@ -218,6 +256,22 @@ class DofHandlerALG(DofHandlerBase):
         o = self.interior_offsets[codim]
         return np.arange(o[ient], o[ient] + self.n_ranget[codim][ient])
 
+    def ranget_dofs_cat(self, codim):
+        """(cat, off) of ranget_dofs for all entities of the codim."""
+        o = self.interior_offsets[codim]
+        return R.ranges_cat(o[:-1], o[:-1] + self.n_ranget[codim])
+
+    def null_dofs_cat(self, codim):
+        """(cat, off) of null_dofs (incl. enrichment extras) for all
+        entities of the codim."""
+        o = self.interior_offsets[codim]
+        cat, off = R.ranges_cat(o[:-1] + self.n_ranget[codim], o[1:])
+        if any(c == codim for c, _ in self._extra_interior):
+            n = o.size - 1
+            ex = [self._extras(codim, i) for i in range(n)]
+            cat, off = R.merge_ragged([(cat, off), R.lists_to_cat(ex)])
+        return cat, off
+
     def null_dofs(self, codim, ient) -> np.ndarray:
         o = self.interior_offsets[codim]
         return np.concatenate([
@@ -227,23 +281,13 @@ class DofHandlerALG(DofHandlerBase):
     def dofs_on_bdr(self, codim, ient) -> np.ndarray:
         """Interior dofs of all higher-codim sub-entities on the closure
         (reference DofHandlerALG::GetDofsOnBdr, DofHandler.cpp:1013-1049).
-        Cached — invalidated by append_interior_dofs."""
-        key = (codim, ient)
-        cache = getattr(self, "_bdr_cache", None)
-        if cache is None:
-            cache = self._bdr_cache = {}
-        hit = cache.get(key)
-        if hit is not None:
-            return hit
-        parts = []
-        for sub in range(self.max_codim, codim, -1):
-            for s in self.topo.boundary_of_entity(codim, sub, ient):
-                o = self.interior_offsets[sub]
-                parts.append(np.arange(o[s], o[s + 1]))
-        out = (np.concatenate(parts) if parts
-               else np.zeros(0, dtype=np.int64))
-        cache[key] = out
-        return out
+        Served from the vectorized per-codim table."""
+        cat, off = self._bdr_table(codim)
+        return cat[off[ient]:off[ient + 1]]
+
+    def dofs_on_bdr_cat(self, codim):
+        """(cat, off) boundary-dof table for all entities of the codim."""
+        return self._bdr_table(codim)
 
     def n_interior(self, codim, ient=None):
         if ient is None:

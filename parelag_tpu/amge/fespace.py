@@ -49,7 +49,7 @@ class DeRhamSequenceFE(DeRhamSequence):
 
     def _face_coords(self):
         if "face" not in self._geom_cache:
-            fv = np.array([list(c) for c in self.ents.face_verts])
+            fv = np.asarray(self.ents.face_verts)
             self._geom_cache["face"] = self.mesh.vertices[fv]
         return self._geom_cache["face"]
 
@@ -108,21 +108,16 @@ class DeRhamSequenceFE(DeRhamSequence):
         ndm = fe.hex_nd_mass if self.kind == "hex" else fe.tet_nd_mass
         rtm = fe.hex_rt_mass if self.kind == "hex" else fe.tet_rt_mass
         l2m = fe.hex_l2_mass if self.kind == "hex" else fe.tet_l2_mass
-        self.M[(0, 0)] = LocalMass(
-            list(m.elements), list(h1m(ec, coeff.get(0))))
-        self.M[(0, 1)] = LocalMass(
-            list(e.elem_edge),
-            list(ndm(ec, e.elem_edge_sign, coeff.get(1))))
-        self.M[(0, 2)] = LocalMass(
-            list(e.elem_face),
-            list(rtm(ec, e.elem_face_sign, coeff.get(2))))
-        self.M[(0, 3)] = LocalMass(
-            [np.array([i]) for i in range(ne)],
-            list(l2m(ec, coeff.get(3))))
+        self.M[(0, 0)] = LocalMass.from_uniform(
+            m.elements, h1m(ec, coeff.get(0)))
+        self.M[(0, 1)] = LocalMass.from_uniform(
+            e.elem_edge, ndm(ec, e.elem_edge_sign, coeff.get(1)))
+        self.M[(0, 2)] = LocalMass.from_uniform(
+            e.elem_face, rtm(ec, e.elem_face_sign, coeff.get(2)))
+        self.M[(0, 3)] = LocalMass.from_uniform(
+            np.arange(ne)[:, None], l2m(ec, coeff.get(3)))
 
         # ---- codim 1 (facet) trace masses ---- #
-        fverts = [np.asarray(c) for c in
-                  (np.array([list(c) for c in e.face_verts]))]
         if self.kind == "hex":
             fh1 = hexfe.face_h1_mass(fc)
             fnd = hexfe.face_nd_mass(fc, e.face_edge_sign)
@@ -131,23 +126,23 @@ class DeRhamSequenceFE(DeRhamSequence):
             fh1 = tetfe.tri_h1_mass(fc)
             fnd = tetfe.tri_nd_mass(fc, e.face_edge_sign)
             frt = tetfe.tri_rt_trace_mass(fc)
-        self.M[(1, 0)] = LocalMass(fverts, list(fh1))
-        self.M[(1, 1)] = LocalMass(list(e.face_edge), list(fnd))
-        self.M[(1, 2)] = LocalMass(
-            [np.array([i]) for i in range(e.num_faces)], list(frt))
+        self.M[(1, 0)] = LocalMass.from_uniform(
+            np.asarray(e.face_verts), fh1)
+        self.M[(1, 1)] = LocalMass.from_uniform(e.face_edge, fnd)
+        self.M[(1, 2)] = LocalMass.from_uniform(
+            np.arange(e.num_faces)[:, None], frt)
 
         # ---- codim 2 (ridge) ---- #
-        self.M[(2, 0)] = LocalMass(list(e.edges),
-                                   list(hexfe.edge_h1_mass(rc)))
-        self.M[(2, 1)] = LocalMass(
-            [np.array([i]) for i in range(e.num_edges)],
-            list(hexfe.edge_nd_trace_mass(rc)))
+        self.M[(2, 0)] = LocalMass.from_uniform(
+            e.edges, hexfe.edge_h1_mass(rc))
+        self.M[(2, 1)] = LocalMass.from_uniform(
+            np.arange(e.num_edges)[:, None],
+            hexfe.edge_nd_trace_mass(rc))
 
         # ---- codim 3 (peak) ---- #
         nv = m.num_vertices
-        self.M[(3, 0)] = LocalMass(
-            [np.array([i]) for i in range(nv)],
-            [np.ones((1, 1)) for _ in range(nv)])
+        self.M[(3, 0)] = LocalMass.from_uniform(
+            np.arange(nv)[:, None], np.ones((nv, 1, 1)))
 
     def replace_mass_integrator(self, form, coeff_fn):
         """Replace the codim-0 mass coefficient of `form` and reassemble

@@ -68,7 +68,8 @@ def _q1_dshapes(p):
 def _jacobians(coords, p):
     """coords (ne,8,3); returns J (ne,nq,3,3) with J[a,b] = dX_a/dxhat_b."""
     d = _q1_dshapes(p)                      # (nq, 8, 3)
-    return np.einsum("nic,qid->nqcd", coords, d)
+    # J[n,q,c,d] = sum_i coords[n,i,c] d[q,i,d]: batched GEMM
+    return np.matmul(coords.transpose(0, 2, 1)[:, None], d[None])
 
 
 def _nd0_ref_shapes(p):
@@ -144,7 +145,9 @@ def hex_h1_mass(coords, coeff=None):
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
-    return np.einsum("nq,qi,qj->nij", w, N, N)
+    # M_n = N^T diag(w_n) N as one batched GEMM (einsum without a
+    # contraction path is an order of magnitude slower here)
+    return (N.T[None] * w[:, None, :]) @ N
 
 
 def hex_h1_stiffness(coords, coeff=None):
@@ -153,11 +156,21 @@ def hex_h1_stiffness(coords, coeff=None):
     detJ = np.abs(np.linalg.det(J))
     Jinv = np.linalg.inv(J)
     d = _q1_dshapes(_Q3)                                # (nq,8,3)
-    g = np.einsum("nqba,qib->nqia", Jinv, d)            # physical grads
+    g = d[None] @ Jinv                                  # physical grads
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
-    return np.einsum("nq,nqia,nqja->nij", w, g, g)
+    return _quad_mass(w, g)
+
+
+def _quad_mass(w, phys):
+    """M_n[i,j] = sum_{q,a} w[n,q] phys[n,q,i,a] phys[n,q,j,a] via batched
+    GEMM: flatten (q,a) into one contraction axis."""
+    n, q, i, a = phys.shape
+    A = phys.transpose(0, 2, 1, 3).reshape(n, i, q * a)
+    B = (phys * w[:, :, None, None]).transpose(0, 2, 1, 3).reshape(
+        n, i, q * a)
+    return A @ B.transpose(0, 2, 1)
 
 
 def hex_nd_mass(coords, edge_signs, coeff=None):
@@ -166,12 +179,12 @@ def hex_nd_mass(coords, edge_signs, coeff=None):
     detJ = np.abs(np.linalg.det(J))
     Jinv = np.linalg.inv(J)                              # (ne,nq,3,3)
     E = _nd0_ref_shapes(_Q3)                             # (nq,12,3)
-    # covariant: u = J^{-T} E ; indices: Jinv[n,q,b,a] = (J^{-1})_{ba}
-    phys = np.einsum("nqba,qib->nqia", Jinv, E)
+    # covariant: u = J^{-T} E ; phys[n,q,i,a] = sum_b E[q,i,b] Jinv[n,q,b,a]
+    phys = E[None] @ Jinv
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
-    M = np.einsum("nq,nqia,nqja->nij", w, phys, phys)
+    M = _quad_mass(w, phys)
     return M * edge_signs[:, :, None] * edge_signs[:, None, :]
 
 
@@ -181,12 +194,13 @@ def hex_rt_mass(coords, face_signs, coeff=None):
     detJ_s = np.linalg.det(J)
     detJ = np.abs(detJ_s)
     F = _rt0_ref_shapes(_Q3)                             # (nq,6,3)
-    # contravariant Piola: u = J F / det J
-    phys = np.einsum("nqab,qib->nqia", J, F) / detJ_s[:, :, None, None]
+    # contravariant Piola: u = J F / det J;
+    # phys[n,q,i,a] = sum_b F[q,i,b] J[n,q,a,b]
+    phys = (F[None] @ J.transpose(0, 1, 3, 2)) / detJ_s[:, :, None, None]
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
-    M = np.einsum("nq,nqia,nqja->nij", w, phys, phys)
+    M = _quad_mass(w, phys)
     return M * face_signs[:, :, None] * face_signs[:, None, :]
 
 
@@ -226,7 +240,7 @@ def _face_param(coords4, p2):
 def face_areas(coords4):
     """(nf,) areas of bilinear quad faces (coords in cycle order)."""
     _, F = _face_param(coords4, _Q2)
-    G = np.einsum("fqai,fqaj->fqij", F, F)
+    G = F.transpose(0, 1, 3, 2) @ F
     W = np.sqrt(np.linalg.det(G))
     return (W * _QW2[None, :]).sum(axis=1)
 
@@ -236,10 +250,10 @@ def face_h1_mass(coords4):
     s, t = _Q2[:, 0], _Q2[:, 1]
     N = np.stack([(1 - s) * (1 - t), s * (1 - t), s * t, (1 - s) * t], axis=1)
     _, F = _face_param(coords4, _Q2)
-    G = np.einsum("fqai,fqaj->fqij", F, F)
+    G = F.transpose(0, 1, 3, 2) @ F
     W = np.sqrt(np.linalg.det(G))
     w = _QW2[None, :] * W
-    return np.einsum("fq,qi,qj->fij", w, N, N)
+    return (N.T[None] * w[:, None, :]) @ N
 
 
 def face_nd_mass(coords4, edge_signs):
@@ -256,12 +270,17 @@ def face_nd_mass(coords4, edge_signs):
     Ehat[:, 2, 0] = -t
     Ehat[:, 3, 1] = -(1 - s)
     _, F = _face_param(coords4, _Q2)
-    G = np.einsum("fqai,fqaj->fqij", F, F)
+    G = F.transpose(0, 1, 3, 2) @ F
     Ginv = np.linalg.inv(G)
     W = np.sqrt(np.linalg.det(G))
     w = _QW2[None, :] * W
-    # M_ij = int Ehat_i^T G^{-1} Ehat_j W
-    M = np.einsum("fq,qia,fqab,qjb->fij", w, Ehat, Ginv, Ehat)
+    # M_ij = sum_{q,b} w t[f,q,i,b] Ehat[q,j,b]  (batched GEMM)
+    t = Ehat[None] @ Ginv                       # (f,q,i,b)
+    tw = t * w[:, :, None, None]
+    f, q, i, b = t.shape
+    A = tw.transpose(0, 2, 1, 3).reshape(f, i, q * b)
+    B = Ehat.transpose(1, 0, 2).reshape(-1, q * b)      # (j, q*b)
+    M = A @ B.T
     return M * edge_signs[:, :, None] * edge_signs[:, None, :]
 
 
@@ -269,7 +288,7 @@ def face_rt_trace_mass(coords4):
     """(nf,1,1) normal-trace mass: integral over reference of 1/W
     (= 1/area for planar faces), flux-dof convention."""
     _, F = _face_param(coords4, _Q2)
-    G = np.einsum("fqai,fqaj->fqij", F, F)
+    G = F.transpose(0, 1, 3, 2) @ F
     W = np.sqrt(np.linalg.det(G))
     return ((_QW2[None, :] / W).sum(axis=1))[:, None, None]
 

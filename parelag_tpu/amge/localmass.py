@@ -11,28 +11,76 @@ import scipy.sparse as sp
 
 
 class LocalMass:
-    """Local mass matrices of one form on all entities of one codim."""
+    """Local mass matrices of one form on all entities of one codim.
+
+    Canonical storage is the flat (dof_cat, dof_off, blk_cat, blk_off)
+    layout (directly consumable by the native batched assembler and device
+    kernels); the per-entity `dofs`/`blocks` list views are materialized
+    lazily."""
 
     def __init__(self, dofs, blocks):
-        self.dofs = [np.asarray(d) for d in dofs]      # per entity dof ids
-        self.blocks = [np.asarray(b) for b in blocks]  # per entity (k,k)
+        self._dofs = [np.asarray(d) for d in dofs]     # per entity dof ids
+        self._blocks = [np.asarray(b) for b in blocks]  # per entity (k,k)
+
+    @classmethod
+    def from_uniform(cls, dofs, blocks):
+        """Uniform-arity fast path: dofs (n, k) ids, blocks (n, k, k)."""
+        dofs = np.ascontiguousarray(np.asarray(dofs, dtype=np.int64))
+        blocks = np.ascontiguousarray(np.asarray(blocks, dtype=np.float64))
+        n, k = dofs.shape
+        off = np.arange(n + 1, dtype=np.int64)
+        return cls.from_cat(dofs.reshape(-1), off * k,
+                            blocks.reshape(-1), off * (k * k))
+
+    @classmethod
+    def from_cat(cls, dof_cat, dof_off, blk_cat, blk_off):
+        self = cls.__new__(cls)
+        self._dofs = None
+        self._blocks = None
+        self._cat = (np.ascontiguousarray(dof_cat.astype(np.int64,
+                                                         copy=False)),
+                     np.asarray(dof_off, np.int64),
+                     np.ascontiguousarray(blk_cat.astype(np.float64,
+                                                         copy=False)),
+                     np.asarray(blk_off, np.int64))
+        return self
+
+    @property
+    def dofs(self):
+        if self._dofs is None:
+            dof_cat, dof_off, _, _ = self._cat
+            self._dofs = np.split(dof_cat, dof_off[1:-1])
+        return self._dofs
+
+    @property
+    def blocks(self):
+        if self._blocks is None:
+            dof_cat, dof_off, blk_cat, blk_off = self._cat
+            k = np.diff(dof_off)
+            self._blocks = [
+                blk_cat[blk_off[i]:blk_off[i + 1]].reshape(
+                    int(k[i]), int(k[i]))
+                for i in range(dof_off.size - 1)]
+        return self._blocks
 
     @property
     def n_entities(self):
-        return len(self.dofs)
+        if getattr(self, "_cat", None) is not None:
+            return self._cat[1].size - 1
+        return len(self._dofs)
 
     def concatenated(self):
         """Cached flat layout (dof_cat, dof_off, blk_cat, blk_off) for the
         native batched assembler."""
-        if not hasattr(self, "_cat"):
-            n = len(self.dofs)
+        if getattr(self, "_cat", None) is None:
+            n = len(self._dofs)
             dof_off = np.zeros(n + 1, np.int64)
             blk_off = np.zeros(n + 1, np.int64)
-            np.cumsum([d.size for d in self.dofs], out=dof_off[1:])
-            np.cumsum([b.size for b in self.blocks], out=blk_off[1:])
-            dof_cat = (np.concatenate(self.dofs).astype(np.int64)
+            np.cumsum([d.size for d in self._dofs], out=dof_off[1:])
+            np.cumsum([b.size for b in self._blocks], out=blk_off[1:])
+            dof_cat = (np.concatenate(self._dofs).astype(np.int64)
                        if n else np.zeros(0, np.int64))
-            blk_cat = (np.concatenate([b.reshape(-1) for b in self.blocks])
+            blk_cat = (np.concatenate([b.reshape(-1) for b in self._blocks])
                        .astype(np.float64) if n else np.zeros(0))
             self._cat = (np.ascontiguousarray(dof_cat), dof_off,
                          np.ascontiguousarray(blk_cat), blk_off)
@@ -40,17 +88,11 @@ class LocalMass:
 
     def assemble_global(self, ndofs) -> sp.csr_matrix:
         """Scatter-add all blocks into the global (ndofs x ndofs) matrix
-        (reference ComputeMassOperator)."""
-        rows, cols, vals = [], [], []
-        for d, b in zip(self.dofs, self.blocks):
-            k = d.size
-            rows.append(np.repeat(d, k))
-            cols.append(np.tile(d, k))
-            vals.append(b.reshape(-1))
-        A = sp.coo_matrix(
-            (np.concatenate(vals),
-             (np.concatenate(rows), np.concatenate(cols))),
-            shape=(ndofs, ndofs))
+        (reference ComputeMassOperator). Vectorized over all entities."""
+        from parelag_tpu.ops import ragged as R
+        dof_cat, dof_off, blk_cat, _ = self.concatenated()
+        rows, cols = R.expand_blocks(dof_cat, dof_off, dof_cat, dof_off)
+        A = sp.coo_matrix((blk_cat, (rows, cols)), shape=(ndofs, ndofs))
         return A.tocsr()
 
 
@@ -76,22 +118,19 @@ def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
 
     if native.available():
         # one native call for the whole stage
+        from parelag_tpu.ops.ragged import BlockList
         dof_cat, dof_off, blk_cat, blk_off = local_mass.concatenated()
-        ae_off = np.zeros(n_ae + 1, np.int64)
+        ae_cat, ae_off = dofagg.ae_dofs_cat(codim)
+        sizes = np.diff(ae_off)
         out_off = np.zeros(n_ae + 1, np.int64)
-        sizes = np.fromiter((d.size for d in ae_dofs_list), np.int64, n_ae)
-        np.cumsum(sizes, out=ae_off[1:])
         np.cumsum(sizes * sizes, out=out_off[1:])
-        ae_cat = (np.ascontiguousarray(
-            np.concatenate(ae_dofs_list).astype(np.int64))
-            if n_ae else np.zeros(0, np.int64))
         out_cat = np.zeros(int(out_off[-1]))
         native.assemble_agglomerate_blocks_var(
             AE_e.indices.astype(np.int64), AE_e.indptr.astype(np.int64),
-            dof_cat, dof_off, blk_cat, blk_off, ae_cat, ae_off, pos,
+            dof_cat, dof_off, blk_cat, blk_off,
+            np.ascontiguousarray(ae_cat), np.asarray(ae_off, np.int64), pos,
             out_cat, out_off)
-        return [out_cat[out_off[i]:out_off[i + 1]].reshape(
-            int(sizes[i]), int(sizes[i])) for i in range(n_ae)]
+        return BlockList(out_cat, out_off, sizes, sizes)
 
     out = []
     for iae in range(n_ae):

@@ -40,8 +40,6 @@ from parelag_tpu.amge.dofagg import DofAgglomeration
 from parelag_tpu.amge.localmass import (
     LocalMass, assemble_agglomerate_blocks)
 from parelag_tpu.amge.cochain import CochainProjector
-from parelag_tpu.ops.batched import batched_solve
-
 _EPS = np.finfo(np.float64).eps
 
 
@@ -70,6 +68,18 @@ class DeRhamSequence:
         # DofAgglomeration closure-dof order (LocalTargets_ analog,
         # DeRhamSequence.hpp:614-727)
         self.local_targets = {}
+        # per-coarsen cache of agglomerate-assembled local mass blocks
+        # keyed (codim, jform) — each is reused by 2-3 stages
+        self._ae_blocks_cache = {}
+
+    def _ae_blocks(self, codim, jform):
+        hit = self._ae_blocks_cache.get((codim, jform))
+        if hit is None:
+            hit = assemble_agglomerate_blocks(
+                self.M[(codim, jform)], self.topo.AEntity_entity[codim],
+                self.dofagg[jform], codim)
+            self._ae_blocks_cache[(codim, jform)] = hit
+        return hit
 
     # ------------------------------------------------------------------ #
     def set_targets(self, targets):
@@ -216,6 +226,7 @@ class DeRhamSequence:
         if self.L2_const_rep is not None:
             coarse.L2_const_rep = self.Pi[self.nforms - 1].project(
                 self.L2_const_rep[:, None])[:, 0]
+        self._ae_blocks_cache.clear()
         return coarse
 
     # ------------------------------------------------------------------ #
@@ -235,58 +246,79 @@ class DeRhamSequence:
         dofagg = self.dofagg[jform]
         ae_dofs = dofagg.ae_dofs(codim)
         n_ae = len(ae_dofs)
-        AE_e = self.topo.AEntity_entity[codim]
-        Md_blocks = assemble_agglomerate_blocks(
-            self.M[(codim, jform)], AE_e, dofagg, codim)
+        Md_blocks = self._ae_blocks(codim, jform)
 
         targets = self.targets[jform]
         n_targets = targets.shape[1] if targets is not None else 0
         loc_tars = self.local_targets.get((codim, jform))
 
         # gather pass: deflated target blocks per AE, then ONE stacked
-        # LAPACK call per shape group for the M-weighted SVDs
-        Ts, pv_locs, pv_dots = [], [], []
-        for iae in range(n_ae):
-            dofs = ae_dofs[iae]
-            Mloc = Md_blocks[iae]
-            loc_pv = pv[dofs]
-            T = targets[dofs, :].copy() if n_targets else np.zeros(
-                (dofs.size, 0))
-            if loc_tars is not None and loc_tars[iae].shape[1]:
-                T = np.concatenate([T, loc_tars[iae]], axis=1)
-            pv_m = Mloc @ loc_pv
-            pv_dot_pv = float(loc_pv @ pv_m)
-            if T.shape[1]:
-                T -= np.outer(loc_pv, (pv_m @ T) / pv_dot_pv)
-            Ts.append(T)
-            pv_locs.append(loc_pv)
-            pv_dots.append(pv_dot_pv)
+        # LAPACK call per shape group for the M-weighted SVDs; everything
+        # shape-grouped — no per-AE Python linear algebra
+        from parelag_tpu.ops import ragged as Rg
         from parelag_tpu.ops.batched import batched_weighted_svd
+        Ts, pv_locs, pv_dots = [None] * n_ae, [None] * n_ae, np.zeros(n_ae)
+        dof_cat, dof_off = dofagg.ae_dofs_cat(codim)
+        groups = {}
+        for iae in range(n_ae):
+            ltw = loc_tars[iae].shape[1] if loc_tars is not None else 0
+            groups.setdefault((ae_dofs[iae].size, ltw), []).append(iae)
+        for (nd, _ltw), idxs in groups.items():
+            ii = np.asarray(idxs, dtype=np.int64)
+            dof_st = dof_cat[dof_off[ii][:, None]
+                             + np.arange(nd, dtype=np.int64)]  # (m, nd)
+            Mst = Rg.take(Md_blocks, ii, (nd, nd))             # (m, nd, nd)
+            pv_st = pv[dof_st]                                # (m, nd)
+            T_st = (targets[dof_st, :] if n_targets
+                    else np.zeros((len(idxs), nd, 0)))
+            if loc_tars is not None:
+                T_st = np.concatenate(
+                    [T_st, np.stack([loc_tars[i] for i in idxs])], axis=2)
+            pv_m = np.einsum("bij,bj->bi", Mst, pv_st)
+            dots = np.einsum("bi,bi->b", pv_st, pv_m)
+            if T_st.shape[2]:
+                coef = np.einsum("bi,bik->bk", pv_m, T_st) / dots[:, None]
+                T_st = T_st - pv_st[:, :, None] * coef[:, None, :]
+            for j, i in enumerate(idxs):
+                Ts[i] = T_st[j]
+                pv_locs[i] = pv_st[j]
+            pv_dots[np.asarray(idxs)] = dots
         svds = batched_weighted_svd(Md_blocks, Ts)
 
-        coarse_dofs_lists, coarse_blocks = [], []
-        counter = 0
+        # per-AE kept mode counts (host, cheap), then shape-grouped scatter
+        nkeeps = np.zeros(n_ae, dtype=np.int64)
         for iae in range(n_ae):
-            dofs = ae_dofs[iae]
-            Mloc = Md_blocks[iae]
-            loc_pv = pv_locs[iae]
-            pv_dot_pv = pv_dots[iae]
-            U, s = svds[iae]
-            s_tol = pv_dot_pv * self.svd_tol
-            nkeep = int(np.searchsorted(-s, -s_tol))
-            p_loc = np.concatenate(
-                [loc_pv[:, None], np.sqrt(pv_dot_pv) * U[:, :nkeep]], axis=1)
-            cmass = p_loc.T @ Mloc @ p_loc
-            cmass = 0.5 * (cmass + cmass.T)
+            _, s = svds[iae]
+            nkeeps[iae] = int(np.searchsorted(-s, -pv_dots[iae]
+                                              * self.svd_tol))
+        col_off = Rg.sizes_to_offsets(nkeeps + 1)
+        counter = int(col_off[-1])
+        cdof.n_ranget[codim][:] = 1
+        cdof.n_null[codim][:] = nkeeps
 
-            cols = np.arange(counter, counter + nkeep + 1)
-            counter += nkeep + 1
-            self._P_builder.add_block(dofs, cols, p_loc)
-            cdof.set_n_ranget(codim, iae, 1)
-            cdof.set_n_null(codim, iae, nkeep)
-            self.Pi[jform].create_dof_functional(codim, iae, p_loc, Mloc)
-            coarse_dofs_lists.append(cols)
-            coarse_blocks.append(cmass)
+        coarse_dofs_lists = [None] * n_ae
+        coarse_blocks = [None] * n_ae
+        p_locs = [None] * n_ae
+        for (nd, nk), idxs in Rg.group_by(
+                zip((d.size for d in ae_dofs), nkeeps)).items():
+            Mst = Rg.take(Md_blocks, idxs, (nd, nd))
+            pv_st = np.stack([pv_locs[i] for i in idxs])
+            U_st = np.stack([svds[i][0][:, :nk] for i in idxs])
+            scale = np.sqrt(pv_dots[idxs])
+            p_st = np.concatenate(
+                [pv_st[:, :, None], scale[:, None, None] * U_st], axis=2)
+            Mp = Mst @ p_st
+            cm = np.einsum("bij,bik->bjk", p_st, Mp)
+            cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+            for j, i in enumerate(idxs):
+                p_locs[i] = p_st[j]
+                coarse_blocks[i] = cm[j]
+                coarse_dofs_lists[i] = np.arange(col_off[i], col_off[i + 1])
+        ccat, coff = Rg.ranges_cat(col_off[:-1], col_off[1:])
+        self._P_builder.add_blocks_var(
+            dof_cat, dof_off, ccat, coff,
+            np.concatenate([p.reshape(-1) for p in p_locs]))
+        self.Pi[jform].create_dof_functionals(codim, p_locs, Md_blocks)
 
         cdof.finalize_codim(codim)
         self._P_ncols = counter
@@ -339,11 +371,8 @@ class DeRhamSequence:
 
         uagg = self.dofagg[jform]
         pagg = self.dofagg[jform + 1]
-        AE_e = self.topo.AEntity_entity[codim_dom]
-        Md = assemble_agglomerate_blocks(
-            self.M[(codim_dom, jform)], AE_e, uagg, codim_dom)
-        Wd = assemble_agglomerate_blocks(
-            self.M[(codim_dom, jform + 1)], AE_e, pagg, codim_dom)
+        Md = self._ae_blocks(codim_dom, jform)
+        Wd = self._ae_blocks(codim_dom, jform + 1)
         D = self.D[jform].tocsr()
         Pp = self.P[jform + 1]
         targets = self.targets[jform]
@@ -357,226 +386,275 @@ class DeRhamSequence:
             PDc = (Pp[:, :pdof.ndofs] @ Dc).tocsr()
             D2 = self.D[jform + 1].tocsr()
             w2agg = self.dofagg[jform + 2]
-            W2d = assemble_agglomerate_blocks(
-                self.M[(codim_dom, jform + 2)], AE_e, w2agg, codim_dom)
+            W2d = self._ae_blocks(codim_dom, jform + 2)
 
         n_ae = len(Md)
         counter = self._P_ncols
-        mass_dofs, mass_blocks = [], []
 
-        # ---- pass 0 (host): batched extraction of all per-AE blocks ----- #
-        # one native call per block family instead of one per agglomerate
-        ae_u = uagg.ae_dofs(codim_dom)
-        ae_p = pagg.ae_dofs(codim_dom)
+        # ---- pass 0 (host): batched extraction of all per-AE blocks, all
+        # index families built as flat (cat, off) arrays — no Python loops - #
+        from parelag_tpu.ops import ragged as Rg
         nu_ints = uagg.n_interior(codim_dom)
         np_ints = pagg.n_interior(codim_dom)
-        u_bdrs = [ae_u[i][int(nu_ints[i]):] for i in range(n_ae)]
-        p_ints = [ae_p[i][:int(np_ints[i])] for i in range(n_ae)]
-        cbdrs = [cdof.dofs_on_bdr(codim_dom, i) for i in range(n_ae)]
-        p_nulls_l = [pdof.null_dofs(codim_dom, i) for i in range(n_ae)]
-        Dlocs = C.extract_submatrix_many(D, ae_p, ae_u)
-        Pbs = C.extract_submatrix_many(self._P_snapshot, u_bdrs, cbdrs)
-        cPs = C.extract_submatrix_many(Pp, p_ints, p_nulls_l)
+        u_cat, u_off = uagg.ae_dofs_cat(codim_dom)
+        p_cat, p_off = pagg.ae_dofs_cat(codim_dom)
+        ubi, ub_off = Rg.ranges_cat(u_off[:-1] + nu_ints, u_off[1:])
+        ub_cat = u_cat[ubi]                          # boundary u dofs
+        pii, pi_off = Rg.ranges_cat(p_off[:-1], p_off[:-1] + np_ints)
+        pi_cat = p_cat[pii]                          # interior p dofs
+        cb_cat, cb_off = cdof.dofs_on_bdr_cat(codim_dom)
+        pn_cat, pn_off = pdof.null_dofs_cat(codim_dom)
+        Dlocs = C.extract_blocks_cat(D, p_cat, p_off, u_cat, u_off)
+        Pbs = C.extract_blocks_cat(
+            self._P_snapshot, ub_cat, ub_off, cb_cat, cb_off)
+        cPs = C.extract_blocks_cat(Pp, pi_cat, pi_off, pn_cat, pn_off)
         if use_lagrange:
-            pv_cdofs = [pdof.ranget_dofs(codim_dom, i) for i in range(n_ae)]
-            ploc_pvs = C.extract_submatrix_many(Pp, p_ints, pv_cdofs)
+            pv_cat, pv_off = pdof.ranget_dofs_cat(codim_dom)
+            assert np.all(np.diff(pv_off) == 1), \
+                "expected exactly one RangeT (PV) dof per domain entity"
+            ploc_pvs = C.extract_blocks_cat(
+                Pp, pi_cat, pi_off, pv_cat, pv_off)
         else:
-            ae_e2 = w2agg.ae_dofs(codim_dom)
-            D2locs = C.extract_submatrix_many(D2, ae_e2, ae_p)
-            dPcs = C.extract_submatrix_many(PDc, ae_p, cbdrs)
+            e2_cat, e2_off = w2agg.ae_dofs_cat(codim_dom)
+            D2locs = C.extract_blocks_cat(D2, e2_cat, e2_off, p_cat, p_off)
+            dPcs = C.extract_blocks_cat(PDc, p_cat, p_off, cb_cat, cb_off)
 
-        # ---- pass 1 (host): gather per-AE systems and right-hand sides --- #
-        recs = []
-        for iae in range(n_ae):
-            u_all = ae_u[iae]
-            nu_int = int(nu_ints[iae])
-            u_int, u_bdr = u_all[:nu_int], u_all[nu_int:]
-            p_all = ae_p[iae]
-            np_int = int(np_ints[iae])
-            p_int = p_all[:np_int]
+        # ---- pass 1 (host): batched per-AE system/rhs assembly, grouped by
+        # shape signature — on quasi-uniform agglomerations a handful of
+        # groups cover thousands of AEs, so every dense op below is one
+        # stacked numpy/BLAS call per group instead of per agglomerate ----- #
+        u_sizes = np.diff(u_off)
+        p_sizes = np.diff(p_off)
+        cb_sizes = np.diff(cb_off)
+        pn_sizes = np.diff(pn_off)
+        lt_sizes = (np.fromiter((t.shape[1] for t in loc_tars),
+                                np.int64, n_ae)
+                    if loc_tars is not None else np.zeros(n_ae, np.int64))
+        e2_sizes = (np.zeros(n_ae, np.int64) if use_lagrange
+                    else np.diff(e2_off))
+        sigs = list(zip(u_sizes, nu_ints, p_sizes, np_ints, cb_sizes,
+                        pn_sizes, lt_sizes, e2_sizes))
+        groups = []
+        for sig, idxs in Rg.group_by(sigs).items():
+            nu_all, nu_int, np_all, np_int, k_ext, n_rt_raw, ltw, ne2 = (
+                int(v) for v in sig)
+            m = len(idxs)
+            Mst = Rg.take(Md, idxs, (nu_all, nu_all))
+            Wst = Rg.take(Wd, idxs, (np_all, np_all))
+            Dst = Rg.take(Dlocs, idxs, (np_all, nu_all))
+            Bst = Wst @ Dst                          # (m, p_all, u_all)
+            M_ii = Mst[:, :nu_int, :nu_int]
+            M_ib = Mst[:, :nu_int, nu_int:]
+            B_ii = Bst[:, :np_int, :nu_int]
+            B_ib = Bst[:, :np_int, nu_int:]
+            W_ii = Wst[:, :np_int, :np_int]
 
-            Mloc = Md[iae]
-            Wloc = Wd[iae]
-            Dloc = Dlocs[iae]
-            Bloc = Wloc @ Dloc                      # (p_all x u_all)
-            M_ii = Mloc[:nu_int, :nu_int]
-            M_ib = Mloc[:nu_int, nu_int:]
-            B_ii = Bloc[:np_int, :nu_int]
-            B_ib = Bloc[:np_int, nu_int:]
-            W_ii = Wloc[:np_int, :np_int]
-
-            # ---- local system ---- #
-            pv_cdof = None
+            # ---- local systems ---- #
+            Tst = None
             if use_lagrange:
-                pv_cdof = pv_cdofs[iae]
-                assert pv_cdof.size == 1
-                ploc_pv = ploc_pvs[iae].ravel()
-                Tvec = W_ii @ ploc_pv
+                ploc_pv = Rg.take(ploc_pvs, idxs,
+                                  (np_int, 1)).reshape(m, np_int)
+                Tst = np.einsum("bij,bj->bi", W_ii, ploc_pv)
                 nsys = nu_int + np_int + 1
-                A = np.zeros((nsys, nsys))
-                A[:nu_int, :nu_int] = M_ii
-                A[nu_int:nu_int + np_int, :nu_int] = B_ii
-                A[:nu_int, nu_int:nu_int + np_int] = B_ii.T
-                A[-1, nu_int:nu_int + np_int] = Tvec
-                A[nu_int:nu_int + np_int, -1] = Tvec
+                A = np.zeros((m, nsys, nsys))
+                A[:, :nu_int, :nu_int] = M_ii
+                A[:, nu_int:nu_int + np_int, :nu_int] = B_ii
+                A[:, :nu_int, nu_int:nu_int + np_int] = \
+                    B_ii.transpose(0, 2, 1)
+                A[:, -1, nu_int:nu_int + np_int] = Tst
+                A[:, nu_int:nu_int + np_int, -1] = Tst
             else:
-                D2loc = D2locs[iae]
-                Cloc = D2loc[:, :np_int].T @ W2d[iae] @ D2loc[:, :np_int]
+                D2st = Rg.take(D2locs, idxs, (ne2, np_all))
+                W2st = Rg.take(W2d, idxs, (ne2, ne2))
+                D2i = D2st[:, :, :np_int]
+                Cst = np.einsum("bki,bkl,blj->bij", D2i, W2st, D2i,
+                                optimize=True)
                 nsys = nu_int + np_int
-                A = np.zeros((nsys, nsys))
-                A[:nu_int, :nu_int] = M_ii
-                A[nu_int:, :nu_int] = B_ii
-                A[:nu_int, nu_int:] = B_ii.T
-                A[nu_int:, nu_int:] = -Cloc
+                A = np.zeros((m, nsys, nsys))
+                A[:, :nu_int, :nu_int] = M_ii
+                A[:, nu_int:, :nu_int] = B_ii
+                A[:, :nu_int, nu_int:] = B_ii.transpose(0, 2, 1)
+                A[:, nu_int:, nu_int:] = -Cst
             # reference semantics: the Lagrange system is always factored
             # (FacetSaddlePoint ctor); the [M B^T; B -C] system only when
             # there are interior u dofs (RidgePeakSaddlePoint + the
-            # GetLocalOffsets(1) != 0 guards in hRidgePeakExtension)
-            # a Lagrange system with empty u interior is singular (the p-p
+            # GetLocalOffsets(1) != 0 guards in hRidgePeakExtension).
+            # A Lagrange system with empty u interior is singular (the p-p
             # block is zero); the multiplier is then determined directly by
             # T lambda = rhs_p in pass 3 (degenerate case from pinched
             # separators — the reference aborts here)
             do_solve = nu_int > 0 and nsys > 0
 
             # ---- rhs blocks: [trace ext | RangeT bubbles | Null targets] - #
-            cbdr = cbdrs[iae]
-            Pb = Pbs[iae]
-            rhs_ext = np.zeros((nsys, cbdr.size))
-            rhs_ext[:nu_int] = -M_ib @ Pb
-            rhs_ext[nu_int:nu_int + np_int] = -B_ib @ Pb
+            Pbst = Rg.take(Pbs, idxs, (nu_all - nu_int, k_ext))
+            rhs_ext = np.zeros((m, nsys, k_ext))
+            rhs_ext[:, :nu_int] = -(M_ib @ Pbst)
+            rhs_ext[:, nu_int:nu_int + np_int] = -(B_ib @ Pbst)
             if not use_lagrange:
-                rhs_ext[nu_int:nu_int + np_int] += \
-                    Wloc[:np_int, :] @ dPcs[iae]
+                rhs_ext[:, nu_int:nu_int + np_int] += \
+                    Wst[:, :np_int, :] @ Rg.take(dPcs, idxs,
+                                                 (np_all, k_ext))
 
-            p_nulls = p_nulls_l[iae]
-            n_rt = p_nulls.size
-            if nu_int == 0:
-                # pinched entity (e.g. promoted shared-vertex separator
-                # leaves a facet/ridge with empty u interior): no interior
-                # dofs can carry the RangeT bubble — create none, instead
-                # of the reference's implicit zero column (its sharedvertex
-                # lanes fail outright, testsuite CMakeLists.txt:94-109)
-                n_rt = 0
-                p_nulls = p_nulls[:0]
-            rhs_rt = np.zeros((nsys, n_rt))
+            # pinched entity (empty u interior): no interior dofs can carry
+            # the RangeT bubble — create none, instead of the reference's
+            # implicit zero column (its sharedvertex lanes fail outright,
+            # testsuite CMakeLists.txt:94-109)
+            n_rt = n_rt_raw if nu_int > 0 else 0
+            rhs_rt = np.zeros((m, nsys, n_rt))
             if n_rt:
-                rhs_rt[nu_int:nu_int + np_int] = W_ii @ cPs[iae]
+                rhs_rt[:, nu_int:nu_int + np_int] = \
+                    W_ii @ Rg.take(cPs, idxs, (np_int, n_rt_raw))
 
-            lt = loc_tars[iae] if loc_tars is not None else None
-            n_tars_ae = n_targets + (lt.shape[1] if lt is not None else 0)
-            t_int = np.zeros((nu_int, 0))
+            n_tars_ae = n_targets + ltw
+            u_st = u_cat[u_off[np.asarray(idxs)][:, None]
+                         + np.arange(nu_all, dtype=np.int64)]
             if with_nulls and nu_int > n_rt and n_tars_ae:
-                t_int = targets[u_int, :] if n_targets else np.zeros(
-                    (nu_int, 0))
-                t_bdr = targets[u_bdr, :] if n_targets else np.zeros(
-                    (u_bdr.size, 0))
-                if lt is not None and lt.shape[1]:
+                t_int = (targets[u_st[:, :nu_int], :] if n_targets
+                         else np.zeros((m, nu_int, 0)))
+                t_bdr = (targets[u_st[:, nu_int:], :] if n_targets
+                         else np.zeros((m, nu_all - nu_int, 0)))
+                if ltw:
                     # local target rows follow the interior-first AE order
                     # (PartitionLocalTargets, DeRhamSequence.cpp:2087-2112)
-                    t_int = np.concatenate([t_int, lt[:nu_int]], axis=1)
-                    t_bdr = np.concatenate([t_bdr, lt[nu_int:]], axis=1)
-                rhs_null = np.zeros((nsys, t_int.shape[1]))
-                rhs_null[:nu_int] = -M_ib @ t_bdr
-                rhs_null[nu_int:nu_int + np_int] = B_ii @ t_int
+                    lt_st = np.stack([loc_tars[i] for i in idxs])
+                    t_int = np.concatenate([t_int, lt_st[:, :nu_int]],
+                                           axis=2)
+                    t_bdr = np.concatenate([t_bdr, lt_st[:, nu_int:]],
+                                           axis=2)
+                rhs_null = np.zeros((m, nsys, n_tars_ae))
+                rhs_null[:, :nu_int] = -(M_ib @ t_bdr)
+                rhs_null[:, nu_int:nu_int + np_int] = B_ii @ t_int
+                k_null = n_tars_ae
             else:
-                rhs_null = np.zeros((nsys, 0))
+                t_int = np.zeros((m, nu_int, 0))
+                rhs_null = np.zeros((m, nsys, 0))
+                k_null = 0
 
-            recs.append(dict(
-                u_all=u_all, u_int=u_int, nu_int=nu_int, cbdr=cbdr, Pb=Pb,
-                A=A, do_solve=do_solve, pv_cdof=pv_cdof, p_nulls=p_nulls,
-                n_rt=n_rt, t_int=t_int, Mloc=Mloc, M_ii=M_ii,
-                np_int=np_int,
-                Tvec=(Tvec if use_lagrange else None),
-                k_ext=cbdr.size, k_rt=n_rt, k_null=rhs_null.shape[1],
-                rhs=np.concatenate([rhs_ext, rhs_rt, rhs_null], axis=1)))
+            rhs = np.concatenate([rhs_ext, rhs_rt, rhs_null], axis=2)
+            groups.append(dict(
+                idxs=np.asarray(idxs, dtype=np.int64), m=m,
+                nu_all=nu_all, nu_int=nu_int, np_int=np_int,
+                k_ext=k_ext, n_rt=n_rt, k_null=k_null, nsys=nsys,
+                A=A, rhs=rhs, t_int=t_int,
+                Tst=(Tst if use_lagrange else None),
+                do_solve=do_solve))
 
-        # ---- pass 2 (device): one bucketed batched solve for the stage --- #
-        sols = batched_solve(
-            [r["A"] for r in recs if r["do_solve"]],
-            [r["rhs"] for r in recs if r["do_solve"]],
-            backend=self.solve_backend)
-        it = iter(sols)
-        full_sols = [next(it) if r["do_solve"] else r["rhs"] for r in recs]
+        # ---- pass 2 (device): one batched solve per shape group --------- #
+        from parelag_tpu.ops.batched import solve_groups
+        Xs = solve_groups([g["A"] for g in groups],
+                          [g["rhs"] for g in groups],
+                          backend=self.solve_backend,
+                          skip=[not g["do_solve"] for g in groups])
 
-        # pre-pass: all null-bubble SVDs in shape-grouped stacked calls
-        from parelag_tpu.ops.batched import batched_plain_svd
-        bub_idx, bub_mats = [], []
-        for iae, r in enumerate(recs):
-            if r["k_null"]:
-                nu_i = r["nu_int"]
-                sn = full_sols[iae][:, r["k_ext"] + r["k_rt"]:]
-                bub_idx.append(iae)
-                bub_mats.append(r["t_int"] - sn[:nu_i])
-        bub_svds = dict(zip(bub_idx, batched_plain_svd(bub_mats)))
+        # null-bubble SVDs: one stacked call per group; per-AE kept counts
+        n_nulls = np.zeros(n_ae, dtype=np.int64)
+        n_rts = np.zeros(n_ae, dtype=np.int64)
+        for g, X in zip(groups, Xs):
+            g["X"] = X
+            n_rts[g["idxs"]] = g["n_rt"]
+            if g["k_null"]:
+                nu, c0 = g["nu_int"], g["k_ext"] + g["n_rt"]
+                bub = g["t_int"] - X[:, :nu, c0:]
+                U, sv, _ = np.linalg.svd(bub, full_matrices=False)
+                g["bubU"] = U
+                n_nulls[g["idxs"]] = np.sum(sv > self.svd_tol, axis=1)
 
-        # ---- pass 3 (host): scatter into P, coarse D, Pi, coarse mass --- #
-        for iae, r in enumerate(recs):
-            sol = full_sols[iae]
-            nu_int = r["nu_int"]
-            u_int, cbdr = r["u_int"], r["cbdr"]
-            k_ext, k_rt, k_null = r["k_ext"], r["k_rt"], r["k_null"]
-            sol_ext = sol[:, :k_ext]
-            sol_rt = sol[:, k_ext:k_ext + k_rt]
-            sol_null = sol[:, k_ext + k_rt:]
+        # ---- pass 3 (host): group-level scatter into P, coarse D, Pi, and
+        # the coarse mass — zero per-agglomerate Python work -------------- #
+        aoff = Rg.sizes_to_offsets(n_rts + n_nulls) + counter
+        counter = int(aoff[-1])
+        cdof.n_ranget[codim_dom][:] = n_rts
+        cdof.n_null[codim_dom][:] = n_nulls
 
+        # coarse mass flat layout: dofs = [cbdr | rt cols | null cols]
+        rtc = Rg.ranges_cat(aoff[:-1], aoff[:-1] + n_rts)
+        nlc = Rg.ranges_cat(aoff[:-1] + n_rts, aoff[1:])
+        mass_cat, mass_off = Rg.merge_ragged([(cb_cat, cb_off), rtc, nlc])
+        nlocs = np.diff(mass_off)
+        blk_off = Rg.sizes_to_offsets(nlocs * nlocs)
+        blk_cat = np.zeros(int(blk_off[-1]))
+
+        ar = np.arange
+        for g in groups:
+            idxs, X = g["idxs"], g["X"]
+            m, nu_all, nu = g["m"], g["nu_all"], g["nu_int"]
+            k_ext, n_rt, k_null = g["k_ext"], g["n_rt"], g["k_null"]
+            u_int_st = u_cat[u_off[idxs][:, None] + ar(nu, dtype=np.int64)]
+            cb_st = cb_cat[cb_off[idxs][:, None] + ar(k_ext,
+                                                      dtype=np.int64)]
             if use_lagrange:
-                if r["do_solve"]:
-                    lam = sol_ext[-1, :]
+                if g["do_solve"]:
+                    lam = X[:, -1, :k_ext]
                 else:
                     # degenerate Lagrange (empty u interior): p-rows read
                     # T lambda = rhs_p, so lambda = (T . rhs_p) / (T . T)
-                    T = r["Tvec"]
-                    rhs_p = r["rhs"][nu_int:nu_int + r["np_int"], :k_ext]
-                    tt = float(T @ T)
-                    lam = (T @ rhs_p) / tt if tt > 0 else np.zeros(k_ext)
+                    T = g["Tst"]
+                    rhs_p = g["rhs"][:, nu:nu + g["np_int"], :k_ext]
+                    tt = np.einsum("bi,bi->b", T, T)
+                    lam = np.einsum("bi,bik->bk", T, rhs_p) \
+                        / np.where(tt > 0, tt, 1.0)[:, None]
                 dvals = np.where(np.abs(lam) > _EPS, -lam, 0.0)
+                pv_st = pv_cat[pv_off[idxs]]         # one PV cdof per AE
                 self._D_builder.add_entries(
-                    np.full(k_ext, r["pv_cdof"][0]), cbdr, dvals)
-            ext_u = sol_ext[:nu_int]
-            self._P_builder.add_block(u_int, cbdr, ext_u)
+                    np.repeat(pv_st, k_ext), cb_st.ravel(), dvals.ravel())
 
-            n_rt = r["n_rt"]
-            rt_cols = np.arange(counter, counter + n_rt)
-            counter += n_rt
-            cdof.set_n_ranget(codim_dom, iae, n_rt)
-            rt_basis = sol_rt[:nu_int]
+            uoff_m = ar(m + 1, dtype=np.int64) * nu
+            self._P_builder.add_blocks_var(
+                u_int_st.ravel(), uoff_m, cb_st.ravel(),
+                ar(m + 1, dtype=np.int64) * k_ext,
+                X[:, :nu, :k_ext].ravel())
             if n_rt:
-                self._P_builder.add_block(u_int, rt_cols, rt_basis)
-                self._D_builder.add_entries(r["p_nulls"], rt_cols,
-                                            np.ones(n_rt))
+                rt_st = aoff[idxs][:, None] + ar(n_rt, dtype=np.int64)
+                self._P_builder.add_blocks_var(
+                    u_int_st.ravel(), uoff_m, rt_st.ravel(),
+                    ar(m + 1, dtype=np.int64) * n_rt,
+                    X[:, :nu, k_ext:k_ext + n_rt].ravel())
+                pn_st = pn_cat[pn_off[idxs][:, None]
+                               + ar(n_rt, dtype=np.int64)]
+                self._D_builder.add_entries(
+                    pn_st.ravel(), rt_st.ravel(), np.ones(m * n_rt))
 
-            null_basis = np.zeros((nu_int, 0))
-            if k_null:
-                U, sv = bub_svds[iae]
-                n_null = int(np.searchsorted(-sv, -self.svd_tol))
-                null_basis = U[:, :n_null]
-            n_null = null_basis.shape[1]
-            null_cols = np.arange(counter, counter + n_null)
-            counter += n_null
-            cdof.set_n_null(codim_dom, iae, n_null)
-            if n_null:
-                self._P_builder.add_block(u_int, null_cols, null_basis)
-
-            # ---- cochain projector functional over interior dofs ---- #
-            loc_proj = np.concatenate([rt_basis, null_basis], axis=1)
-            self.Pi[jform].create_dof_functional(
-                codim_dom, iae, loc_proj, r["M_ii"])
-
-            # ---- coarse mass block over [cbdr, RangeT, Null] ---- #
-            nloc = k_ext + n_rt + n_null
-            basis = np.zeros((r["u_all"].size, nloc))
-            basis[nu_int:, :k_ext] = r["Pb"]
-            basis[:nu_int, :k_ext] = ext_u
-            basis[:nu_int, k_ext:k_ext + n_rt] = rt_basis
-            basis[:nu_int, k_ext + n_rt:] = null_basis
-            blk = basis.T @ r["Mloc"] @ basis
-            mass_dofs.append(np.concatenate([cbdr, rt_cols, null_cols]))
-            mass_blocks.append(0.5 * (blk + blk.T))
+            # subgroups by kept null count: everything uniform inside
+            Mst = Rg.take(Md, idxs, (nu_all, nu_all))
+            Pbst = Rg.take(Pbs, idxs, (nu_all - nu, k_ext))
+            for nn, sel in Rg.group_by(n_nulls[idxs]).items():
+                nn = int(nn)
+                ii = idxs[sel]
+                ms = sel.size
+                rt_basis = X[sel][:, :nu, k_ext:k_ext + n_rt]
+                Un = (g["bubU"][sel][:, :, :nn] if nn
+                      else np.zeros((ms, nu, 0)))
+                if nn:
+                    nl_st = (aoff[ii][:, None] + n_rt
+                             + ar(nn, dtype=np.int64))
+                    self._P_builder.add_blocks_var(
+                        u_int_st[sel].ravel(),
+                        ar(ms + 1, dtype=np.int64) * nu,
+                        nl_st.ravel(), ar(ms + 1, dtype=np.int64) * nn,
+                        Un.ravel())
+                # cochain functionals over interior dofs
+                self.Pi[jform].add_functionals_group(
+                    codim_dom, ii,
+                    np.concatenate([rt_basis, Un], axis=2),
+                    Mst[sel][:, :nu, :nu])
+                # coarse mass block over [cbdr, RangeT, Null]
+                nloc = k_ext + n_rt + nn
+                basis = np.zeros((ms, nu_all, nloc))
+                basis[:, nu:, :k_ext] = Pbst[sel]
+                basis[:, :nu, :k_ext] = X[sel][:, :nu, :k_ext]
+                basis[:, :nu, k_ext:k_ext + n_rt] = rt_basis
+                basis[:, :nu, k_ext + n_rt:] = Un
+                blk = basis.transpose(0, 2, 1) @ (Mst[sel] @ basis)
+                blk = 0.5 * (blk + blk.transpose(0, 2, 1))
+                blk_cat[blk_off[ii][:, None]
+                        + ar(nloc * nloc, dtype=np.int64)] = \
+                    blk.reshape(ms, -1)
 
         cdof.finalize_codim(codim_dom)
         self._P_ncols = counter
         self._refresh_P()
-        self.coarser.M[(codim_dom, jform)] = LocalMass(mass_dofs, mass_blocks)
+        self.coarser.M[(codim_dom, jform)] = LocalMass.from_cat(
+            mass_cat, mass_off, blk_cat, blk_off)
 
     # ------------------------------------------------------------------ #
     def _repair_curl_range(self, jform):
@@ -628,9 +706,7 @@ class DeRhamSequence:
                 per_ae.setdefault(int(iae), []).append(
                     (int(j), rows[sel], vals[sel]))
 
-        AE_e = self.topo.AEntity_entity[0]
-        Md = assemble_agglomerate_blocks(
-            self.M[(0, jp)], AE_e, uagg, 0)
+        Md = self._ae_blocks(0, jp)
         cdof2 = self.coarser.dof[jp]
         P2 = P2.tolil()
         extra_cols = []
@@ -676,6 +752,7 @@ class DeRhamSequence:
             lm.blocks[iae] = np.block(
                 [[blk, X], [X.T, np.eye(nkeep)]])
             lm.dofs[iae] = np.concatenate([old_dofs, new_ids])
+            lm._cat = None          # flat layout is stale after enrichment
             # refresh the cochain functional with the enriched interior
             # basis [old interior columns | V]
             int_cols = cdof2.interior_dofs(0, iae)

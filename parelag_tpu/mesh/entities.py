@@ -21,14 +21,35 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def unique_rows(a):
+    """Value-lexicographic row unique via lexsort (np.unique(axis=0) sorts
+    by little-endian bytes and is much slower). Returns (uniq, first_idx,
+    inverse) with first_idx the index of each unique row's FIRST occurrence
+    in the original order (creator semantics)."""
+    a = np.asarray(a)
+    order = np.lexsort(a.T[::-1])
+    srt = a[order]
+    new = np.ones(a.shape[0], dtype=bool)
+    if a.shape[0] > 1:
+        new[1:] = (srt[1:] != srt[:-1]).any(axis=1)
+    gid = np.cumsum(new) - 1
+    inv = np.empty(a.shape[0], dtype=np.int64)
+    inv[order] = gid
+    # first occurrence in ORIGINAL order per group
+    n_u = int(gid[-1]) + 1 if a.shape[0] else 0
+    first = np.full(n_u, a.shape[0], dtype=np.int64)
+    np.minimum.at(first, inv, np.arange(a.shape[0], dtype=np.int64))
+    return a[first], first, inv
+
+
 @dataclass
 class MeshEntities:
     """All derived entity arrays of a 3D mesh."""
 
     num_vertices: int
     edges: np.ndarray          # (nedge, 2) global (tail, head), tail < head
-    face_verts: list           # per face: stored oriented cycle (len 3 or 4)
-    face_key_index: dict       # sorted-tuple -> face id
+    face_verts: np.ndarray     # (nface, k) stored oriented cycles
+    face_sorted: np.ndarray    # (nface, k) sorted vertex keys, row f = face f
     elem_edge: np.ndarray      # (ne, n_loc_edge) edge ids
     elem_edge_sign: np.ndarray # (ne, n_loc_edge) +-1
     elem_face: np.ndarray      # (ne, n_loc_face) face ids
@@ -55,52 +76,50 @@ def derive_entities(mesh) -> MeshEntities:
     loc_faces = mesh.local_faces
     n_le = loc_edges.shape[0]
     n_lf = loc_faces.shape[0]
+    nv = mesh.num_vertices
 
-    # ----- edges: unique sorted vertex pairs -------------------------- #
+    # ----- edges: unique sorted vertex pairs (packed-key unique) ------- #
     ev = elems[:, loc_edges]                    # (ne, n_le, 2) local dir
-    ev_sorted = np.sort(ev, axis=2)
-    flat = ev_sorted.reshape(-1, 2)
-    edges, inv = np.unique(flat, axis=0, return_inverse=True)
+    lo = np.minimum(ev[:, :, 0], ev[:, :, 1]).astype(np.int64)
+    hi = np.maximum(ev[:, :, 0], ev[:, :, 1]).astype(np.int64)
+    ekeys, inv = np.unique(lo.ravel() * nv + hi.ravel(),
+                           return_inverse=True)
+    edges = np.stack([ekeys // nv, ekeys % nv], axis=1)
     elem_edge = inv.reshape(ne, n_le)
     elem_edge_sign = np.where(ev[:, :, 0] < ev[:, :, 1], 1.0, -1.0)
 
     # ----- faces: unique sorted tuples, creator-oriented cycles ------- #
     fv = elems[:, loc_faces]                    # (ne, n_lf, k)
-    fv_sorted = np.sort(fv, axis=2)
     k = fv.shape[2]
-    flatf = fv_sorted.reshape(-1, k)
-    uniq, first_idx, invf = np.unique(
-        flatf, axis=0, return_index=True, return_inverse=True)
+    flatf = np.sort(fv, axis=2).reshape(-1, k)
+    uniq, first_idx, invf = unique_rows(flatf)
     nface = uniq.shape[0]
     elem_face = invf.reshape(ne, n_lf)
     # stored cycle = local cycle of the first (creator) occurrence
     flat_cycles = fv.reshape(-1, k)
-    face_verts = [tuple(flat_cycles[first_idx[f]]) for f in range(nface)]
-    # sign: +1 if this element's outward cycle matches the stored cycle's
-    # orientation, -1 if reversed.
-    elem_face_sign = np.zeros((ne, n_lf))
-    counts = np.zeros(nface, dtype=np.int64)
-    for e in range(ne):
-        for lf in range(n_lf):
-            f = elem_face[e, lf]
-            elem_face_sign[e, lf] = _cycle_sign(
-                tuple(fv[e, lf]), face_verts[f])
-            counts[f] += 1
+    face_verts = flat_cycles[first_idx]         # (nface, k)
+    # sign: +1 if the element's outward cycle is a rotation of the stored
+    # cycle, -1 if a rotation of its reversal — decided by whether the
+    # vertex after cycle[0] matches (vectorized _cycle_sign)
+    stored = face_verts[invf]                   # (N, k)
+    N = flat_cycles.shape[0]
+    j0 = np.argmax(stored == flat_cycles[:, :1], axis=1)
+    ar = np.arange(N)
+    nxt = stored[ar, (j0 + 1) % k]
+    prv = stored[ar, (j0 - 1) % k]
+    fwd = flat_cycles[:, 1] == nxt
+    assert np.all(fwd | (flat_cycles[:, 1] == prv)), \
+        "faces share vertices but not as a cycle"
+    elem_face_sign = np.where(fwd, 1.0, -1.0).reshape(ne, n_lf)
+    counts = np.bincount(invf, minlength=nface)
     assert counts.max() <= 2, "non-manifold mesh"
 
-    face_key_index = {tuple(uniq[f]): f for f in range(nface)}
-
-    # ----- face_edge with traversal signs ------------------------------ #
-    edge_index = {}
-    for i, (a, b) in enumerate(edges):
-        edge_index[(int(a), int(b))] = i
-    face_edge = np.zeros((nface, k), dtype=np.int64)
-    face_edge_sign = np.zeros((nface, k))
-    for f, cyc in enumerate(face_verts):
-        for i in range(k):
-            a, b = int(cyc[i]), int(cyc[(i + 1) % k])
-            face_edge[f, i] = edge_index[(min(a, b), max(a, b))]
-            face_edge_sign[f, i] = 1.0 if a < b else -1.0
+    # ----- face_edge with traversal signs (searchsorted lookup) -------- #
+    a = face_verts.astype(np.int64)
+    b = np.roll(a, -1, axis=1)
+    keys = np.minimum(a, b) * nv + np.maximum(a, b)
+    face_edge = np.searchsorted(ekeys, keys)
+    face_edge_sign = np.where(a < b, 1.0, -1.0)
 
     # ----- boundary operators ------------------------------------------ #
     B0 = sp.csr_matrix(
@@ -122,7 +141,7 @@ def derive_entities(mesh) -> MeshEntities:
         num_vertices=mesh.num_vertices,
         edges=edges,
         face_verts=face_verts,
-        face_key_index=face_key_index,
+        face_sorted=uniq,
         elem_edge=elem_edge,
         elem_edge_sign=elem_edge_sign,
         elem_face=elem_face,
@@ -133,29 +152,29 @@ def derive_entities(mesh) -> MeshEntities:
     )
 
 
-def _cycle_sign(cycle_a, cycle_b):
-    """+1 if cycle_a is a rotation of cycle_b, -1 if a rotation of its
-    reversal."""
-    k = len(cycle_a)
-    start = cycle_b.index(cycle_a[0]) if isinstance(cycle_b, tuple) else 0
-    # rotate b so it starts at a[0]
-    b = tuple(cycle_b)
-    i0 = b.index(cycle_a[0])
-    rot = b[i0:] + b[:i0]
-    if tuple(cycle_a) == rot:
-        return 1.0
-    rev = (rot[0],) + tuple(reversed(rot[1:]))
-    if tuple(cycle_a) == rev:
-        return -1.0
-    raise ValueError("faces share vertices but not as a cycle")
+def lookup_rows(table, queries):
+    """Row ids of `queries` within `table` (any row order): returns ids such
+    that table[out[i]] == queries[i]; raises if a query row is absent."""
+    sorted_rows = np.asarray(table, dtype=np.int64)
+    queries = np.asarray(queries, dtype=np.int64)
+    order = np.lexsort(sorted_rows.T[::-1])
+    srt = sorted_rows[order]
+    # lexicographic searchsorted via big-endian void view (non-negative ints
+    # compare correctly byte-wise in big-endian)
+    k = srt.shape[1]
+    dt = np.dtype((np.void, 8 * k))
+    sv = np.ascontiguousarray(srt.astype(">i8")).view(dt).ravel()
+    qv = np.ascontiguousarray(queries.astype(">i8")).view(dt).ravel()
+    pos = np.searchsorted(sv, qv)
+    ok = (pos < sv.size) & (sv[np.minimum(pos, sv.size - 1)] == qv)
+    if not ok.all():
+        raise KeyError("row not found in table")
+    return order[pos]
 
 
 def bdr_face_ids(mesh, ents: MeshEntities):
-    """Map each mesh boundary face to its global face id."""
-    out = np.empty(mesh.bdr_faces.shape[0], dtype=np.int64)
-    for i, quad in enumerate(mesh.bdr_faces):
-        out[i] = ents.face_key_index[tuple(np.sort(quad))]
-    return out
+    """Map each mesh boundary face to its global face id (vectorized)."""
+    return lookup_rows(ents.face_sorted, np.sort(mesh.bdr_faces, axis=1))
 
 
 @dataclass

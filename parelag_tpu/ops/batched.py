@@ -21,19 +21,31 @@ def _round_bucket(n):
     return int(-(-n // 1024) * 1024)
 
 
-def batched_solve(systems, rhs, backend="auto"):
+def batched_solve(systems, rhs, backend="auto", skip=None):
     """Solve systems[i] @ X[i] = rhs[i] for ragged lists of dense (n_i, n_i)
-    matrices and (n_i, k_i) right-hand sides. Returns list of (n_i, k_i)
-    solutions.
+    matrices and (n_i, k_i) right-hand sides. Returns a list-compatible
+    ragged.BlockList of (n_i, k_i) solutions.
 
-    backend 'host'  -> scipy LU loop;
+    skip[i] truthy -> system i is not factored and out[i] = rhs[i]
+    (passthrough for degenerate systems handled separately by the caller).
+
+    backend 'host'  -> stacked LAPACK per shape group;
             'device'-> bucketed vmapped jnp.linalg.solve;
             'auto'  -> device when a non-CPU jax backend is default and the
                        batch is large enough to amortize dispatch.
     """
+    from parelag_tpu.ops.ragged import BlockList
     n_items = len(systems)
     if n_items == 0:
         return []
+    rsz = np.fromiter((b.shape[0] for b in rhs), np.int64, n_items)
+    csz = np.fromiter((b.shape[1] for b in rhs), np.int64, n_items)
+    out_off = np.zeros(n_items + 1, np.int64)
+    np.cumsum(rsz * csz, out=out_off[1:])
+    out_cat = np.zeros(int(out_off[-1]), dtype=np.asarray(rhs[0]).dtype)
+    out = BlockList(out_cat, out_off, rsz, csz)
+    if skip is None:
+        skip = (False,) * n_items
     if backend == "auto":
         # setup runs in float64; the TPU f64 path is software-emulated (and
         # unreliable on the experimental axon platform), so auto only takes
@@ -50,15 +62,26 @@ def batched_solve(systems, rhs, backend="auto"):
             except Exception:
                 pass
 
+    def _scatter(idxs, X):
+        """Vectorized write of same-shape solutions into the flat output."""
+        idxs = np.asarray(idxs, np.int64)
+        k = X.shape[1] * X.shape[2]
+        flat = out_off[idxs][:, None] + np.arange(k, dtype=np.int64)
+        out_cat[flat] = X.reshape(len(idxs), -1)
+
+    pas = [i for i in range(n_items) if skip[i]]
+    if pas:
+        for i in pas:                     # passthrough: out[i] = rhs[i]
+            out_cat[out_off[i]:out_off[i + 1]] = np.asarray(rhs[i]).ravel()
+
     if backend == "host":
         # group identical shapes and run stacked LAPACK gesv in one numpy
         # call per group (the shape distribution is highly repetitive on
         # quasi-uniform agglomerations; Python-per-system overhead dominated
         # this stage before)
-        out = [np.zeros_like(b) for b in rhs]
         groups = {}
         for i, (A, b) in enumerate(zip(systems, rhs)):
-            if A.shape[0] == 0 or b.shape[1] == 0:
+            if skip[i] or A.shape[0] == 0 or b.shape[1] == 0:
                 continue
             groups.setdefault((A.shape[0], b.shape[1]), []).append(i)
         for (n, k), idxs in groups.items():
@@ -77,8 +100,7 @@ def batched_solve(systems, rhs, backend="auto"):
             scale = np.maximum(np.abs(Bst).max(axis=(1, 2)), 1.0)
             for j in np.where(res > 1e-8 * scale)[0]:
                 X[j] = np.linalg.lstsq(Ast[j], Bst[j], rcond=1e-12)[0]
-            for j, i in enumerate(idxs):
-                out[i] = X[j]
+            _scatter(idxs, X)
         return out
 
     import jax
@@ -87,12 +109,11 @@ def batched_solve(systems, rhs, backend="auto"):
     buckets = {}
     for i, (A, b) in enumerate(zip(systems, rhs)):
         n, k = A.shape[0], b.shape[1]
-        if n == 0 or k == 0:
+        if skip[i] or n == 0 or k == 0:
             continue
         key = (_round_bucket(n), _round_bucket(k))
         buckets.setdefault(key, []).append(i)
 
-    out = [np.zeros_like(b) for b in rhs]
     for (nb, kb), idxs in buckets.items():
         m = len(idxs)
         Ab = np.tile(np.eye(nb), (m, 1, 1))
@@ -106,7 +127,54 @@ def batched_solve(systems, rhs, backend="auto"):
         X = np.asarray(_solve_batch(jnp.asarray(Ab), jnp.asarray(Bb)))
         for j, i in enumerate(idxs):
             n, k = systems[i].shape[0], rhs[i].shape[1]
-            out[i] = X[j, :n, :k]
+            out_cat[out_off[i]:out_off[i + 1]] = X[j, :n, :k].ravel()
+    return out
+
+
+def solve_groups(As, Bs, backend="auto", skip=None):
+    """Group-level batched solve: As[i] (m_i, n_i, n_i), Bs[i] (m_i, n_i,
+    k_i) -> list of (m_i, n_i, k_i) solutions. skip[i] -> out[i] = Bs[i].
+    The group-stacked twin of batched_solve (the setup engine produces
+    shape-grouped stacks directly)."""
+    if skip is None:
+        skip = (False,) * len(As)
+    if backend == "auto":
+        backend = "host"
+        total = sum(B.shape[0] for B in Bs)
+        if total >= 64 and Bs and Bs[0].dtype == np.float32:
+            try:
+                import jax
+                if jax.default_backend() != "cpu":
+                    backend = "device"
+            except Exception:
+                pass
+    out = []
+    for A, B, sk in zip(As, Bs, skip):
+        if sk or A.shape[1] == 0 or B.shape[2] == 0:
+            out.append(B)
+            continue
+        if backend == "host":
+            try:
+                X = np.linalg.solve(A, B)
+            except np.linalg.LinAlgError:
+                X = np.stack([np.linalg.lstsq(a, b, rcond=None)[0]
+                              for a, b in zip(A, B)])
+            # redo ill-conditioned members with min-norm least squares
+            res = np.abs(A @ X - B).max(axis=(1, 2))
+            scale = np.maximum(np.abs(B).max(axis=(1, 2)), 1.0)
+            for j in np.where(res > 1e-8 * scale)[0]:
+                X[j] = np.linalg.lstsq(A[j], B[j], rcond=1e-12)[0]
+            out.append(X)
+        else:
+            import jax.numpy as jnp
+            m, n, k = B.shape
+            nb, kb = _round_bucket(n), _round_bucket(k)
+            Ab = np.tile(np.eye(nb, dtype=A.dtype), (m, 1, 1))
+            Ab[:, :n, :n] = A
+            Bb = np.zeros((m, nb, kb), dtype=B.dtype)
+            Bb[:, :n, :k] = B
+            X = np.asarray(_solve_batch(jnp.asarray(Ab), jnp.asarray(Bb)))
+            out.append(X[:, :n, :k])
     return out
 
 
@@ -180,15 +248,16 @@ def batched_weighted_svd(Ms, Ts):
     hot loop): returns [(U_i, s_i)] with U^T M U = I. Groups identical
     shapes and runs ONE stacked LAPACK call per group (np.linalg batches in
     C), instead of one Python-level eigh/svd per agglomerate."""
+    from parelag_tpu.ops.ragged import take
     out = [None] * len(Ms)
     groups = {}
-    for i, (M, T) in enumerate(zip(Ms, Ts)):
+    for i, T in enumerate(Ts):
         if T.shape[1] == 0 or T.shape[0] == 0:
             out[i] = (np.zeros((T.shape[0], 0)), np.zeros(0))
             continue
         groups.setdefault(T.shape, []).append(i)
     for (n, t), idxs in groups.items():
-        Mst = np.stack([Ms[i] for i in idxs])          # (m, n, n)
+        Mst = take(Ms, idxs, (n, n))                   # (m, n, n)
         Tst = np.stack([Ts[i] for i in idxs])          # (m, n, t)
         d = np.einsum("bii->bi", Mst)
         offd = Mst - d[:, :, None] * np.eye(n)

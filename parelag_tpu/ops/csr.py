@@ -114,23 +114,34 @@ def find_minimal_intersection_sets(Z, skip_diag_less_than=0.5, tol=1e-10):
     diag = Z.diagonal()
     valid = (diag - skip_diag_less_than) > -tol
 
+    # vectorized: "i ~ j iff |Z_ij| == Z_ii == Z_jj" is an equivalence on
+    # valid entities (identical membership signatures), so the MIS classes
+    # are the connected components of the matching-edge graph; classes are
+    # numbered by their smallest member to reproduce the sequential
+    # first-touch ordering of the reference loop
+    coo = Z.tocoo()
+    r, c, v = coo.row, coo.col, coo.data
+    m = (valid[r] & valid[c]
+         & (np.abs(diag[r] - diag[c]) < tol)
+         & (np.abs(np.abs(v) - diag[r]) < tol))
+    r, c, v = r[m], c[m], v[m]
+    G = sp.csr_matrix((np.ones(r.size), (r, c)), shape=(n, n))
+    n_comp, labels = sp.csgraph.connected_components(G, directed=False)
+
+    vidx = np.nonzero(valid)[0]
+    first = np.full(n_comp, n, dtype=np.int64)
+    np.minimum.at(first, labels[vidx], vidx)
+    comp_ids = np.nonzero(first < n)[0]
+    rank = np.full(n_comp, -1, dtype=np.int64)
+    rank[comp_ids[np.argsort(first[comp_ids])]] = np.arange(comp_ids.size)
+    current = comp_ids.size
+
     mis_of = np.full(n, -1, dtype=np.int64)
+    mis_of[vidx] = rank[labels[vidx]]
+    # orientation: Z[rep, j] / Z[rep, rep] from the representative's row
     orient = np.zeros(n)
-    indptr, indices, data = Z.indptr, Z.indices, Z.data
-    current = 0
-    for i in range(n):
-        if not valid[i] or mis_of[i] >= 0:
-            continue
-        zii = diag[i]
-        for k in range(indptr[i], indptr[i + 1]):
-            j = indices[k]
-            zij = data[k]
-            if abs(diag[j] - zii) < tol and (
-                abs(zij - zii) < tol or abs(zij + zii) < tol
-            ):
-                mis_of[j] = current
-                orient[j] = zij / zii
-        current += 1
+    sel = r == first[labels[c]]
+    orient[c[sel]] = v[sel] / diag[r[sel]]
 
     keep = mis_of >= 0
     rows = np.nonzero(keep)[0]
@@ -204,39 +215,52 @@ def extract_submatrix(A, rows, cols) -> np.ndarray:
     return out
 
 
-def extract_submatrix_many(A, rows_list, cols_list) -> list:
+def extract_submatrix_many(A, rows_list, cols_list):
     """Batched extract_submatrix: all blocks from one CSR matrix in a single
     native call (per-call FFI overhead dominates when blocks are small —
-    coarsening extracts ~5 small blocks per agglomerate per stage)."""
-    A = csr(A)
+    coarsening extracts ~5 small blocks per agglomerate per stage).
+    Returns a list-compatible ragged.BlockList."""
     nb = len(rows_list)
-    if nb == 0:
-        return []
     rsz = np.fromiter((len(r) for r in rows_list), np.int64, nb)
     csz = np.fromiter((len(c) for c in cols_list), np.int64, nb)
     row_off = np.zeros(nb + 1, np.int64)
     col_off = np.zeros(nb + 1, np.int64)
-    out_off = np.zeros(nb + 1, np.int64)
     np.cumsum(rsz, out=row_off[1:])
     np.cumsum(csz, out=col_off[1:])
+    rows_cat = (np.concatenate(rows_list).astype(np.int64, copy=False)
+                if int(row_off[-1]) else np.zeros(0, np.int64))
+    cols_cat = (np.concatenate(cols_list).astype(np.int64, copy=False)
+                if int(col_off[-1]) else np.zeros(0, np.int64))
+    return extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off)
+
+
+def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
+    """extract_submatrix_many over flat (cat, off) index families — the
+    zero-Python-loop entry. Returns a ragged.BlockList."""
+    from parelag_tpu.ops.ragged import BlockList
+    A = csr(A)
+    rsz = np.diff(row_off)
+    csz = np.diff(col_off)
+    nb = rsz.size
+    out_off = np.zeros(nb + 1, np.int64)
     np.cumsum(rsz * csz, out=out_off[1:])
     out_cat = np.zeros(int(out_off[-1]))
 
     from parelag_tpu.ops import native
     if A.data.dtype == np.float64 and native.available():
-        rows_cat = (np.concatenate(rows_list).astype(np.int64, copy=False)
-                    if int(row_off[-1]) else np.zeros(0, np.int64))
-        cols_cat = (np.concatenate(cols_list).astype(np.int64, copy=False)
-                    if int(col_off[-1]) else np.zeros(0, np.int64))
         pos = _col_scratch(A.shape[1])
         native.csr_extract_dense_many(
-            A.indptr, A.indices, A.data, np.ascontiguousarray(rows_cat),
-            row_off, np.ascontiguousarray(cols_cat), col_off, pos,
-            out_cat, out_off)
-        return [out_cat[out_off[b]:out_off[b + 1]].reshape(
-            int(rsz[b]), int(csz[b])) for b in range(nb)]
-    return [extract_submatrix(A, rows_list[b], cols_list[b])
-            for b in range(nb)]
+            A.indptr, A.indices, A.data,
+            np.ascontiguousarray(rows_cat.astype(np.int64, copy=False)),
+            np.asarray(row_off, np.int64),
+            np.ascontiguousarray(cols_cat.astype(np.int64, copy=False)),
+            np.asarray(col_off, np.int64), pos, out_cat, out_off)
+        return BlockList(out_cat, out_off, rsz, csz)
+    for b in range(nb):
+        blk = extract_submatrix(A, rows_cat[row_off[b]:row_off[b + 1]],
+                                cols_cat[col_off[b]:col_off[b + 1]])
+        out_cat[out_off[b]:out_off[b + 1]] = blk.ravel()
+    return BlockList(out_cat, out_off, rsz, csz)
 
 
 _SCRATCH = {}
@@ -280,6 +304,18 @@ class _CooBuilder:
         self.rows.append(np.asarray(rows))
         self.cols.append(np.asarray(cols))
         self.vals.append(np.asarray(vals, dtype=np.float64))
+
+    def add_blocks_var(self, rows_cat, row_off, cols_cat, col_off, vals_cat):
+        """Vectorized scatter of many dense blocks at once: block b covers
+        rows_cat[row_off[b]:row_off[b+1]] x cols_cat[col_off[b]:col_off[b+1]]
+        with row-major values vals_cat (concatenated block.ravel()s)."""
+        from parelag_tpu.ops import ragged as R
+        rows, cols = R.expand_blocks(
+            np.asarray(rows_cat), np.asarray(row_off),
+            np.asarray(cols_cat), np.asarray(col_off))
+        self.rows.append(rows)
+        self.cols.append(cols)
+        self.vals.append(np.asarray(vals_cat, dtype=np.float64))
 
     def tocsr(self, shape, sum_duplicates=False) -> sp.csr_matrix:
         """COO -> CSR. Duplicate (row, col) pairs are summed (standard COO
