@@ -68,8 +68,82 @@ def _q1_dshapes(p):
 def _jacobians(coords, p):
     """coords (ne,8,3); returns J (ne,nq,3,3) with J[a,b] = dX_a/dxhat_b."""
     d = _q1_dshapes(p)                      # (nq, 8, 3)
-    # J[n,q,c,d] = sum_i coords[n,i,c] d[q,i,d]: batched GEMM
-    return np.matmul(coords.transpose(0, 2, 1)[:, None], d[None])
+    # J[n,q,c,d] = sum_i coords[n,i,c] d[q,i,d] -> one big GEMM
+    nq = p.shape[0]
+    out = (coords.transpose(0, 2, 1).reshape(-1, 8)
+           @ d.transpose(1, 0, 2).reshape(8, nq * 3))
+    return out.reshape(-1, 3, nq, 3).transpose(0, 2, 1, 3)
+
+
+def _det3(J):
+    """Closed-form determinant of stacked 3x3 (LAPACK-free)."""
+    return (J[..., 0, 0] * (J[..., 1, 1] * J[..., 2, 2]
+                            - J[..., 1, 2] * J[..., 2, 1])
+            - J[..., 0, 1] * (J[..., 1, 0] * J[..., 2, 2]
+                              - J[..., 1, 2] * J[..., 2, 0])
+            + J[..., 0, 2] * (J[..., 1, 0] * J[..., 2, 1]
+                              - J[..., 1, 1] * J[..., 2, 0]))
+
+
+def _inv3(J, det=None):
+    """Closed-form inverse of stacked 3x3 via the adjugate."""
+    if det is None:
+        det = _det3(J)
+    out = np.empty_like(J)
+    out[..., 0, 0] = J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1]
+    out[..., 0, 1] = J[..., 0, 2] * J[..., 2, 1] - J[..., 0, 1] * J[..., 2, 2]
+    out[..., 0, 2] = J[..., 0, 1] * J[..., 1, 2] - J[..., 0, 2] * J[..., 1, 1]
+    out[..., 1, 0] = J[..., 1, 2] * J[..., 2, 0] - J[..., 1, 0] * J[..., 2, 2]
+    out[..., 1, 1] = J[..., 0, 0] * J[..., 2, 2] - J[..., 0, 2] * J[..., 2, 0]
+    out[..., 1, 2] = J[..., 0, 2] * J[..., 1, 0] - J[..., 0, 0] * J[..., 1, 2]
+    out[..., 2, 0] = J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0]
+    out[..., 2, 1] = J[..., 0, 1] * J[..., 2, 0] - J[..., 0, 0] * J[..., 2, 1]
+    out[..., 2, 2] = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+    return out / det[..., None, None]
+
+
+def _det2(G):
+    """Closed-form determinant of stacked 2x2."""
+    return G[..., 0, 0] * G[..., 1, 1] - G[..., 0, 1] * G[..., 1, 0]
+
+
+def _inv2(G):
+    """Closed-form inverse of stacked 2x2."""
+    det = _det2(G)
+    out = np.empty_like(G)
+    out[..., 0, 0] = G[..., 1, 1]
+    out[..., 1, 1] = G[..., 0, 0]
+    out[..., 0, 1] = -G[..., 0, 1]
+    out[..., 1, 0] = -G[..., 1, 0]
+    return out / det[..., None, None]
+
+
+_Q1D_KERNEL = None
+
+
+def _q1_dshape_kernel():
+    """Module-cached Q1 gradient table (stable id for _metric_mass)."""
+    global _Q1D_KERNEL
+    if _Q1D_KERNEL is None:
+        _Q1D_KERNEL = _q1_dshapes(_Q3)
+    return _Q1D_KERNEL
+
+
+_METRIC_KERNELS = {}
+
+
+def _metric_mass(wG, E):
+    """M[n,i,j] = sum_{q,a,b} wG[n,q,a,b] E[q,i,a] E[q,j,b] as ONE flat
+    GEMM (n, q*d*d) @ (q*d*d, k*k) against the cached constant kernel —
+    batched tiny matmuls are BLAS-call-bound, this is a single dgemm."""
+    q, k, d = E.shape
+    key = (id(E), E.shape)
+    K = _METRIC_KERNELS.get(key)
+    if K is None:
+        K = np.einsum("qia,qjb->qabij", E, E).reshape(q * d * d, k * k)
+        _METRIC_KERNELS[key] = K
+    n = wG.shape[0]
+    return (wG.reshape(n, q * d * d) @ K).reshape(n, k, k)
 
 
 def _nd0_ref_shapes(p):
@@ -140,7 +214,7 @@ def hex_h1_mass(coords, coeff=None):
     """(ne,8,3) vertex coords -> (ne,8,8) Q1 mass matrices.
     coeff: optional (ne, nq) coefficient values at quadrature points."""
     J = _jacobians(coords, _Q3)
-    detJ = np.abs(np.linalg.det(J))                     # (ne, nq)
+    detJ = np.abs(_det3(J))                             # (ne, nq)
     N = _q1_shapes(_Q3)                                 # (nq, 8)
     w = _QW3[None, :] * detJ
     if coeff is not None:
@@ -153,14 +227,14 @@ def hex_h1_mass(coords, coeff=None):
 def hex_h1_stiffness(coords, coeff=None):
     """(ne,8,8) Q1 stiffness matrices (for reference/testing)."""
     J = _jacobians(coords, _Q3)
-    detJ = np.abs(np.linalg.det(J))
-    Jinv = np.linalg.inv(J)
+    detJ = np.abs(_det3(J))
+    Jinv = _inv3(J)
     d = _q1_dshapes(_Q3)                                # (nq,8,3)
-    g = d[None] @ Jinv                                  # physical grads
+    G = np.einsum("nqab,nqcb->nqac", Jinv, Jinv)
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
-    return _quad_mass(w, g)
+    return _metric_mass(G * w[:, :, None, None], _q1_dshape_kernel())
 
 
 def _quad_mass(w, phys):
@@ -173,41 +247,49 @@ def _quad_mass(w, phys):
     return A @ B.transpose(0, 2, 1)
 
 
+_ND0_E = None
+_RT0_F = None
+
+
 def hex_nd_mass(coords, edge_signs, coeff=None):
     """(ne,12,12) ND0 mass, global-circulation dofs (edge_signs (ne,12))."""
+    global _ND0_E
     J = _jacobians(coords, _Q3)
-    detJ = np.abs(np.linalg.det(J))
-    Jinv = np.linalg.inv(J)                              # (ne,nq,3,3)
-    E = _nd0_ref_shapes(_Q3)                             # (nq,12,3)
-    # covariant: u = J^{-T} E ; phys[n,q,i,a] = sum_b E[q,i,b] Jinv[n,q,b,a]
-    phys = E[None] @ Jinv
+    detJ = np.abs(_det3(J))
+    Jinv = _inv3(J, None)                                # (ne,nq,3,3)
+    if _ND0_E is None:
+        _ND0_E = _nd0_ref_shapes(_Q3)                    # (nq,12,3)
+    # covariant: u = J^{-T} E; phys phys^T = E (Jinv Jinv^T) E^T, so the
+    # mass is a metric contraction against the constant E-kernel
+    G = np.einsum("nqab,nqcb->nqac", Jinv, Jinv)
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
-    M = _quad_mass(w, phys)
+    M = _metric_mass(G * w[:, :, None, None], _ND0_E)
     return M * edge_signs[:, :, None] * edge_signs[:, None, :]
 
 
 def hex_rt_mass(coords, face_signs, coeff=None):
     """(ne,6,6) RT0 mass, global-flux dofs (face_signs (ne,6))."""
+    global _RT0_F
     J = _jacobians(coords, _Q3)
-    detJ_s = np.linalg.det(J)
+    detJ_s = _det3(J)
     detJ = np.abs(detJ_s)
-    F = _rt0_ref_shapes(_Q3)                             # (nq,6,3)
-    # contravariant Piola: u = J F / det J;
-    # phys[n,q,i,a] = sum_b F[q,i,b] J[n,q,a,b]
-    phys = (F[None] @ J.transpose(0, 1, 3, 2)) / detJ_s[:, :, None, None]
-    w = _QW3[None, :] * detJ
+    if _RT0_F is None:
+        _RT0_F = _rt0_ref_shapes(_Q3)                    # (nq,6,3)
+    # contravariant Piola: u = J F / det J; phys phys^T = F (J^T J) F^T/det^2
+    G = np.einsum("nqba,nqbc->nqac", J, J)
+    w = _QW3[None, :] * detJ / (detJ_s * detJ_s)
     if coeff is not None:
         w = w * coeff
-    M = _quad_mass(w, phys)
+    M = _metric_mass(G * w[:, :, None, None], _RT0_F)
     return M * face_signs[:, :, None] * face_signs[:, None, :]
 
 
 def hex_l2_mass(coords, coeff=None):
     """(ne,1,1) cell-value mass = cell volume (weighted)."""
     J = _jacobians(coords, _Q3)
-    detJ = np.abs(np.linalg.det(J))
+    detJ = np.abs(_det3(J))
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
@@ -216,7 +298,7 @@ def hex_l2_mass(coords, coeff=None):
 
 def hex_volumes(coords):
     J = _jacobians(coords, _Q3)
-    return (np.abs(np.linalg.det(J)) * _QW3[None, :]).sum(axis=1)
+    return (np.abs(_det3(J)) * _QW3[None, :]).sum(axis=1)
 
 
 # ---------------------------------------------------------------------- #
@@ -241,7 +323,7 @@ def face_areas(coords4):
     """(nf,) areas of bilinear quad faces (coords in cycle order)."""
     _, F = _face_param(coords4, _Q2)
     G = F.transpose(0, 1, 3, 2) @ F
-    W = np.sqrt(np.linalg.det(G))
+    W = np.sqrt(_det2(G))
     return (W * _QW2[None, :]).sum(axis=1)
 
 
@@ -251,7 +333,7 @@ def face_h1_mass(coords4):
     N = np.stack([(1 - s) * (1 - t), s * (1 - t), s * t, (1 - s) * t], axis=1)
     _, F = _face_param(coords4, _Q2)
     G = F.transpose(0, 1, 3, 2) @ F
-    W = np.sqrt(np.linalg.det(G))
+    W = np.sqrt(_det2(G))
     w = _QW2[None, :] * W
     return (N.T[None] * w[:, None, :]) @ N
 
@@ -271,8 +353,8 @@ def face_nd_mass(coords4, edge_signs):
     Ehat[:, 3, 1] = -(1 - s)
     _, F = _face_param(coords4, _Q2)
     G = F.transpose(0, 1, 3, 2) @ F
-    Ginv = np.linalg.inv(G)
-    W = np.sqrt(np.linalg.det(G))
+    Ginv = _inv2(G)
+    W = np.sqrt(_det2(G))
     w = _QW2[None, :] * W
     # M_ij = sum_{q,b} w t[f,q,i,b] Ehat[q,j,b]  (batched GEMM)
     t = Ehat[None] @ Ginv                       # (f,q,i,b)
@@ -289,7 +371,7 @@ def face_rt_trace_mass(coords4):
     (= 1/area for planar faces), flux-dof convention."""
     _, F = _face_param(coords4, _Q2)
     G = F.transpose(0, 1, 3, 2) @ F
-    W = np.sqrt(np.linalg.det(G))
+    W = np.sqrt(_det2(G))
     return ((_QW2[None, :] / W).sum(axis=1))[:, None, None]
 
 

@@ -150,6 +150,62 @@ def find_minimal_intersection_sets(Z, skip_diag_less_than=0.5, tol=1e-10):
     )
 
 
+def minimal_intersection_sets_cols(S) -> sp.csr_matrix:
+    """Group the COLUMNS of S (entities) that are equal up to one global
+    sign — the linear-time equivalent of find_minimal_intersection_sets(
+    S.T @ S) without forming the quadratic Gram product (whose dense
+    per-group cliques dominated topology-coarsening time at scale).
+
+    Entity signatures are the sparse columns (the AE-membership /
+    bdr-attribute incidence); two entities share a MIS iff their columns are
+    identical up to sign; the output entry is the relative sign w.r.t. the
+    group's first (lowest-index) member. Empty columns are skipped.
+    Returns entity_MIS csr (ncols x n_mis) with +-1 entries."""
+    from parelag_tpu.mesh.entities import unique_rows
+    S = sp.csc_matrix(S)
+    S.sort_indices()
+    S.sum_duplicates()
+    n = S.shape[1]
+    counts = np.diff(S.indptr).astype(np.int64)
+    valid = counts >= 1
+    vidx = np.nonzero(valid)[0]
+    if vidx.size == 0:
+        return sp.csr_matrix((n, 0))
+    w = int(counts.max())
+    cnt_v = counts[vidx]
+    # padded (rows, normalized signs) signature table for valid columns
+    nv = vidx.size
+    rows_pad = np.full((nv, w), -1, dtype=np.int64)
+    vals_pad = np.zeros((nv, w), dtype=np.int64)
+    nnz_v = int(cnt_v.sum())
+    col_of = np.repeat(np.arange(nv, dtype=np.int64), cnt_v)
+    starts = S.indptr[vidx]
+    within = (np.arange(nnz_v, dtype=np.int64)
+              - np.repeat(sizes_cumsum0(cnt_v), cnt_v))
+    flat = np.repeat(starts, cnt_v) + within
+    rows_pad[col_of, within] = S.indices[flat]
+    first_sign = np.sign(S.data[starts]).astype(np.int64)
+    vals_pad[col_of, within] = (np.sign(S.data[flat]).astype(np.int64)
+                                * np.repeat(first_sign, cnt_v))
+    key = np.concatenate([rows_pad, vals_pad], axis=1)
+    _, first, inv = unique_rows(key)
+    # groups numbered by their first member (sequential first-touch order)
+    rank = np.empty(first.size, dtype=np.int64)
+    rank[np.argsort(first)] = np.arange(first.size)
+    mis_of = rank[inv]
+    orient = first_sign[first][inv] * first_sign      # o_rep * o_j
+    return sp.csr_matrix(
+        (orient.astype(np.float64), (vidx, mis_of)),
+        shape=(n, first.size))
+
+
+def sizes_cumsum0(sizes):
+    """Exclusive prefix sum (offsets without the trailing total)."""
+    out = np.zeros(sizes.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=out[1:])
+    return out
+
+
 def connected_components(partition, elem_elem, elem_attrib=None):
     """Split disconnected partitions into separate parts, drop empty parts,
     renumber contiguously (connectedComponents.hpp:22). If elem_attrib is

@@ -162,11 +162,11 @@ class AgglomeratedTopology:
         if coarsefaces_algo == 2:
             fc_AF = self._compute_coarse_facets_pairs(AE_fc)
         else:
-            Z = (AE_fc.T @ AE_fc).tocsr()
-            if self.facet_bdr_attribute is not None:
-                battr = self.facet_bdr_attribute
-                Z = (Z + battr @ battr.T).tocsr()
-            fc_AF = C.find_minimal_intersection_sets(Z, 0.5)
+            # group facets by identical (AE-pair, bdr-attr) signature
+            # columns — linear-time MIS without the quadratic Gram product
+            S = (AE_fc if self.facet_bdr_attribute is None
+                 else sp.vstack([AE_fc, self.facet_bdr_attribute.T]))
+            fc_AF = C.minimal_intersection_sets_cols(S)
             fc_AF = self._split_disconnected(fc_AF, 1)
         self.AEntity_entity[1] = fc_AF.T.tocsr()
         if check_topology:
@@ -193,8 +193,7 @@ class AgglomeratedTopology:
             for icodim in range(1, self.n_codim):
                 AE_fc2 = C.mult_orientation(self.AEntity_entity[icodim],
                                             self.B[icodim])
-                Z = (AE_fc2.T @ AE_fc2).tocsr()
-                rg_AF = C.find_minimal_intersection_sets(Z, 0.5)
+                rg_AF = C.minimal_intersection_sets_cols(AE_fc2)
                 if icodim + 1 < self.dim:
                     rg_AF = self._split_disconnected(rg_AF, icodim + 1)
                 self.AEntity_entity[icodim + 1] = rg_AF.T.tocsr()
