@@ -40,6 +40,34 @@ class SolverState:
         self.w_weight = w_weight
 
 
+class Block2x2Operator:
+    """2x2 saddle-point operator usable BOTH as a monolithic matrix (Krylov,
+    BoomerAMG-role direct solves — the reference's MonolithicBlockedOperator
+    Factory, ParELAG_MonolithicBlockedOperatorFactory.cpp) and as blocks
+    (Block Jacobi/GS/LDU, Bramble-Pasciak — MfemBlockOperator). Iterating
+    yields (M, Bt, B, C) so existing tuple-unpacking factories work."""
+
+    def __init__(self, M, Bt, B, C=None):
+        self.M = sp.csr_matrix(M)
+        self.Bt = sp.csr_matrix(Bt)
+        self.B = sp.csr_matrix(B)
+        self.C = None if C is None else sp.csr_matrix(C)
+
+    def __iter__(self):
+        return iter((self.M, self.Bt, self.B, self.C))
+
+    def monolithic(self) -> sp.csr_matrix:
+        return sp.bmat([[self.M, self.Bt], [self.B, self.C]],
+                       format="csr")
+
+
+def _as_matrix(op):
+    """Monolithic view for scalar-matrix solver types."""
+    if isinstance(op, Block2x2Operator):
+        return op.monolithic()
+    return op
+
+
 class Solver:
     """Common interface: solve(b) and apply(r) (preconditioner action)."""
 
@@ -95,7 +123,7 @@ class SolverFactory:
             return _HiptmairSolver(self, op, state)
         if t in ("Direct", "BoomerAMG", "AMS", "ADS"):
             return _DirectSolver(self, op, state)
-        if t in ("Block Jacobi", "Block Gauss-Seidel"):
+        if t in ("Block Jacobi", "Block Gauss-Seidel", "Block GS"):
             return _BlockSolver(self, op, state)
         if t == "Block LDU":
             from parelag_tpu.solvers.saddle_extra import Block2x2LDU
@@ -140,6 +168,7 @@ class _DirectSolver(Solver):
     (exact coarse and auxiliary-space solves)."""
 
     def __init__(self, fac, op, state):
+        op = _as_matrix(op)
         A = op.tocsc() if sp.issparse(op) else sp.csc_matrix(op)
         self._lu = spla.splu(A)
 
@@ -154,7 +183,7 @@ class _SmootherSolver(Solver):
         import jax.numpy as jnp
         kind = fac.sp.get("Type", "L1 Gauss-Seidel")
         sweeps = fac.sp.get("Sweeps", 1)
-        A = sp.csr_matrix(op)
+        A = sp.csr_matrix(_as_matrix(op))
         self._A = from_scipy(A, dtype=np.float64)
         if "Cheby" in kind or kind == "Chebyshev":
             self._sm = sm.make_chebyshev(
@@ -191,7 +220,7 @@ class _HiptmairSolver(Solver):
 
 class _KrylovSolver(Solver):
     def __init__(self, fac, op, state):
-        self._A = sp.csr_matrix(op)
+        self._A = sp.csr_matrix(_as_matrix(op))
         self._rtol = fac.sp.get("Relative tolerance", 1e-6)
         self._atol = fac.sp.get("Absolute tolerance", 1e-12)
         self._maxit = fac.sp.get("Maximum iterations", 500)
@@ -219,8 +248,19 @@ class _KrylovSolver(Solver):
                               atol=self._atol, maxiter=self._maxit,
                               callback=cb)
         elif self._kind == "MINRES":
-            x, info = spla.minres(self._A, b, M=M, rtol=self._rtol,
-                                  maxiter=self._maxit, callback=cb)
+            try:
+                x, info = spla.minres(self._A, b, M=M, rtol=self._rtol,
+                                      maxiter=self._maxit, callback=cb)
+            except ValueError:
+                # scipy's MINRES rejects indefinite/nonsymmetric
+                # preconditioners that the reference's hypre MINRES
+                # tolerates (e.g. AMG on a monolithic saddle system);
+                # fall back to GMRES for those compositions
+                it[0] = 0
+                x, info = spla.gmres(self._A, b, M=M, rtol=self._rtol,
+                                     atol=self._atol,
+                                     maxiter=self._maxit, restart=50,
+                                     callback=cb, callback_type="x")
         else:  # GMRES / FGMRES
             x, info = spla.gmres(self._A, b, M=M, rtol=self._rtol,
                                  atol=self._atol, maxiter=self._maxit,
@@ -258,7 +298,7 @@ class _AMGeSolver(Solver):
         max_lev = fac.sp.get("Maximum levels", -1)
         n_lev = len(seqs) if max_lev in (-1, None) else min(
             max_lev, len(seqs))
-        A_levels = [sp.csr_matrix(op)]
+        A_levels = [sp.csr_matrix(_as_matrix(op))]
         P_levels = []
         for l in range(n_lev - 1):
             P = seqs[l].P[form]
@@ -319,7 +359,7 @@ class _BlockSolver(Solver):
         self._M = sp.csr_matrix(M)
         self._B = sp.csr_matrix(B)
         self._Bt = sp.csr_matrix(Bt)
-        self._gs = fac.type == "Block Gauss-Seidel"
+        self._gs = fac.type in ("Block Gauss-Seidel", "Block GS")
         s_type = fac.sp.get("S Type", "Diagonal")
         dinv = 1.0 / self._M.diagonal()
         S = (self._B @ sp.diags(dinv) @ self._Bt).tocsr()
@@ -361,7 +401,8 @@ class _HybridizationSolver(Solver):
 
 class _StationarySolver(Solver):
     def __init__(self, fac, op, state):
-        self._A = sp.csr_matrix(op) if sp.issparse(op) else op
+        A = _as_matrix(op)
+        self._A = sp.csr_matrix(A) if sp.issparse(A) else A
         pf = fac._sub("Preconditioner") or fac._sub("Solver")
         self._prec = pf.build_solver(op, state)
         self._maxit = fac.sp.get("Maximum iterations", 20)
