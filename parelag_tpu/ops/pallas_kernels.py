@@ -95,3 +95,83 @@ def ell_matvec_best(A, x):
     if n % 256 == 0 and pallas_spmv_supported():
         return ell_spmv_pallas(A.indices, A.values, x)[: A.shape[0]]
     return ell_matvec(A, x)
+
+
+# ---------------------------------------------------------------------- #
+# BCSR SpMV: the production block-sparse layout (8x128 tiles). Keeps x
+# resident in VMEM as (mb, 128) lane-blocks, scalar-prefetches the
+# per-row-block column-block ids into SMEM, gathers the needed x-blocks
+# into a VMEM scratch and multiply-reduces against the tile stack.
+#
+# Status on the axon v5e stack (measured, 15,625-dof H1 operator,
+# (1954, 17, 8, 128) tiles): LOWERS AND RUNS CORRECTLY, but at ~807us vs
+# the XLA einsum path's ~250us. The per-x-block copies execute serially
+# (Mosaic's vectorized gather only supports take_along_axis-shaped
+# indices, lowering.py _gather_lowering_rule, so the arbitrary row gather
+# must be a fori_loop of dynamic reads), while XLA's fused gather is
+# vectorized — and the XLA path is already near bandwidth-optimal here:
+# the gathered operand is only 1/8 of the tile traffic, bounding any
+# fusion win at ~12%. The production SpMV therefore stays on the XLA
+# path (device_sparse.BcsrMatrix.matvec); this kernel is kept as the
+# measured baseline for revisiting when Mosaic grows a vectorized
+# arbitrary-row gather.
+# ---------------------------------------------------------------------- #
+def bcsr_spmv_pallas(col_blocks, tiles, x_pad, rb_tile=8):
+    """y (nbr*8,) = BCSR(col_blocks (nbr,kb) int32, tiles (nbr,kb,8,128))
+    @ x_pad (m_pad,), m_pad % 128 == 0, nbr % rb_tile == 0 (TPU block
+    tiling requires the trailing out dims to be (8k, 128k) or full)."""
+    nbr, kb, br, bc = tiles.shape
+    assert nbr % rb_tile == 0, "pad row-block count to a tile multiple"
+    x2 = x_pad.reshape(-1, bc)
+
+    def kernel(cb_ref, tiles_ref, x_ref, y_ref, xs):
+        i = pl.program_id(0)
+
+        def body(rk, carry):
+            r, k = rk // kb, rk % kb
+            xs[r, k, :] = x_ref[cb_ref[i * rb_tile + r, k], :]
+            return carry
+
+        jax.lax.fori_loop(0, rb_tile * kb, body, 0)
+        # (R, kb, br, bc) * (R, kb, 1, bc) summed over (kb, bc) on the VPU
+        # (tpu.matmul rejects multi-dim contractions)
+        y_ref[:] = jnp.sum(tiles_ref[:] * xs[:][:, :, None, :],
+                           axis=(1, 3))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr // rb_tile,),
+        in_specs=[
+            pl.BlockSpec((rb_tile, kb, br, bc),
+                         lambda i, s: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # x lane-blocks
+        ],
+        out_specs=pl.BlockSpec((rb_tile, br), lambda i, s: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((rb_tile, kb, bc), jnp.float32)],
+    )
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nbr, br), jnp.float32),
+        grid_spec=grid_spec,
+    )(col_blocks, tiles, x2)
+    return y.reshape(-1)
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_bcsr_supported() -> bool:
+    """Probe whether the pallas BCSR SpMV lowers + runs on the current
+    default backend (and produces the right numbers)."""
+    if not _HAS_PLTPU:
+        return False
+    try:
+        rng = np.random.RandomState(0)
+        cb = jnp.asarray(rng.randint(0, 4, size=(16, 3)), jnp.int32)
+        tiles = jnp.asarray(rng.randn(16, 3, 8, 128), jnp.float32)
+        x = jnp.asarray(rng.randn(4 * 128), jnp.float32)
+        y = np.asarray(bcsr_spmv_pallas(cb, tiles, x))
+        xr = np.asarray(x).reshape(4, 128)
+        ref = np.einsum("nkrc,nkc->nr", np.asarray(tiles),
+                        np.asarray(xr)[np.asarray(cb)]).reshape(-1)
+        return bool(np.abs(y - ref).max() < 1e-3 * np.abs(ref).max())
+    except Exception:
+        return False
