@@ -144,6 +144,15 @@ def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
             # compiles the same graph in seconds when tensors arrive as
             # parameters. On CPU the padded tiles only add overhead.
             fmt = "ell" if _jax.default_backend() == "cpu" else "bcsr"
+        if fmt == "dia":
+            # gather-free shift SpMV; viable when the (RCM-tightened)
+            # offset count stays moderate, else fall through to bcsr
+            from parelag_tpu.ops.device_sparse import to_dia, dia_n_offsets
+            nd = dia_n_offsets(M)
+            if (nd <= 1024 and nd * max(M.shape)
+                    * np.dtype(dtype).itemsize <= (1 << 30)):
+                return to_dia(M, dtype=dtype)
+            fmt = "bcsr"
         if fmt == "bcsr":
             B = to_bcsr(M, dtype=dtype)
             size_ok = (B.tiles.size * np.dtype(dtype).itemsize <= (1 << 29)

@@ -1,0 +1,61 @@
+"""Device sparse format correctness: ELL / BCSR / DIA against scipy,
+square + rectangular + multi-RHS, and hierarchy integration of the DIA
+(gather-free) format."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from parelag_tpu.ops.device_sparse import (
+    from_scipy, to_bcsr, to_dia, dia_n_offsets)
+
+
+@pytest.mark.parametrize("shape", [(300, 300), (200, 300), (300, 200)])
+def test_formats_match_scipy(shape):
+    rng = np.random.RandomState(0)
+    A = sp.random(*shape, density=0.03, random_state=rng).tocsr()
+    if shape[0] == shape[1]:
+        A = (A + sp.identity(shape[0])).tocsr()
+    x = rng.randn(shape[1])
+    X = rng.randn(shape[1], 5)
+    y = A @ x
+    E = from_scipy(A, dtype=np.float64)
+    assert np.allclose(np.asarray(E @ jnp.asarray(x)), y)
+    B = to_bcsr(A, dtype=np.float64)
+    assert np.allclose(np.asarray(B @ jnp.asarray(x)), y)
+    assert np.allclose(np.asarray(B @ jnp.asarray(X)), A @ X)
+    D = to_dia(A, dtype=np.float64)
+    assert np.allclose(np.asarray(D @ jnp.asarray(x)), y)
+    assert np.allclose(np.asarray(D @ jnp.asarray(X)), A @ X)
+
+
+def test_dia_n_offsets_banded():
+    A = sp.diags([1.0, 2.0, 3.0], offsets=[-2, 0, 5],
+                 shape=(50, 50)).tocsr()
+    assert dia_n_offsets(A) == 3
+
+
+def test_hierarchy_dia_format_matches_bcsr():
+    """A 2-level H1 hierarchy in DIA format produces the same V-cycle
+    application as the ELL build (digit-exact in f64)."""
+    from parelag_tpu.models.multigrid import build_seq_hierarchy
+    from parelag_tpu.models.upscaling import (
+        mark_dofs_on_bndr, boundary_rhs, eliminate_rowcols)
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    mesh, topos, seqs = build_seq_hierarchy(nref_parallel=1)
+    s = seqs[0]
+    M = s.compute_mass_operator(0)
+    W = s.compute_mass_operator(1)
+    A = (M + s.D[0].T @ W @ s.D[0]).tocsr()
+    b = boundary_rhs(s, 0, {1: -1.0})
+    marker = mark_dofs_on_bndr(s, 0, {2, 3, 4, 5})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    H1, _, _ = build_amge_hierarchy(seqs, 0, A, smoother="l1jacobi",
+                                    sweeps=1, matrix_format="dia")
+    H2, _, _ = build_amge_hierarchy(seqs, 0, A, smoother="l1jacobi",
+                                    sweeps=1, matrix_format="ell")
+    bj = jnp.asarray(b)
+    y1 = np.asarray(H1.apply(bj))
+    y2 = np.asarray(H2.apply(bj))
+    assert np.abs(y1 - y2).max() < 1e-12 * max(np.abs(y2).max(), 1)
