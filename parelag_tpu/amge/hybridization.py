@@ -68,15 +68,16 @@ class HybridHdivL2:
             if battr is not None else np.zeros(len(facet_udofs), dtype=bool)
 
         # dof -> facet map (only for facet-supported dofs)
+        from parelag_tpu.ops import ragged as Rg
+        fu_cat, fu_off = Rg.lists_to_cat(facet_udofs)
         dof_facet = np.full(nu, -1, dtype=np.int64)
-        for f, dofs in enumerate(facet_udofs):
-            dof_facet[dofs] = f
+        dof_facet[fu_cat] = np.repeat(
+            np.arange(len(facet_udofs)), np.diff(fu_off))
 
         # ---- multiplier dofs: one per Hdiv dof on an active facet ---- #
         active_facet = (facet_nelem == 2) | facet_is_bdr
         has_mult = np.zeros(nu, dtype=bool)
-        for f in np.nonzero(active_facet)[0]:
-            has_mult[facet_udofs[f]] = True
+        has_mult[fu_cat[np.repeat(active_facet, np.diff(fu_off))]] = True
         self.mult_of_dof = np.full(nu, -1, dtype=np.int64)
         self.mult_of_dof[has_mult] = np.arange(has_mult.sum())
         self.dof_of_mult = np.nonzero(has_mult)[0]
@@ -85,74 +86,104 @@ class HybridHdivL2:
 
         # essential multipliers: natural-BC boundary dofs
         dof_is_bdr = np.zeros(nu, dtype=bool)
-        for f in np.nonzero(facet_is_bdr)[0]:
-            dof_is_bdr[facet_udofs[f]] = True
+        dof_is_bdr[fu_cat[np.repeat(facet_is_bdr, np.diff(fu_off))]] = True
         self.ess_mult = np.zeros(n_mult, dtype=bool)
         sel = dof_is_bdr & (~ess_hdiv) & has_mult
         self.ess_mult[self.mult_of_dof[sel]] = True
 
-        # ---- per-element elimination ---- #
+        # ---- per-element elimination, shape-grouped and batched ---- #
+        # (the reference's per-element LDL loop, HybridHdivL2.cpp:74-528;
+        # here one batched inverse per shape group — embarrassingly
+        # parallel, device-ready)
         Bg = self.B
         H = C.coo_builder()
         self.elem_udofs = elem_udofs
         self.elem_pdofs = elem_pdofs
-        self.elem_mult = []
-        self.AinvCT = []
-        self.Alu = []
-        self.Cloc = []
         cct_diag = np.zeros(n_mult)
         cbt1 = np.zeros(n_mult)
         l2const = seq.L2_const_rep
 
-        for e in range(ne):
-            ud = np.asarray(elem_udofs[e])
-            pd = np.asarray(elem_pdofs[e])
-            k, m = ud.size, pd.size
-            A = np.zeros((k + m, k + m))
-            Mloc = np.asarray(elem_Mblocks[e])
+        ud_cat, ud_off = Rg.lists_to_cat(elem_udofs)
+        pd_cat, pd_off = Rg.lists_to_cat(elem_pdofs)
+        Bls = C.extract_blocks_cat(Bg, pd_cat, pd_off, ud_cat, ud_off)
+        Wls = (C.extract_blocks_cat(self.Wmass, pd_cat, pd_off,
+                                    pd_cat, pd_off)
+               if self.W_weight != 0.0 else None)
+        # element -> facet sign lookup (orientation of the element's side)
+        B0coo = B0.tocoo()
+        sign_of = sp.csr_matrix(
+            (B0coo.data, (B0coo.row, B0coo.col)), shape=B0.shape)
+
+        # per-element multiplier structure (flat): for each element dof,
+        # its multiplier id (or -1) and constraint sign
+        elem_of = np.repeat(np.arange(ne), np.diff(ud_off))
+        mi_cat = self.mult_of_dof[ud_cat]
+        f_cat = dof_facet[ud_cat]
+        # sign: +1 on boundary dofs, else the element's B0 orientation
+        s_cat = np.where(
+            dof_is_bdr[ud_cat], 1.0,
+            np.asarray(sign_of[elem_of, f_cat]).ravel())
+        keep = mi_cat >= 0
+        # local multiplier tables per element (interior-order = dof order)
+        lm_counts = np.bincount(elem_of[keep], minlength=ne)
+        lm_off = Rg.sizes_to_offsets(lm_counts)
+        lm_cat = mi_cat[keep]
+        lrow_cat = (np.arange(ud_cat.size, dtype=np.int64)
+                    - np.repeat(ud_off[:-1], np.diff(ud_off)))[keep]
+        ls_cat = s_cat[keep]
+
+        self._groups = []
+        ksz = np.diff(ud_off)
+        msz = np.diff(pd_off)
+        sig = list(zip(ksz, msz, lm_counts))
+        mblk_cat, mblk_off, mb_vals, mb_voff = (None,) * 4
+        for (k, m, nl), idxs in Rg.group_by(sig).items():
+            k, m, nl = int(k), int(m), int(nl)
+            ii = np.asarray(idxs, dtype=np.int64)
+            nsys = k + m
+            A = np.zeros((ii.size, nsys, nsys))
+            Mst = Rg.take(elem_Mblocks, ii, (k, k))
             if elem_matrix_scaling is not None:
-                Mloc = Mloc * elem_matrix_scaling[e]
-            A[:k, :k] = Mloc
-            Bl = C.extract_submatrix(Bg, pd, ud)
-            A[k:, :k] = Bl
-            A[:k, k:] = Bl.T
-            if self.W_weight != 0.0:
-                Wl = C.extract_submatrix(self.Wmass, pd, pd)
-                A[k:, k:] = -self.W_weight * Wl
+                Mst = Mst * np.asarray(elem_matrix_scaling)[ii, None, None]
+            A[:, :k, :k] = Mst
+            Bst = Rg.take(Bls, ii, (m, k))
+            A[:, k:, :k] = Bst
+            A[:, :k, k:] = Bst.transpose(0, 2, 1)
+            if Wls is not None:
+                A[:, k:, k:] = -self.W_weight * Rg.take(Wls, ii, (m, m))
 
-            # local multipliers: dofs of this element with a multiplier,
-            # constraint sign = B0[e, facet] for interior facets, +1 on bdr
-            lm, sgn, lrow = [], [], []
-            pos = {int(d): i for i, d in enumerate(ud)}
-            row = B0[e]
-            fsigns = {int(f): s for f, s in zip(row.indices, row.data)}
-            for i, d in enumerate(ud):
-                mi = self.mult_of_dof[d]
-                if mi < 0:
-                    continue
-                f = dof_facet[d]
-                lm.append(mi)
-                lrow.append(i)
-                sgn.append(1.0 if dof_is_bdr[d] else fsigns[int(f)])
-            lm = np.asarray(lm, dtype=np.int64)
-            Cl = np.zeros((lm.size, k + m))
-            Cl[np.arange(lm.size), lrow] = sgn
-            lu = scipy.linalg.lu_factor(A)
-            AinvCT = scipy.linalg.lu_solve(lu, Cl.T)
-            Hloc = Cl @ AinvCT
-            Hloc = 0.5 * (Hloc + Hloc.T)
-            H.add_block(lm, lm, Hloc)
+            lm_st = lm_cat[lm_off[ii][:, None] + np.arange(nl)]
+            lr_st = lrow_cat[lm_off[ii][:, None] + np.arange(nl)]
+            ls_st = ls_cat[lm_off[ii][:, None] + np.arange(nl)]
+            Cst = np.zeros((ii.size, nl, nsys))
+            bidx = np.repeat(np.arange(ii.size), nl)
+            Cst[bidx, np.tile(np.arange(nl), ii.size),
+                lr_st.ravel()] = ls_st.ravel()
 
-            self.elem_mult.append(lm)
-            self.AinvCT.append(AinvCT)
-            self.Alu.append(lu)
-            self.Cloc.append(Cl)
+            Ainv = np.linalg.inv(A)
+            AinvCT = Ainv @ Cst.transpose(0, 2, 1)
+            Hloc = Cst @ AinvCT
+            Hloc = 0.5 * (Hloc + Hloc.transpose(0, 2, 1))
+            H.add_blocks_var(
+                lm_st.ravel(), np.arange(ii.size + 1) * nl,
+                lm_st.ravel(), np.arange(ii.size + 1) * nl,
+                Hloc.ravel())
 
             # rescaling vector pieces
-            cct_diag[lm] += (Cl ** 2).sum(axis=1)
-            one = np.zeros(k + m)
-            one[k:] = l2const[pd]
-            cbt1[lm] += Cl @ (A @ one)
+            np.add.at(cct_diag, lm_st.ravel(),
+                      (Cst ** 2).sum(axis=2).ravel())
+            one = np.zeros((ii.size, nsys))
+            one[:, k:] = l2const[pd_cat[pd_off[ii][:, None]
+                                        + np.arange(m)]]
+            Aone = np.einsum("bij,bj->bi", A, one)
+            np.add.at(cbt1, lm_st.ravel(),
+                      np.einsum("blj,bj->bl", Cst, Aone).ravel())
+
+            self._groups.append(dict(
+                idxs=ii, k=k, m=m, nl=nl,
+                ud=ud_cat[ud_off[ii][:, None] + np.arange(k)],
+                pd=pd_cat[pd_off[ii][:, None] + np.arange(m)],
+                lm=lm_st, Ainv=Ainv, AinvCT=AinvCT))
 
         Hcsr = H.tocsr((n_mult, n_mult), sum_duplicates=True)
         Hcsr.sum_duplicates()
@@ -162,35 +193,30 @@ class HybridHdivL2:
     # ------------------------------------------------------------------ #
     def rhs_transform(self, rhs_u, rhs_p):
         """(HybridHdivL2::RHSTransform) returns (hybrid_rhs, essential_data)
-        and caches per-element A^{-1} f for recovery."""
+        and caches per-element A^{-1} f for recovery (batched)."""
         g = np.zeros(self.n_mult)
         ess_data = np.zeros(self.n_mult)
-        self.Ainv_f = []
-        for e in range(len(self.elem_udofs)):
-            ud = np.asarray(self.elem_udofs[e])
-            pd = np.asarray(self.elem_pdofs[e])
-            k = ud.size
-            f = np.concatenate([np.zeros(k), rhs_p[pd]])
-            af = scipy.linalg.lu_solve(self.Alu[e], f)
-            self.Ainv_f.append(af)
-            g[self.elem_mult[e]] += self.AinvCT[e].T @ f
-            for i, d in enumerate(ud):
-                mi = self.mult_of_dof[d]
-                if mi >= 0:
-                    ess_data[mi] = -rhs_u[d]
+        sel = self.mult_of_dof >= 0
+        ess_data[self.mult_of_dof[sel]] = -np.asarray(rhs_u)[sel]
+        for grp in self._groups:
+            k, m = grp["k"], grp["m"]
+            f = np.zeros((grp["idxs"].size, k + m))
+            f[:, k:] = np.asarray(rhs_p)[grp["pd"]]
+            grp["Ainv_f"] = np.einsum("bij,bj->bi", grp["Ainv"], f)
+            np.add.at(g, grp["lm"].ravel(),
+                      np.einsum("bjl,bj->bl", grp["AinvCT"], f).ravel())
         return g, ess_data
 
     def recover(self, mu):
         """(HybridHdivL2::RecoverOriginalSolution) multipliers -> (u, p)."""
         u = np.zeros(self.nu)
         p = np.zeros(self.np)
-        for e in range(len(self.elem_udofs)):
-            ud = np.asarray(self.elem_udofs[e])
-            pd = np.asarray(self.elem_pdofs[e])
-            k = ud.size
-            v = self.AinvCT[e] @ mu[self.elem_mult[e]] - self.Ainv_f[e]
-            u[ud] = -v[:k]
-            p[pd] = -v[k:]
+        for grp in self._groups:
+            k = grp["k"]
+            v = (np.einsum("bjl,bl->bj", grp["AinvCT"],
+                           mu[grp["lm"]]) - grp["Ainv_f"])
+            u[grp["ud"]] = -v[:, :k]
+            p[grp["pd"]] = -v[:, k:]
         return u, p
 
     # ------------------------------------------------------------------ #

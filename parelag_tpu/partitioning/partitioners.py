@@ -229,6 +229,12 @@ def graph_partition(elem_elem, n_parts, weights=None, seed=0,
     w = np.ones(n) if weights is None else np.asarray(weights, dtype=float)
     target = w.sum() / n_parts
 
+    if n > 20000:
+        # large-graph fast path: the greedy grower's farthest-point seeding
+        # is O(n_parts * n) in Python; the vectorized multi-source grower
+        # is O(E) per sweep (the SPE10-scale regime: ~64 elements/part)
+        return _fast_partition(A, n_parts, w, seed)
+
     rng = np.random.RandomState(seed)
     # spread seeds by repeated farthest-point BFS
     seeds = [int(rng.randint(n))]
@@ -292,6 +298,134 @@ def graph_partition(elem_elem, n_parts, weights=None, seed=0,
                 moved += 1
         if moved == 0:
             break
+    return part
+
+
+def _fast_partition(A, n_parts, w, seed, balance_rounds=30,
+                    refine_rounds=4):
+    """Vectorized contiguous k-way partition for large graphs: BFS-order
+    strided seeding, multi-source level-synchronous label growth (ties go
+    to the currently-smaller part), then batched balance/refine rounds —
+    every step O(E) numpy, no per-node Python."""
+    from parelag_tpu.ops.ragged import ranges_cat
+    n = A.shape[0]
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int64)
+
+    def frontier_neighbors(frontier):
+        cat, _ = ranges_cat(indptr[frontier], indptr[frontier + 1])
+        nb = indices[cat]
+        src = np.repeat(frontier, np.diff(
+            np.stack([indptr[frontier], indptr[frontier + 1]]).T,
+            axis=1).ravel())
+        return nb, src
+
+    # seeds: stride the BFS visit order (spatially spread on mesh graphs)
+    rng = np.random.RandomState(seed)
+    start = int(rng.randint(n))
+    order = np.full(n, -1, dtype=np.int64)
+    order[start] = 0
+    frontier = np.array([start], dtype=np.int64)
+    visited = 1
+    chunks = [frontier]
+    while frontier.size:
+        nb, _ = frontier_neighbors(frontier)
+        nb = np.unique(nb)
+        nb = nb[order[nb] < 0]
+        order[nb] = 1
+        chunks.append(nb)
+        frontier = nb
+        visited += nb.size
+    bfs_order = np.concatenate(chunks)
+    if bfs_order.size < n:                  # disconnected leftovers
+        rest = np.setdiff1d(np.arange(n), bfs_order)
+        bfs_order = np.concatenate([bfs_order, rest])
+    seeds = bfs_order[np.linspace(0, n - 1, n_parts).astype(np.int64)]
+    seeds = np.unique(seeds)
+    while seeds.size < n_parts:             # collisions: top up randomly
+        extra = rng.randint(n, size=n_parts - seeds.size)
+        seeds = np.unique(np.concatenate([seeds, extra]))
+    seeds = seeds[:n_parts]
+
+    part = np.full(n, -1, dtype=np.int64)
+    part[seeds] = np.arange(n_parts)
+    size = np.zeros(n_parts)
+    np.add.at(size, part[seeds], w[seeds])
+    frontier = seeds
+    while True:
+        if frontier.size == 0:
+            un = np.nonzero(part < 0)[0]
+            if un.size == 0:
+                break
+            p = int(np.argmin(size))
+            part[un[0]] = p
+            size[p] += w[un[0]]
+            frontier = un[:1]
+            continue
+        nb, src = frontier_neighbors(frontier)
+        lab = part[src]
+        m = part[nb] < 0
+        nb, lab = nb[m], lab[m]
+        if nb.size == 0:
+            frontier = np.zeros(0, dtype=np.int64)
+            continue
+        # ties between parts claiming the same node: smaller part wins
+        srank = np.argsort(np.argsort(size))
+        o = np.lexsort((srank[lab], nb))
+        nb, lab = nb[o], lab[o]
+        first = np.ones(nb.size, dtype=bool)
+        first[1:] = nb[1:] != nb[:-1]
+        nb, lab = nb[first], lab[first]
+        part[nb] = lab
+        np.add.at(size, lab, w[nb])
+        frontier = nb
+
+    target = w.sum() / n_parts
+    for phase, rounds in (("balance", balance_rounds),
+                          ("refine", refine_rounds)):
+        for _ in range(rounds):
+            # per-node dominant neighbor part + own-part neighbor count
+            coo = A.tocoo()
+            m = coo.row != coo.col
+            r, c = coo.row[m], coo.col[m]
+            key = r.astype(np.int64) * n_parts + part[c]
+            uk, cnt = np.unique(key, return_counts=True)
+            ur, up = uk // n_parts, uk % n_parts
+            # best foreign part per node (max count)
+            own = part[ur] == up
+            own_cnt = np.zeros(n, dtype=np.int64)
+            own_cnt[ur[own]] = cnt[own]
+            fr, fp, fc = ur[~own], up[~own], cnt[~own]
+            if fr.size == 0:
+                break
+            o = np.lexsort((-fc, fr))
+            fr, fp, fc = fr[o], fp[o], fc[o]
+            first = np.ones(fr.size, dtype=bool)
+            first[1:] = fr[1:] != fr[:-1]
+            cand_u, cand_p, cand_c = fr[first], fp[first], fc[first]
+            gain = cand_c - own_cnt[cand_u]
+            if phase == "balance":
+                movers = ((size[part[cand_u]] > 1.1 * target)
+                          & (size[cand_p] < size[part[cand_u]])
+                          & (gain >= 0))
+            else:
+                movers = ((gain > 0)
+                          & (size[part[cand_u]] - w[cand_u]
+                             >= 0.6 * target)
+                          & (size[cand_p] + w[cand_u] <= 1.4 * target))
+            if not movers.any():
+                break
+            # cap: move at most a third of each part's movers per round
+            # (batched moves approximate the sequential KL sweep)
+            mu = cand_u[movers]
+            mp = cand_p[movers]
+            sel = rng.rand(mu.size) < 0.5
+            if not sel.any():
+                sel[:] = True
+            mu, mp = mu[sel], mp[sel]
+            np.add.at(size, part[mu], -w[mu])
+            np.add.at(size, mp, w[mu])
+            part[mu] = mp
     return part
 
 
