@@ -1,49 +1,77 @@
-"""Benchmark: H1 AMGe V-cycle-PCG solve throughput on the local accelerator.
+"""Benchmark: AMGe solve-phase throughput on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (the flagship lane):
+  {"metric", "value", "unit", "vs_baseline"}
+plus extra lanes as JSON lines on stderr.
 
-The reference publishes no benchmark numbers (BASELINE.md): its de facto
-baseline is golden accuracy plus unasserted TimeManager timings. As the
-stable cross-round metric we use solve-phase throughput (dofs * CG iterations
-per second of wall-clock, including preconditioner applications) of the
-flagship H1 AMGe solver. vs_baseline is measured against NOMINAL_REF =
-5e6 dof*iter/s, a generous estimate of the reference's single-rank
-hypre-PCG throughput on server CPUs for this problem class.
+Lanes:
+  h1_1m      — flagship: 1,030,301-dof H1 Poisson, 4-level AMGe V-cycle
+               PCG in f32 (DIA operator format: the lexicographic grid
+               numbering makes every level-0 SpMV gather-free).
+  darcy_hyb  — hybridized Darcy (RT x L2, 32^3 cells): batched element
+               elimination + device PCG on the multiplier system.
+  h1_multirhs— 16 simultaneous right-hand sides (block PCG sweep), the
+               MXU-utilization lane.
+
+vs_baseline is MEASURED: the same operator, same V-cycle preconditioner
+and same tolerance solved on the host (scipy CSR matvecs + numpy
+smoothing — the reference's single-rank CPU execution model), timed on
+this machine. Values > 1 mean the TPU beats the measured CPU anchor.
+
+Timing: on this TPU stack block_until_ready() does NOT synchronize (the
+tunnel pipelines dispatches), so throughput is the slope between two
+pipelined batches, each terminated by a forced device->host read.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-NOMINAL_REF = 5.0e6
+SCALE = os.environ.get("BENCH_SCALE", "full")
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _slope_time(run_once, warm=5, n1=10, n2=30):
+    """Amortized per-call wall time via pipelined batch slope."""
+    def batch(k):
+        t0 = time.time()
+        out = None
+        for _ in range(k):
+            out = run_once()
+        float(np.asarray(out).ravel()[0])   # true sync
+        return time.time() - t0
+    for _ in range(warm):
+        run_once()
+    batch(max(warm, 3))
+    t1 = batch(n1)
+    t2 = batch(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+def _build_h1(nx):
     from parelag_tpu.mesh.mesh import hex_grid_mesh
     from parelag_tpu.topology.topology import AgglomeratedTopology
     from parelag_tpu.amge.fespace import DeRhamSequenceFE
-    from parelag_tpu.partitioning.partitioners import refined_mesh_partition
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
     from parelag_tpu.models.upscaling import (
         mark_dofs_on_bndr, boundary_rhs, eliminate_rowcols)
-    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
-    from parelag_tpu.solvers.cg import pcg
 
-    t_setup = time.time()
-    mesh = hex_grid_mesh(6, 6, 6)
-    mesh = mesh.uniform_refinement().uniform_refinement()   # 13824 elements
-    topo0 = AgglomeratedTopology.from_mesh(mesh)
-    t1 = topo0.coarsen_local_partitioning(
-        refined_mesh_partition(13824, 1728))
-    t2 = t1.coarsen_local_partitioning(refined_mesh_partition(1728, 216))
-    seq0 = DeRhamSequenceFE(topo0, mesh)
+    mesh = hex_grid_mesh(nx, nx, nx)
+    topos = [AgglomeratedTopology.from_mesh(mesh)]
+    seqs = []
+    shape = (nx, nx, nx)
+    while min(shape) >= 4 and np.prod(
+            [s // 2 for s in shape]) >= 256:
+        part = cartesian_partition(shape, tuple(s // 2 for s in shape))
+        topos.append(topos[-1].coarsen_local_partitioning(part))
+        shape = tuple(s // 2 for s in shape)
+    seq0 = DeRhamSequenceFE(topos[0], mesh)
     seq0.set_upscaling_targets(0)
-    seq1 = seq0.coarsen()
-    seq2 = seq1.coarsen()
-    seqs = [seq0, seq1, seq2]
+    seqs = [seq0]
+    for _ in range(len(topos) - 1):
+        seqs.append(seqs[-1].coarsen())
 
     M = seq0.compute_mass_operator(0)
     W = seq0.compute_mass_operator(1)
@@ -52,22 +80,79 @@ def main():
     b = boundary_rhs(seq0, 0, {1: -1.0})
     marker = mark_dofs_on_bndr(seq0, 0, {2, 3, 4, 5})
     A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
-    dtype = np.float32
-    H, _, _ = build_amge_hierarchy(seqs, 0, A.astype(dtype),
-                                   smoother="l1jacobi", sweeps=2,
-                                   dtype=dtype)
-    bj = jnp.asarray(b.astype(dtype))
-    ndofs = A.shape[0]
-    print(f"setup: {time.time()-t_setup:.1f}s ndofs={ndofs} "
-          f"fmt={type(H.levels[0].A).__name__} "
-          f"device={jax.devices()[0]}", file=sys.stderr)
+    return seqs, A, b
 
-    # Mixed precision: Krylov vectors, dots and the A-matvec in f32; the
-    # V-cycle preconditioner streams bf16 tiles (SpMV is HBM-bound, so this
-    # buys ~25%). The hierarchy is a jit ARGUMENT (pytree), not a closure
-    # constant: multi-MB constants embedded in an XLA module make the TPU
-    # compile pathologically slow (minutes), while the identical graph with
-    # the matrices passed as parameters compiles in seconds.
+
+def _host_vcycle_pcg(A_levels, P_levels, b, rtol, maxiter=100, sweeps=2):
+    """The CPU anchor: identical V(2,2)-cycle-preconditioned CG executed
+    with scipy CSR matvecs and numpy vectors on the host."""
+    import scipy.sparse as sp
+    dinvs = []
+    for A in A_levels:
+        d = np.asarray(np.abs(A).sum(axis=1)).ravel()
+        dinvs.append(1.0 / np.where(d > 0, d, 1.0))
+    coarse_inv = np.linalg.inv(A_levels[-1].toarray())
+
+    def smooth(l, bb, x):
+        for _ in range(sweeps):
+            x = x + dinvs[l] * (bb - A_levels[l] @ x)
+        return x
+
+    def cycle(l, bb):
+        if l == len(A_levels) - 1:
+            return coarse_inv @ bb
+        x = smooth(l, bb, np.zeros_like(bb))
+        r = bb - A_levels[l] @ x
+        x = x + P_levels[l] @ cycle(l + 1, P_levels[l].T @ r)
+        return smooth(l, bb, x)
+
+    x = np.zeros_like(b)
+    r = b.copy()
+    z = cycle(0, r)
+    p = z
+    rz = r @ z
+    nrm0 = np.linalg.norm(b)
+    it = 0
+    while it < maxiter:
+        Ap = A_levels[0] @ p
+        alpha = rz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        if np.linalg.norm(r) <= rtol * nrm0:
+            break
+        z = cycle(0, r)
+        rz_new = r @ z
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+        it += 1
+    return x, it + 1
+
+
+def lane_h1(nx, n_rhs=None):
+    import jax
+    import jax.numpy as jnp
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    from parelag_tpu.solvers.cg import pcg
+    from parelag_tpu.solvers.hierarchy import rap
+
+    t0 = time.time()
+    seqs, A, b = _build_h1(nx)
+    ndofs = A.shape[0]
+    dtype = np.float32
+    H, A_levels, P_levels = build_amge_hierarchy(
+        seqs, 0, A.astype(dtype), smoother="l1jacobi", sweeps=2,
+        dtype=dtype, matrix_format="dia")
+    setup_s = time.time() - t0
+    print(f"[h1] setup {setup_s:.1f}s ndofs={ndofs} "
+          f"levels={len(H.levels)} "
+          f"fmt={type(H.levels[0].A).__name__}", file=sys.stderr)
+
+    bj = jnp.asarray(b.astype(dtype))
+    if n_rhs:
+        rng = np.random.RandomState(0)
+        B = rng.randn(ndofs, n_rhs).astype(dtype)
+        Bj = jnp.asarray(B)
+
     Hb = H.cast(jnp.bfloat16)
 
     @jax.jit
@@ -77,35 +162,123 @@ def main():
         return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=precond,
                    rtol=1e-5, atol=0.0, maxiter=100)
 
-    # warmup/compile
     x, (it, nom) = solve(H, Hb, bj)
     niter = int(it)
-    res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
+    res = float(np.linalg.norm(
+        b - A @ np.asarray(x, dtype=np.float64)))
     rel = res / float(np.linalg.norm(b))
-    print(f"iters={niter} rel_res={rel:.2e}", file=sys.stderr)
+    dt = _slope_time(lambda: solve(H, Hb, bj)[0])
+    thr = ndofs * niter / dt
+    out = dict(metric="h1_amge_vcycle_pcg_throughput", ndofs=ndofs,
+               iters=niter, rel_res=rel, solve_s=dt,
+               value=thr, unit="dof_iter_per_s", setup_s=setup_s)
 
-    # Timing: on this TPU stack block_until_ready() does NOT synchronize
-    # (the tunnel pipelines dispatches), so we measure the amortized
-    # steady-state cost as a slope between two pipelined batches, each
-    # terminated by a forced device->host read of the last result.
-    def run_batch(nreps):
-        t0 = time.time()
-        xx = None
-        for _ in range(nreps):
-            xx, _ = solve(H, Hb, bj)
-        float(np.asarray(xx)[0])        # true sync: all nreps completed
-        return time.time() - t0
+    # ---- measured CPU anchor: identical algorithm on the host ---- #
+    Ah = [a.astype(np.float64) for a in A_levels]
+    Ph = [p.astype(np.float64) for p in P_levels]
+    t0 = time.time()
+    xh, ith = _host_vcycle_pcg(Ah, Ph, b, rtol=1e-5)
+    host_dt = time.time() - t0
+    out["host_solve_s"] = host_dt
+    out["host_iters"] = ith
+    out["host_value"] = ndofs * ith / host_dt
+    out["vs_baseline"] = thr / out["host_value"]
 
-    run_batch(5)                        # fill the pipeline
-    t_small = run_batch(20)
-    t_large = run_batch(60)
-    dt = (t_large - t_small) / 40.0
-    value = ndofs * niter / dt
+    if n_rhs:
+        # pcg handles (n, s) multi-RHS natively (columnwise dots)
+        @jax.jit
+        def solve_multi(Harg, Hbarg, BB):
+            def precond(R):
+                return Hbarg.apply(
+                    R.astype(jnp.bfloat16)).astype(jnp.float32)
+            return pcg(lambda V: Harg.levels[0].A @ V, BB,
+                       precond=precond, rtol=1e-5, atol=0.0, maxiter=100)
+        try:
+            Xm, (itm, _) = solve_multi(H, Hb, Bj)
+            dtm = _slope_time(lambda: solve_multi(H, Hb, Bj)[0])
+            out["multirhs"] = dict(
+                n_rhs=n_rhs, iters=int(itm),
+                value=ndofs * int(itm) * n_rhs / dtm,
+                unit="dof_iter_per_s")
+        except Exception as e:           # pragma: no cover
+            print(f"[h1] multirhs lane skipped: {e}", file=sys.stderr)
+    return out
+
+
+def lane_darcy_hybridized(nx):
+    """Hybridized Darcy: batched per-element elimination + device PCG on
+    the multiplier system (examples/MultigridTestDarcy_Hybrid analog)."""
+    import jax
+    import jax.numpy as jnp
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.amge.hybridization import HybridHdivL2
+    from parelag_tpu.amge import hexfe
+    from parelag_tpu.ops.device_sparse import from_scipy
+    from parelag_tpu.solvers.cg import pcg
+    import scipy.sparse as sp
+
+    t0 = time.time()
+    mesh = hex_grid_mesh(nx, nx, nx)
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    seq = DeRhamSequenceFE(topo, mesh)
+    seq.jform_start = 2
+    hyb = HybridHdivL2(seq)
+    vols = hexfe.hex_volumes(mesh.vertices[mesh.elements])
+    rhs_u = np.zeros(seq.dof[2].ndofs)
+    g, ess_data = hyb.rhs_transform(rhs_u, vols)
+    keep = ~hyb.ess_mult
+    Hff = hyb.hybrid_system[keep][:, keep].tocsr()
+    d = hyb.rescaling[keep]
+    d = np.where(np.abs(d) > 0, d, 1.0)
+    Hs = (sp.diags(d) @ Hff @ sp.diags(d)).tocsr().astype(np.float32)
+    gf = (d * g[keep]).astype(np.float32)
+    setup_s = time.time() - t0
+
+    Hd = from_scipy(Hs, dtype=np.float32)
+    dinv = jnp.asarray((1.0 / Hs.diagonal()).astype(np.float32))
+    gj = jnp.asarray(gf)
+
+    @jax.jit
+    def solve(Hdev, di, bb):
+        return pcg(lambda v: Hdev @ v, bb, precond=lambda r: di * r,
+                   rtol=1e-6, atol=0.0, maxiter=500)
+
+    x, (it, nom) = solve(Hd, dinv, gj)
+    niter = int(it)
+    res = float(np.linalg.norm(gf - Hs @ np.asarray(x)))
+    dt = _slope_time(lambda: solve(Hd, dinv, gj)[0])
+    n = Hs.shape[0]
+    return dict(metric="darcy_hybridized_multiplier_pcg",
+                n_mult=n, cells=nx ** 3, iters=niter,
+                rel_res=res / max(float(np.linalg.norm(gf)), 1e-30),
+                setup_s=setup_s, solve_s=dt,
+                value=n * niter / dt, unit="dof_iter_per_s")
+
+
+def main():
+    big = 96 if SCALE == "full" else 24
+    darcy_nx = 32 if SCALE == "full" else 12
+    n_rhs = 16
+
+    out = lane_h1(big, n_rhs=n_rhs)
+    multirhs = out.pop("multirhs", None)
+    print(json.dumps({"lane": "h1", **out}), file=sys.stderr)
+    if multirhs:
+        print(json.dumps({"lane": "h1_multirhs", **multirhs}),
+              file=sys.stderr)
+    try:
+        d = lane_darcy_hybridized(darcy_nx)
+        print(json.dumps({"lane": "darcy_hyb", **d}), file=sys.stderr)
+    except Exception as e:               # pragma: no cover
+        print(f"[darcy] lane failed: {e}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "h1_amge_vcycle_pcg_throughput",
-        "value": value,
-        "unit": "dof_iter_per_s",
-        "vs_baseline": value / NOMINAL_REF,
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
     }))
 
 
