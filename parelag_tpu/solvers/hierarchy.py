@@ -145,11 +145,13 @@ def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
             # parameters. On CPU the padded tiles only add overhead.
             fmt = "ell" if _jax.default_backend() == "cpu" else "bcsr"
         if fmt == "dia":
-            # gather-free shift SpMV; viable when the (RCM-tightened)
-            # offset count stays moderate, else fall through to bcsr
+            # gather-free shift SpMV. The scan over diagonals is SERIAL,
+            # so DIA only wins when the offset count is small (the
+            # 27-diagonal lexicographic-grid case); coarse RAP levels are
+            # not banded and must fall through to bcsr
             from parelag_tpu.ops.device_sparse import to_dia, dia_n_offsets
             nd = dia_n_offsets(M)
-            if (nd <= 1024 and nd * max(M.shape)
+            if (nd <= 48 and nd * max(M.shape)
                     * np.dtype(dtype).itemsize <= (1 << 30)):
                 return to_dia(M, dtype=dtype)
             fmt = "bcsr"
