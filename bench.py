@@ -50,7 +50,7 @@ def _slope_time(run_once, warm=5, n1=10, n2=30):
     return (t2 - t1) / (n2 - n1)
 
 
-def _build_h1(nx):
+def _build_h1(nx, min_coarse=256):
     from parelag_tpu.mesh.mesh import hex_grid_mesh
     from parelag_tpu.topology.topology import AgglomeratedTopology
     from parelag_tpu.amge.fespace import DeRhamSequenceFE
@@ -63,8 +63,10 @@ def _build_h1(nx):
     seqs = []
     shape = (nx, nx, nx)
     while min(shape) >= 4 and np.prod(
-            [s // 2 for s in shape]) >= 256:
-        part = cartesian_partition(shape, tuple(s // 2 for s in shape))
+            [s // 2 for s in shape]) >= min_coarse:
+        # cartesian_partition takes per-axis coarsening FACTORS (2,2,2),
+        # i.e. 2x2x2 element blocks -> (s//2)^3 agglomerates per level.
+        part = cartesian_partition(shape, (2, 2, 2))
         topos.append(topos[-1].coarsen_local_partitioning(part))
         shape = tuple(s // 2 for s in shape)
     seq0 = DeRhamSequenceFE(topos[0], mesh)
@@ -83,15 +85,16 @@ def _build_h1(nx):
     return seqs, A, b
 
 
-def _host_vcycle_pcg(A_levels, P_levels, b, rtol, maxiter=100, sweeps=2):
+def _host_vcycle_pcg(A_levels, P_levels, b, rtol, maxiter=100, sweeps=2,
+                     prepared=None):
     """The CPU anchor: identical V(2,2)-cycle-preconditioned CG executed
-    with scipy CSR matvecs and numpy vectors on the host."""
-    import scipy.sparse as sp
-    dinvs = []
-    for A in A_levels:
-        d = np.asarray(np.abs(A).sum(axis=1)).ravel()
-        dinvs.append(1.0 / np.where(d > 0, d, 1.0))
-    coarse_inv = np.linalg.inv(A_levels[-1].toarray())
+    with scipy CSR matvecs and numpy vectors on the host.  Pass
+    prepared=_host_vcycle_prepare(A_levels) to keep the smoother/coarse
+    factorization out of the timed region (the device lane's setup is
+    likewise excluded from its solve time)."""
+    if prepared is None:
+        prepared = _host_vcycle_prepare(A_levels)
+    dinvs, coarse_inv = prepared
 
     def smooth(l, bb, x):
         for _ in range(sweeps):
@@ -126,6 +129,15 @@ def _host_vcycle_pcg(A_levels, P_levels, b, rtol, maxiter=100, sweeps=2):
         rz = rz_new
         it += 1
     return x, it + 1
+
+
+def _host_vcycle_prepare(A_levels):
+    dinvs = []
+    for A in A_levels:
+        d = np.asarray(np.abs(A).sum(axis=1)).ravel()
+        dinvs.append(1.0 / np.where(d > 0, d, 1.0))
+    coarse_inv = np.linalg.inv(A_levels[-1].toarray())
+    return dinvs, coarse_inv
 
 
 def lane_h1(nx, n_rhs=None):
@@ -176,8 +188,9 @@ def lane_h1(nx, n_rhs=None):
     # ---- measured CPU anchor: identical algorithm on the host ---- #
     Ah = [a.astype(np.float64) for a in A_levels]
     Ph = [p.astype(np.float64) for p in P_levels]
+    prepared = _host_vcycle_prepare(Ah)
     t0 = time.time()
-    xh, ith = _host_vcycle_pcg(Ah, Ph, b, rtol=1e-5)
+    xh, ith = _host_vcycle_pcg(Ah, Ph, b, rtol=1e-5, prepared=prepared)
     host_dt = time.time() - t0
     out["host_solve_s"] = host_dt
     out["host_iters"] = ith
@@ -202,6 +215,52 @@ def lane_h1(nx, n_rhs=None):
                 unit="dof_iter_per_s")
         except Exception as e:           # pragma: no cover
             print(f"[h1] multirhs lane skipped: {e}", file=sys.stderr)
+    return out
+
+
+def lane_setup(nx, backends=("host", "device")):
+    """Setup-phase lane: dof/s for the multi-level H1 AMGe setup
+    (topology coarsening + DeRhamSequence.coarsen chain), comparing the
+    host scipy per-AE loop against the bucketed/batched device path
+    (reference flow: examples/MultigridTest0Form.cpp +
+    ParELAG_Hierarchy.cpp:109-253)."""
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+
+    t0 = time.time()
+    mesh = hex_grid_mesh(nx, nx, nx)
+    topos = [AgglomeratedTopology.from_mesh(mesh)]
+    shape = (nx, nx, nx)
+    while min(shape) >= 4 and np.prod([s // 2 for s in shape]) >= 256:
+        part = cartesian_partition(shape, (2, 2, 2))
+        topos.append(topos[-1].coarsen_local_partitioning(part))
+        shape = tuple(s // 2 for s in shape)
+    topo_s = time.time() - t0
+
+    out = dict(metric="h1_amge_setup", cells=nx ** 3,
+               levels=len(topos), topology_s=topo_s)
+    ndofs = None
+    for backend in backends:
+        t0 = time.time()
+        seq = DeRhamSequenceFE(topos[0], mesh)
+        seq.jform_start = 0
+        seq.set_upscaling_targets(0)
+        seq.solve_backend = backend
+        s = seq
+        for _ in range(len(topos) - 1):
+            s = s.coarsen()
+        dt = time.time() - t0
+        ndofs = seq.dof[0].ndofs
+        out[f"{backend}_setup_s"] = dt
+        out[f"{backend}_dof_per_s"] = ndofs / dt
+        print(f"[setup] backend={backend} {dt:.1f}s "
+              f"({ndofs / dt:.0f} dof/s)", file=sys.stderr)
+    out["ndofs"] = ndofs
+    out["value"] = out.get("device_dof_per_s",
+                           out.get("host_dof_per_s"))
+    out["unit"] = "dof_per_s"
     return out
 
 
@@ -273,6 +332,12 @@ def main():
         print(json.dumps({"lane": "darcy_hyb", **d}), file=sys.stderr)
     except Exception as e:               # pragma: no cover
         print(f"[darcy] lane failed: {e}", file=sys.stderr)
+    try:
+        setup_nx = 48 if SCALE == "full" else 12
+        s = lane_setup(setup_nx)
+        print(json.dumps({"lane": "setup", **s}), file=sys.stderr)
+    except Exception as e:               # pragma: no cover
+        print(f"[setup] lane failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": out["metric"],

@@ -36,14 +36,11 @@ def cartesian_partition(ijk_shape, coarsening) -> np.ndarray:
     nx, ny, nz = ijk_shape
     cx, cy, cz = coarsening
     mx, my = -(-nx // cx), -(-ny // cy)
-    part = np.empty(nx * ny * nz, dtype=np.int64)
-    e = 0
-    for iz in range(nz):
-        for iy in range(ny):
-            for ix in range(nx):
-                part[e] = (ix // cx) + (iy // cy) * mx + (iz // cz) * mx * my
-                e += 1
-    return part
+    e = np.arange(nx * ny * nz, dtype=np.int64)
+    ix = e % nx
+    iy = (e // nx) % ny
+    iz = e // (nx * ny)
+    return (ix // cx) + (iy // cy) * mx + (iz // cz) * (mx * my)
 
 
 def geometric_box_partition(mesh, n_parts) -> np.ndarray:

@@ -138,6 +138,15 @@ class AgglomeratedTopology:
         (reference ComputeCoarseFacets, Topology.cpp:455-662)."""
         from parelag_tpu.topology.betti import mark_bad_agglomerates
 
+        partitioning = np.asarray(partitioning)
+        if partitioning.size != self.num_entities(0):
+            raise ValueError(
+                f"partition vector has {partitioning.size} entries but the "
+                f"topology has {self.num_entities(0)} elements; the vector "
+                f"must assign an agglomerate id to every element of THIS "
+                f"level (did you pass a finer level's partition, or grid "
+                f"shape instead of coarsening factors?)")
+
         elem_elem = self.local_element_element()
         part, n_ae = C.connected_components(
             partitioning, elem_elem,

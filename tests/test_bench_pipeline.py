@@ -1,0 +1,54 @@
+"""Regression test for the benchmark's multi-level build pipeline.
+
+Round-2 shipped no perf number because bench.py passed the coarse GRID
+SHAPE to cartesian_partition, whose second argument is per-axis
+coarsening FACTORS — the second coarsening then fed a fine-length
+partition vector into an 8-element topology and crashed
+(BENCH_r02.json rc=1).  This test runs the exact _build_h1 shape logic
+at a small nx with >= 2 coarsenings so that mistake can never silently
+return, and pins the input-validation error message that would have
+caught it in seconds.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_build_h1_two_coarsenings():
+    import bench
+    seqs, A, b = bench._build_h1(8, min_coarse=8)
+    # 8 -> 4 -> 2 element grid: three sequence levels.
+    assert len(seqs) == 3
+    ndofs = [s.dof[0].ndofs for s in seqs]
+    assert ndofs[0] == 9 ** 3
+    assert ndofs[0] > ndofs[1] > ndofs[2]
+    assert A.shape == (ndofs[0], ndofs[0])
+    # System is solvable and SPD after BC elimination.
+    x = np.linalg.solve(A.toarray(), b)
+    assert np.linalg.norm(A @ x - b) < 1e-8 * max(np.linalg.norm(b), 1.0)
+
+
+def test_cartesian_partition_is_factors_not_shape():
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+    part = cartesian_partition((8, 8, 8), (2, 2, 2))
+    assert part.size == 512
+    assert part.max() + 1 == 4 ** 3
+    # first 2x2x2 block maps to agglomerate 0
+    assert part[0] == part[1] == part[8] == part[9] == 0
+    assert part[64] == part[65] == 0          # z-neighbor layer
+    assert part[2] == 1                       # next block in x
+
+
+def test_coarsen_rejects_wrong_length_partition():
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+
+    mesh = hex_grid_mesh(4, 4, 4)
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    coarse = topo.coarsen_local_partitioning(
+        cartesian_partition((4, 4, 4), (2, 2, 2)))
+    # Feeding the FINE partition to the COARSE level must fail loudly.
+    with pytest.raises(ValueError, match="partition vector"):
+        coarse.coarsen_local_partitioning(
+            cartesian_partition((4, 4, 4), (2, 2, 2)))
