@@ -104,11 +104,16 @@ def derive_entities(mesh) -> MeshEntities:
     stored = face_verts[invf]                   # (N, k)
     N = flat_cycles.shape[0]
     j0 = np.argmax(stored == flat_cycles[:, :1], axis=1)
-    ar = np.arange(N)
-    nxt = stored[ar, (j0 + 1) % k]
-    prv = stored[ar, (j0 - 1) % k]
-    fwd = flat_cycles[:, 1] == nxt
-    assert np.all(fwd | (flat_cycles[:, 1] == prv)), \
+    ar = np.arange(N)[:, None]
+    steps = np.arange(k)[None, :]
+    # full rolled rows: a valid face is a rotation of the stored cycle
+    # (fwd) or of its reversal (bwd); comparing only one neighbor would
+    # accept e.g. (a,b,d,c) vs stored (a,b,c,d) as +1 on quads.
+    fwd_roll = stored[ar, (j0[:, None] + steps) % k]
+    bwd_roll = stored[ar, (j0[:, None] - steps) % k]
+    fwd = np.all(flat_cycles == fwd_roll, axis=1)
+    bwd = np.all(flat_cycles == bwd_roll, axis=1)
+    assert np.all(fwd | bwd), \
         "faces share vertices but not as a cycle"
     elem_face_sign = np.where(fwd, 1.0, -1.0).reshape(ne, n_lf)
     counts = np.bincount(invf, minlength=nface)

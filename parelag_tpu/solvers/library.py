@@ -251,11 +251,19 @@ class _KrylovSolver(Solver):
             try:
                 x, info = spla.minres(self._A, b, M=M, rtol=self._rtol,
                                       maxiter=self._maxit, callback=cb)
-            except ValueError:
-                # scipy's MINRES rejects indefinite/nonsymmetric
+            except ValueError as e:
+                # scipy's MINRES rejects indefinite/non-SPD
                 # preconditioners that the reference's hypre MINRES
                 # tolerates (e.g. AMG on a monolithic saddle system);
-                # fall back to GMRES for those compositions
+                # fall back to GMRES for exactly those compositions.
+                msg = str(e).lower()
+                if not ("definite" in msg or "precond" in msg
+                        or "symmetric" in msg):
+                    raise
+                import warnings
+                warnings.warn(
+                    f"MINRES rejected the preconditioner ({e}); "
+                    f"falling back to GMRES(50)", RuntimeWarning)
                 it[0] = 0
                 x, info = spla.gmres(self._A, b, M=M, rtol=self._rtol,
                                      atol=self._atol,

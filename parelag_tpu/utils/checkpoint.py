@@ -23,31 +23,60 @@ untrusted source.
 
 import io
 import pickle
+import types
 
 import numpy as np
 import scipy.sparse as sp
 import jax
 
-_ALLOWED_MODULES = ("jax", "jaxlib", "parelag_tpu", "numpy", "builtins")
+# Exact (module, name) pairs a pickled jax treedef actually references
+# (verified with pickletools.genops; spellings vary across jax releases).
+_ALLOWED_EXACT = {
+    ("jaxlib._jax.pytree", "PyTreeDef"),
+    ("jaxlib.xla_extension.pytree", "PyTreeDef"),
+    ("jaxlib.xla_extension", "PyTreeDef"),
+    ("jax._src.tree_util", "default_registry"),
+    ("jax.tree_util", "default_registry"),
+    ("numpy", "dtype"),
+    ("numpy", "ndarray"),
+}
+
+_ALLOWED_BUILTINS = frozenset((
+    "tuple", "list", "dict", "set", "frozenset", "slice",
+    "complex", "bytes", "bytearray", "int", "float", "bool",
+    "str", "object", "NoneType"))
 
 
 class _RestrictedUnpickler(pickle.Unpickler):
-    """Unpickler that only resolves globals from the framework's own
-    namespaces — blocks the classic os.system/posix payloads."""
+    """Unpickler that resolves only the exact jax/numpy globals a treedef
+    needs plus parelag_tpu pytree-node *classes* — blocks the classic
+    os.system/posix payloads, module smuggling through allowed packages
+    (e.g. a module-level `subprocess` import inside parelag_tpu), and the
+    builtins.getattr REDUCE gadget."""
 
     def find_class(self, module, name):
-        ok = any(module == p or module.startswith(p + ".")
-                 for p in _ALLOWED_MODULES)
-        if not ok:
-            raise pickle.UnpicklingError(
-                f"checkpoint references disallowed global {module}.{name}")
-        if module == "builtins" and name not in (
-                "tuple", "list", "dict", "set", "frozenset", "slice",
-                "complex", "bytes", "bytearray", "int", "float", "bool",
-                "str", "type", "object", "getattr", "NoneType"):
-            raise pickle.UnpicklingError(
-                f"checkpoint references disallowed builtin {name}")
-        return super().find_class(module, name)
+        if module == "builtins":
+            if name not in _ALLOWED_BUILTINS:
+                raise pickle.UnpicklingError(
+                    f"checkpoint references disallowed builtin {name}")
+            return super().find_class(module, name)
+        if (module, name) in _ALLOWED_EXACT:
+            return super().find_class(module, name)
+        # Framework pytree node types: must resolve to a class defined in
+        # a parelag_tpu module (not a module, not a re-exported function).
+        if module == "parelag_tpu" or module.startswith("parelag_tpu."):
+            obj = super().find_class(module, name)
+            if isinstance(obj, types.ModuleType) or not isinstance(
+                    obj, type):
+                raise pickle.UnpicklingError(
+                    f"checkpoint references non-class global "
+                    f"{module}.{name}")
+            if not getattr(obj, "__module__", "").startswith("parelag_tpu"):
+                raise pickle.UnpicklingError(
+                    f"checkpoint references foreign class {module}.{name}")
+            return obj
+        raise pickle.UnpicklingError(
+            f"checkpoint references disallowed global {module}.{name}")
 
 
 def save_pytree(tree, path):
