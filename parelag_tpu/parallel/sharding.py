@@ -54,11 +54,13 @@ def dof_partition(entity_dof_pattern, elem_partition) -> np.ndarray:
     """Owner of each dof = partition of its first adjacent element
     (owner-computes convention, SharingMap.hpp:52-66)."""
     de = sp.csr_matrix(entity_dof_pattern).T.tocsr()   # dof x element
-    owner = np.empty(de.shape[0], dtype=np.int64)
     part = np.asarray(elem_partition)
-    for d in range(de.shape[0]):
-        elems = de.indices[de.indptr[d]:de.indptr[d + 1]]
-        owner[d] = part[elems].min() if elems.size else 0
+    owner = np.zeros(de.shape[0], dtype=np.int64)
+    nnz = np.diff(de.indptr)
+    has = nnz > 0
+    if de.nnz:
+        owner[has] = np.minimum.reduceat(
+            part[de.indices], de.indptr[:-1][has])
     return owner
 
 
@@ -67,11 +69,13 @@ def distribute_system(A, owner, ndev, dtype=np.float32) -> DistributedSystem:
     A = sp.csr_matrix(A)
     n = A.shape[0]
     owner = np.asarray(owner)
-    slot = np.zeros(n, dtype=np.int64)
-    counts = np.zeros(ndev, dtype=np.int64)
-    for d in range(n):
-        slot[d] = counts[owner[d]]
-        counts[owner[d]] += 1
+    # slot[d] = position of dof d within its owner's block, in global dof
+    # order (segment ranks via a stable sort by owner)
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=ndev)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    slot = np.empty(n, dtype=np.int64)
+    slot[order] = np.arange(n) - np.repeat(starts, counts)
     n_loc = int(counts.max())
     virt = owner * n_loc + slot
 
@@ -80,12 +84,11 @@ def distribute_system(A, owner, ndev, dtype=np.float32) -> DistributedSystem:
     indices = np.zeros((ndev, n_loc, k), dtype=np.int32)
     values = np.zeros((ndev, n_loc, k), dtype=dtype)
     row_mask = np.zeros((ndev, n_loc), dtype=dtype)
-    for r in range(n):
-        dev, s = owner[r], slot[r]
-        a, b = A.indptr[r], A.indptr[r + 1]
-        indices[dev, s, : b - a] = virt[A.indices[a:b]]
-        values[dev, s, : b - a] = A.data[a:b]
-        row_mask[dev, s] = 1.0
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
+    indices[owner[rows], slot[rows], pos] = virt[A.indices]
+    values[owner[rows], slot[rows], pos] = A.data
+    row_mask[owner, slot] = 1.0
     l1 = np.abs(values).sum(axis=2)
     dinv = np.where(l1 > 0, 1.0 / np.maximum(l1, 1e-30), 0.0).astype(dtype)
     return DistributedSystem(ndev, n_loc, n, owner, slot, virt,

@@ -22,6 +22,39 @@ import numpy as np
 from parelag_tpu.ops import csr as C
 
 
+def _blocklist_ranks(bl, tol_rel=1e-9):
+    """Numerical ranks of every block in a ragged BlockList.
+
+    Blocks are bucketed by exact shape, deduplicated by content (on a
+    structured mesh nearly every agglomerate produces the same restricted
+    incidence matrix — interior/face/edge/corner classes), and only the
+    unique representatives go through a stacked batched SVD. Replaces the
+    per-AE Python SVD loop that made check_topology intractable at bench
+    scale."""
+    n = len(bl)
+    ranks = np.zeros(n, dtype=np.int64)
+    rsz, csz = bl.rsz, bl.csz
+    ok = (rsz > 0) & (csz > 0)
+    if not ok.any():
+        return ranks
+    keys = rsz * (np.int64(1) << 32) + csz
+    for key in np.unique(keys[ok]):
+        idxs = np.where(ok & (keys == key))[0]
+        r, c = int(rsz[idxs[0]]), int(csz[idxs[0]])
+        flat = bl.gather(idxs, (r, c)).reshape(idxs.size, r * c)
+        # content dedup via memcmp on a void view
+        v = np.ascontiguousarray(flat).view(
+            np.dtype((np.void, flat.dtype.itemsize * flat.shape[1])))
+        v = v.reshape(-1)
+        _, first, inv = np.unique(v, return_index=True,
+                                  return_inverse=True)
+        batch = flat[first].reshape(first.size, r, c)
+        sv = np.linalg.svd(batch, compute_uv=False)
+        cut = tol_rel * np.maximum(sv[:, 0], 1.0)
+        ranks[idxs] = (sv > cut[:, None]).sum(axis=1)[inv]
+    return ranks
+
+
 def compute_betti_numbers(topo, codim) -> np.ndarray:
     """(nAE, nLowerDims) matrix of Betti numbers per agglomerated entity."""
     n_lower = topo.dim - codim
@@ -33,41 +66,39 @@ def compute_betti_numbers(topo, codim) -> np.ndarray:
         AE_entity.append(C.bool_mult(AE_entity[i], topo.B[codim + i]))
     n_ae = AE_entity[0].shape[0]
 
+    # rank of B[codim+i] restricted to each AE's (ents_i, ents_{i+1}):
+    # one flat extraction per chain position, then bucketed batched SVDs
+    rank = np.zeros((n_ae, n_lower + 1), dtype=np.int64)
+    for i in range(n_lower):
+        Mi, Mi1 = AE_entity[i].tocsr(), AE_entity[i + 1].tocsr()
+        blocks = C.extract_blocks_cat(
+            topo.B[codim + i], Mi.indices, Mi.indptr,
+            Mi1.indices, Mi1.indptr)
+        rank[:, i] = _blocklist_ranks(blocks)
+
+    dim_k = np.stack([np.diff(m.tocsr().indptr) for m in AE_entity],
+                     axis=1)                       # (n_ae, n_lower+1)
     betti = np.zeros((n_ae, n_lower), dtype=np.int64)
-    for iae in range(n_ae):
-        ents = [m.indices[m.indptr[iae]:m.indptr[iae + 1]]
-                for m in AE_entity]
-        dim_k = [e.size for e in ents]
-        rank_k = np.zeros(n_lower + 1, dtype=np.int64)
-        for i in range(n_lower):
-            if dim_k[i] == 0 or dim_k[i + 1] == 0:
-                rank_k[i] = 0
-            else:
-                dloc = C.extract_submatrix(topo.B[codim + i],
-                                           ents[i], ents[i + 1])
-                sv = np.linalg.svd(dloc, compute_uv=False)
-                rank_k[i] = int(np.sum(sv > 1e-9 * max(sv[0], 1.0)))
-        for i in range(n_lower):
-            betti[iae, n_lower - 1 - i] = (
-                dim_k[i + 1] - rank_k[i] - rank_k[i + 1])
+    for i in range(n_lower):
+        betti[:, n_lower - 1 - i] = (
+            dim_k[:, i + 1] - rank[:, i] - rank[:, i + 1])
     return betti
 
 
 def _additional_check(topo, codim, isbad):
     """Boundary edges of the AE boundary must belong to exactly two boundary
-    faces of the AE (manifold boundary)."""
+    faces of the AE (manifold boundary). Vectorized: with unit AE_bface
+    entries, AE_bedge = AE_bface @ |face_edge| counts per-edge incident
+    boundary faces, so the per-AE condition sum(counts) == 2 * #edges is a
+    row-sum vs row-nnz comparison."""
     AE_bface = C.drop_zeros(
         (topo.AEntity_entity[codim] @ topo.B[codim]).tocsr(), 1e-10)
     AE_bface = C.abs_csr(AE_bface)
     abs_face_edge = C.abs_csr(topo.B[codim + 1])
     AE_bedge = (AE_bface @ abs_face_edge).tocsr()
-    for iae in range(AE_bface.shape[0]):
-        rows = AE_bface.indices[AE_bface.indptr[iae]:AE_bface.indptr[iae + 1]]
-        cols = AE_bedge.indices[AE_bedge.indptr[iae]:AE_bedge.indptr[iae + 1]]
-        loc = C.extract_submatrix(abs_face_edge, rows, cols)
-        twos = loc.sum(axis=0)
-        if abs(twos.sum() - 2 * twos.size) > 1e-10:
-            isbad[iae] = True
+    rowsum = np.asarray(AE_bedge.sum(axis=1)).ravel()
+    rownnz = np.diff(AE_bedge.indptr)
+    isbad |= np.abs(rowsum - 2.0 * rownnz) > 1e-10
     return isbad
 
 

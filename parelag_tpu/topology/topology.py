@@ -368,39 +368,32 @@ class AgglomeratedTopology:
         """Split every marked coarse entity into singleton fine entities
         (reference DeAgglomerateBadAgglomeratedEntities for codim >= 1)."""
         csc = ent_AF.tocsc()
-        rows, cols, vals = [], [], []
-        nxt = 0
-        for j in range(csc.shape[1]):
-            members = csc.indices[csc.indptr[j]:csc.indptr[j + 1]]
-            orient = csc.data[csc.indptr[j]:csc.indptr[j + 1]]
-            if isbad[j]:
-                for m, o in zip(members, orient):
-                    rows.append(m)
-                    cols.append(nxt)
-                    vals.append(o)
-                    nxt += 1
-            else:
-                rows.extend(members)
-                cols.extend([nxt] * members.size)
-                vals.extend(orient)
-                nxt += 1
-        return sp.csr_matrix((vals, (rows, cols)),
+        ncol = csc.shape[1]
+        isbad = np.asarray(isbad, dtype=bool)
+        colnnz = np.diff(csc.indptr)
+        # each bad column expands into one singleton column per member;
+        # good columns keep one column, preserving original order
+        contrib = np.where(isbad, colnnz, 1)
+        col_start = np.concatenate(([0], np.cumsum(contrib)[:-1]))
+        nxt = int(contrib.sum())
+        j_of = np.repeat(np.arange(ncol), colnnz)
+        pos = np.arange(csc.nnz) - np.repeat(csc.indptr[:-1], colnnz)
+        newcol = col_start[j_of] + np.where(isbad[j_of], pos, 0)
+        return sp.csr_matrix((csc.data, (csc.indices, newcol)),
                              shape=(ent_AF.shape[0], nxt))
 
     def _deagglomerate_bad(self, isbad):
         """Split every bad agglomerate into singleton elements (reference
         Topology::DeAgglomerateBadAgglomeratedEntities, Topology.hpp:374)."""
-        AE_e = self.AEntity_entity[0]
+        AE_e = self.AEntity_entity[0].tocsr()
+        isbad = np.asarray(isbad, dtype=bool)
+        rownnz = np.diff(AE_e.indptr)
+        contrib = np.where(isbad, rownnz, 1)
+        start = np.concatenate(([0], np.cumsum(contrib)[:-1]))
+        nxt = int(contrib.sum())
+        a_of = np.repeat(np.arange(AE_e.shape[0]), rownnz)
+        pos = np.arange(AE_e.nnz) - np.repeat(AE_e.indptr[:-1], rownnz)
         part = np.empty(AE_e.shape[1], dtype=np.int64)
-        nxt = 0
-        for a in range(AE_e.shape[0]):
-            cols = AE_e.indices[AE_e.indptr[a]:AE_e.indptr[a + 1]]
-            if isbad[a]:
-                for c in cols:
-                    part[c] = nxt
-                    nxt += 1
-            else:
-                part[cols] = nxt
-                nxt += 1
+        part[AE_e.indices] = start[a_of] + np.where(isbad[a_of], pos, 0)
         self.AEntity_entity[0] = C.transpose_orientation(part, nxt)
         self.partition = part
