@@ -29,23 +29,30 @@ REF_XML_DIRS = [
 #   kind "scalarN" -> N-form operator M + D^T W D (ess BC eliminated)
 #   kind "block"   -> Darcy saddle Block2x2Operator
 DRIVERS = {
+    # NOTE: the CG_PCG-AMG / PCG-AMG / PCG-AMS / PCG-ADS entries are the
+    # reference's 3-iteration coarse components ("Maximum iterations" 3,
+    # used as "Coarse solver" inside the AMGe entries) -> error-reduction
+    # criterion. They converged fully in round 2 only because the
+    # AMG/AMS/ADS types aliased to an exact direct solve; with the native
+    # AMGe/Hiptmair hierarchy backing them they behave like the
+    # reference's inexact hypre preconditioners.
     "0form_example_parameters.xml": [
         ("PCG-AMGe-GS", "scalar0"),
         ("PCG-BoomerAMG", "scalar0"),
-        ("CG_PCG-AMG", "scalar0"),
+        ("CG_PCG-AMG", "scalar0:reduce"),
         ("SuperLU", "scalar0"),
     ],
     "1form_example_parameters.xml": [
         ("PCG with AMGe-GS Preconditioner", "scalar1"),
         ("PCG with Auxiliary Space Preconditioner", "scalar1"),
-        ("PCG-AMG", "scalar1"),
-        ("PCG-AMS", "scalar1"),
+        ("PCG-AMG", "scalar1:reduce"),
+        ("PCG-AMS", "scalar1:reduce"),
     ],
     "2form_example_parameters.xml": [
         ("PCG with AMGe-GS Preconditioner", "scalar2"),
         ("PCG with Auxiliary Space Preconditioner", "scalar2"),
-        ("PCG-AMG", "scalar2"),
-        ("PCG-ADS", "scalar2"),
+        ("PCG-AMG", "scalar2:reduce"),
+        ("PCG-ADS", "scalar2:reduce"),
     ],
     "darcy_example_parameters.xml": [
         ("GMRES-AMGe-BlkJacobi-GS-AMG", "block"),
