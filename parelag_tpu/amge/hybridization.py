@@ -264,11 +264,16 @@ class HybridHdivL2:
 
             xj, info = _solve(Hd, smoother.dinv, jnp.asarray(gf))
             xf = np.asarray(xj)
+            self.last_iterations = int(info[0])
         else:
             dinv = 1.0 / Hff.diagonal()
             M = spla.LinearOperator(Hff.shape, matvec=lambda r: dinv * r)
+            it = [0]
             xf, info = spla.cg(Hff.tocsr(), gf, M=M, rtol=rtol,
-                               atol=0.0, maxiter=2000)
+                               atol=0.0, maxiter=2000,
+                               callback=lambda x: it.__setitem__(
+                                   0, it[0] + 1))
+            self.last_iterations = it[0]
         if rescale:
             xf = d * xf
         mu[keep] = xf

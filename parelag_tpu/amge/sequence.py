@@ -44,6 +44,11 @@ _EPS = np.finfo(np.float64).eps
 
 
 class DeRhamSequence:
+    # accumulating coarsening log stream (the reference's static
+    # DeRhamSequence_os, DeRhamSequence.hpp:499; PV/NullSpace dof counts
+    # appended per coarse-dof stage, DeRhamSequence.cpp:2080-2083)
+    log_stream = []
+
     def __init__(self, topo, nforms):
         self.topo = topo
         self.nforms = nforms
@@ -210,6 +215,18 @@ class DeRhamSequence:
             self.P[jform] = self._P_snapshot
             assert self.P[jform].shape[1] == cdof.ndofs
             self.Pi[jform].compute_projector(self.P[jform])
+
+            # coarsening-stats stream (PV/NullSpace dof counts,
+            # DeRhamSequence.cpp:2080-2083)
+            for cd in sorted(cdof.n_ranget):
+                DeRhamSequence.log_stream.append(
+                    f"form {jform} codim {cd}: "
+                    f"{cdof.n_ranget[cd].size} entities, "
+                    f"RangeT dofs {int(cdof.n_ranget[cd].sum())}, "
+                    f"NullSpace dofs {int(cdof.n_null[cd].sum())}")
+            DeRhamSequence.log_stream.append(
+                f"form {jform}: coarse ndofs {cdof.ndofs} "
+                f"(fine {self.dof[jform].ndofs})")
 
             if (jform == self.nforms - 3 and jform + 1 < self.nforms
                     and getattr(self.topo, "had_pinch_repair", False)):

@@ -37,11 +37,12 @@ def mark_dofs_on_bndr(seq, form, attrs) -> np.ndarray:
     topo = seq.topo
     battr = topo.facet_bdr_attribute.tocsr()
     marker = np.zeros(seq.dof[form].ndofs, dtype=bool)
-    ed = seq.dof[form].entity_dofs(1)       # facet closure dofs
-    for f in range(battr.shape[0]):
-        row = battr.indices[battr.indptr[f]:battr.indptr[f + 1]]
-        if row.size and (row[0] + 1) in attrs:
-            marker[ed[f]] = True
+    has = np.diff(battr.indptr) > 0
+    first = np.zeros(battr.shape[0], dtype=np.int64)
+    first[has] = battr.indices[battr.indptr[:-1][has]] + 1
+    active = has & np.isin(first, np.fromiter(attrs, dtype=np.int64))
+    cat, off = seq.dof[form].entity_dofs_cat(1)   # facet closure dofs
+    marker[cat[np.repeat(active, np.diff(off))]] = True
     return marker
 
 
@@ -63,40 +64,45 @@ def boundary_rhs(seq_fe: DeRhamSequenceFE, form, attr_values) -> np.ndarray:
     # created by their unique element, whose outward cycle is stored, so the
     # canonical normal points outward iff B0[elem, face] = +1.
     B0t = ents.B0.T.tocsr()
-    for i, f in enumerate(fids):
-        attr = int(mesh.bdr_attrib[i])
-        if attr not in attr_values:
+    battrs = np.asarray(mesh.bdr_attrib)
+    for attr, val in attr_values.items():
+        sel = np.where(battrs == attr)[0]
+        if sel.size == 0:
             continue
-        val = attr_values[attr]
-        out_sign = B0t.data[B0t.indptr[f]]
-        cyc = np.array(ents.face_verts[f])
-        coords = mesh.vertices[cyc][None, :, :]
-        X, F = hexfe._face_param(coords, hexfe._Q2)
-        normal = np.cross(F[0, :, :, 0], F[0, :, :, 1]) * out_sign  # outward
-        W = np.linalg.norm(np.cross(F[0, :, :, 0], F[0, :, :, 1]), axis=1)
+        f = fids[sel]
+        out_sign = B0t.data[B0t.indptr[f]]                   # (m,)
+        if form == 2:   # flux dof basis has phi.n_out = out_sign / A
+            np.add.at(b, f, val * out_sign)
+            continue
+        cyc = np.asarray(ents.face_verts)[f]                 # (m, 4)
+        coords = mesh.vertices[cyc]                          # (m, 4, 3)
+        _, F = hexfe._face_param(coords, hexfe._Q2)          # (m,nq,3,2)
+        cr = np.cross(F[..., 0], F[..., 1])                  # (m, nq, 3)
+        s, t = hexfe._Q2[:, 0], hexfe._Q2[:, 1]
         if form == 0:
-            s, t = hexfe._Q2[:, 0], hexfe._Q2[:, 1]
+            W = np.linalg.norm(cr, axis=2)
             N = np.stack([(1 - s) * (1 - t), s * (1 - t),
                           s * t, (1 - s) * t], axis=1)
-            vals = val * np.einsum("q,qi->i", hexfe._QW2 * W, N)
-            np.add.at(b, cyc, vals)
-        elif form == 1:
+            vals = val * np.einsum("q,mq,qi->mi", hexfe._QW2, W, N)
+            np.add.at(b, cyc.ravel(), vals.ravel())
+        else:
+            normal = cr * out_sign[:, None, None]            # outward
             fvec = np.asarray(val, dtype=float)
-            s, t = hexfe._Q2[:, 0], hexfe._Q2[:, 1]
             Ehat = np.zeros((s.size, 4, 2))
             Ehat[:, 0, 0] = 1 - t
             Ehat[:, 1, 1] = s
             Ehat[:, 2, 0] = -t
             Ehat[:, 3, 1] = -(1 - s)
-            G = np.einsum("qai,qaj->qij", F[0], F[0])
-            Ginv = np.linalg.inv(G)
-            phys = np.einsum("qab,qbc,qic->qia", F[0], Ginv, Ehat)
-            fxn = np.cross(np.broadcast_to(fvec, (s.size, 3)), normal)
-            vals = np.einsum("q,qa,qia->i", hexfe._QW2, fxn, phys)
-            edges = ents.face_edge[f]
-            np.add.at(b, edges, vals * ents.face_edge_sign[f])
-        else:  # form 2: flux dof basis has phi.n_out = out_sign / A
-            b[f] += val * out_sign
+            G = np.einsum("mqai,mqaj->mqij", F, F)
+            Ginv = hexfe._inv2(G)
+            phys = np.einsum("mqab,mqbc,qic->mqia", F, Ginv, Ehat,
+                             optimize=True)
+            fxn = np.cross(np.broadcast_to(fvec, normal.shape), normal)
+            vals = np.einsum("q,mqa,mqia->mi", hexfe._QW2, fxn, phys,
+                             optimize=True)
+            edges = np.asarray(ents.face_edge)[f]
+            np.add.at(b, edges.ravel(),
+                      (vals * np.asarray(ents.face_edge_sign)[f]).ravel())
     return b
 
 
@@ -116,38 +122,58 @@ class UpscalingResult:
 
 def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
                     geometric=False, svd_tol=1e-9, upscaling_order=0,
-                    mesh=None, coarsening_factor=2, coeff_hooks=None):
-    """Mesh + topology + sequence chain (UpscalingGeneralForm.cpp:200-515)."""
+                    mesh=None, coarsening_factor=2, coeff_hooks=None,
+                    verbose=False):
+    """Mesh + topology + sequence chain (UpscalingGeneralForm.cpp:200-515).
+
+    verbose=True prints the reference driver's observability surface: a
+    TimeManager phase table (Mesh Agglomeration / DeRhamSequence
+    Construction per level, MultigridTestDarcy.cpp:233-247,550) and the
+    coarsening-stats stream (PV/NullSpace dof counts per form,
+    DeRhamSequence.cpp:2080-2083)."""
+    from parelag_tpu.utils.timing import TimeManager
     if mesh is None:
         mesh = hex_grid_mesh(2, 2, 2)
     n_levels = (nref_parallel + 1) if n_levels is None else n_levels
     level_ne = []
-    for _ in range(nref_parallel):
-        level_ne.append(mesh.num_elements if not (unstructured or geometric)
-                        else mesh.num_elements // 2)
-        mesh = mesh.uniform_refinement()
+    with TimeManager.add_timer("Mesh refinement"):
+        for _ in range(nref_parallel):
+            level_ne.append(
+                mesh.num_elements if not (unstructured or geometric)
+                else mesh.num_elements // 2)
+            mesh = mesh.uniform_refinement()
     level_ne = [mesh.num_elements] + level_ne[::-1]
 
     topos = [AgglomeratedTopology.from_mesh(mesh)]
     for il in range(n_levels - 1):
-        ne = topos[il].num_entities(0)
-        if unstructured:
-            part = graph_partition(
-                topos[il].local_element_element(), level_ne[il + 1], seed=0)
-        elif geometric:
-            part = geometric_box_partition(mesh, level_ne[il + 1])
-        else:
-            part = refined_mesh_partition(ne, level_ne[il + 1])
-        topos.append(topos[il].coarsen_local_partitioning(
-            part, check_topology=unstructured))
+        with TimeManager.add_timer(f"Mesh Agglomeration: level {il + 1}"):
+            ne = topos[il].num_entities(0)
+            if unstructured:
+                part = graph_partition(
+                    topos[il].local_element_element(), level_ne[il + 1],
+                    seed=0)
+            elif geometric:
+                part = geometric_box_partition(mesh, level_ne[il + 1])
+            else:
+                part = refined_mesh_partition(ne, level_ne[il + 1])
+            topos.append(topos[il].coarsen_local_partitioning(
+                part, check_topology=unstructured))
 
-    seqs = [DeRhamSequenceFE(topos[0], mesh)]
-    if coeff_hooks:
-        for form, fn in coeff_hooks.items():
-            seqs[0].replace_mass_integrator(form, fn)
-    seqs[0].set_upscaling_targets(upscaling_order)
+    log_mark = len(DeRhamSequenceFE.log_stream)
+    with TimeManager.add_timer("DeRhamSequence Construction: level 0"):
+        seqs = [DeRhamSequenceFE(topos[0], mesh)]
+        if coeff_hooks:
+            for form, fn in coeff_hooks.items():
+                seqs[0].replace_mass_integrator(form, fn)
+        seqs[0].set_upscaling_targets(upscaling_order)
     for il in range(n_levels - 1):
-        seqs.append(seqs[il].coarsen(svd_tol=svd_tol))
+        with TimeManager.add_timer(
+                f"DeRhamSequence Construction: level {il + 1}"):
+            seqs.append(seqs[il].coarsen(svd_tol=svd_tol))
+    if verbose:
+        for line in DeRhamSequenceFE.log_stream[log_mark:]:
+            print(line)
+        TimeManager.print_summary()
     return mesh, topos, seqs
 
 
