@@ -15,7 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                   # jax >= 0.8
+    from jax import shard_map
+except ImportError:                    # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def pad_rank_batches(batches, n_devices):

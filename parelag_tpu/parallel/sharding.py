@@ -22,7 +22,11 @@ import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                   # jax >= 0.8
+    from jax import shard_map
+except ImportError:                    # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 @dataclass

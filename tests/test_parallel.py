@@ -115,7 +115,7 @@ def test_halo_plan_spmv_matches(poisson):
     """ppermute halo-exchange SpMV == all_gather SpMV == scipy."""
     from functools import partial
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from parelag_tpu.parallel.sharding import shard_map
     from parelag_tpu.parallel.sharding import (
         build_halo_plan, _halo_spmv_local)
 
