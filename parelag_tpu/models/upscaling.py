@@ -55,6 +55,8 @@ def boundary_rhs(seq_fe: DeRhamSequenceFE, form, attr_values) -> np.ndarray:
     form 2: sum_a v_a * int_{bdr_a} phi_i . n dA  (VectorFEBoundaryFluxLFI)
     with n the outward normal.
     """
+    if hasattr(seq_fe, "boundary_rhs_ho"):       # arbitrary-order 3D
+        return seq_fe.boundary_rhs_ho(form, attr_values)
     mesh = seq_fe.mesh
     ents = seq_fe.ents
     b = np.zeros(seq_fe.dof[form].ndofs)
@@ -123,7 +125,7 @@ class UpscalingResult:
 def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
                     geometric=False, svd_tol=1e-9, upscaling_order=0,
                     mesh=None, coarsening_factor=2, coeff_hooks=None,
-                    verbose=False):
+                    verbose=False, feorder=0):
     """Mesh + topology + sequence chain (UpscalingGeneralForm.cpp:200-515).
 
     verbose=True prints the reference driver's observability surface: a
@@ -161,7 +163,11 @@ def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
 
     log_mark = len(DeRhamSequenceFE.log_stream)
     with TimeManager.add_timer("DeRhamSequence Construction: level 0"):
-        seqs = [DeRhamSequenceFE(topos[0], mesh)]
+        if feorder > 0:
+            from parelag_tpu.amge.fespace3d_ho import DeRhamSequence3DFE_HO
+            seqs = [DeRhamSequence3DFE_HO(topos[0], mesh, feorder)]
+        else:
+            seqs = [DeRhamSequenceFE(topos[0], mesh)]
         if coeff_hooks:
             for form, fn in coeff_hooks.items():
                 seqs[0].replace_mass_integrator(form, fn)
@@ -180,12 +186,13 @@ def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
 def upscaling_general_form(form, nref_parallel=1, svd_tol=1e-9,
                            upscaling_order=0, unstructured=False,
                            geometric=False, rtol=1e-6, atol=1e-12,
-                           solver="direct") -> UpscalingResult:
+                           solver="direct", feorder=0) -> UpscalingResult:
     """The canonical golden-value run (UpscalingGeneralForm.exe --form F
-    --nref_parallel N)."""
+    --nref_parallel N --feorder P; feorder > 0 builds the arbitrary-order
+    3D sequence, amge.fespace3d_ho)."""
     mesh, topos, seqs = build_hierarchy(
         nref_parallel, unstructured=unstructured, geometric=geometric,
-        svd_tol=svd_tol, upscaling_order=upscaling_order)
+        svd_tol=svd_tol, upscaling_order=upscaling_order, feorder=feorder)
     n_levels = len(seqs)
 
     ess_attrs = {2, 3, 4, 5}
