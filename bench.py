@@ -258,8 +258,8 @@ def lane_setup(nx, backends=("host", "device")):
         print(f"[setup] backend={backend} {dt:.1f}s "
               f"({ndofs / dt:.0f} dof/s)", file=sys.stderr)
     out["ndofs"] = ndofs
-    out["value"] = out.get("device_dof_per_s",
-                           out.get("host_dof_per_s"))
+    out["value"] = max(out.get("device_dof_per_s", 0.0),
+                       out.get("host_dof_per_s", 0.0))
     out["unit"] = "dof_per_s"
     return out
 

@@ -171,66 +171,96 @@ class DiaMatrix:
     """Diagonal (shift) layout: GATHER-FREE SpMV.
 
     y[i] = sum_d data[d, i] * x[i + offsets[d]], i.e. the matvec is nd
-    shifted elementwise multiply-adds over the padded x — static slices
+    shifted elementwise multiply-adds over the padded x — STATIC slices
     only, no gathers (which dominate ELL cost on TPU) and no block-fill
     waste (BCSR tiles are ~1% full on stencil-like operators). Offsets are
-    static; the shift loop runs as a lax.scan over the (nd, n) coefficient
-    table. Best used with RCM-permuted operators (tight bandwidth -> few
-    distinct offsets); see solvers.hierarchy.build_hierarchy(reorder).
+    static aux data, so the shift sum UNROLLS and XLA fuses all nd shifted
+    multiply-adds into one elementwise kernel over VMEM-resident x (a
+    traced-offset lax.scan serializes into nd dispatch-bound dynamic
+    slices — measured 30x slower on a 1M-dof 27-point operator). Best used
+    with RCM-permuted operators (tight bandwidth -> few distinct offsets);
+    see solvers.hierarchy.build_hierarchy(reorder).
     """
     data: jnp.ndarray      # (nd, n) row-aligned coefficients
-    offs: jnp.ndarray      # (nd,) int32 column offsets (col - row)
+    offs: tuple            # (nd,) STATIC column offsets (col - row)
     shape: tuple           # (n, m) static
     span: tuple            # (lo, hi) static: -min(offs,0), max(offs,0)
 
     def tree_flatten(self):
-        return (self.data, self.offs), (self.shape, self.span)
+        return (self.data,), (self.offs, self.shape, self.span)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], aux[0], aux[1], aux[2])
 
     @property
     def dtype(self):
         return self.data.dtype
 
+    _TILE = 8192
+
     def matvec(self, x):
         n, m = self.shape
         lo, hi = self.span
+        if (x.ndim == 1 and x.dtype == self.data.dtype
+                and self._pallas_ok()):
+            return self._matvec_pallas(x)
         pad_shape = (lo + m + hi,) + x.shape[1:]
         xpad = jnp.zeros(pad_shape, x.dtype).at[lo:lo + m].set(x)
-
-        def body(acc, inp):
-            off, row = inp
-            w = jax.lax.dynamic_slice_in_dim(xpad, lo + off, n, axis=0)
-            if x.ndim == 2:
-                return acc + row[:, None] * w, None
-            return acc + row * w, None
-
         out_dtype = jnp.result_type(self.data.dtype, x.dtype)
-        y0 = jnp.zeros((n,) + x.shape[1:], out_dtype)
-        y, _ = jax.lax.scan(body, y0, (self.offs, self.data))
+        y = jnp.zeros((n,) + x.shape[1:], out_dtype)
+        for d, off in enumerate(self.offs):
+            w = jax.lax.slice_in_dim(xpad, lo + off, lo + off + n, axis=0)
+            row = self.data[d, :n]            # table is tile-padded
+            y = y + (row[:, None] * w if x.ndim == 2 else row * w)
         return y
+
+    def _pallas_ok(self):
+        from parelag_tpu.ops.pallas_kernels import pallas_dia_supported
+        n, m = self.shape
+        # padded x must stay VMEM-resident (~budget half of 16 MB)
+        if (m + self.span[0] + self.span[1] + self._TILE) \
+                * self.data.dtype.itemsize > 8 * 2 ** 20:
+            return False
+        return pallas_dia_supported()
+
+    def _matvec_pallas(self, x):
+        from parelag_tpu.ops.pallas_kernels import dia_spmv_pallas
+        n, m = self.shape
+        lo, hi = self.span
+        T = self._TILE
+        data = self.data
+        npad = data.shape[1]
+        if npad % T:                          # foreign (unpadded) table
+            npad = -(-npad // T) * T
+            data = jnp.pad(data, ((0, 0), (0, npad - self.data.shape[1])))
+        xlen = npad + lo + hi
+        xpad = jnp.zeros(xlen, x.dtype).at[lo:lo + m].set(x)
+        y = dia_spmv_pallas(data, self.offs, xpad, lo, n, tile=T)
+        return y[:n]
 
     def __matmul__(self, x):
         return self.matvec(x)
 
 
 def to_dia(A, dtype=np.float32) -> DiaMatrix:
-    """Convert scipy sparse to the row-aligned diagonal layout."""
+    """Convert scipy sparse to the row-aligned diagonal layout. The
+    coefficient table is stored padded to the pallas tile multiple so the
+    kernel path never copies it at matvec time."""
     A = sp.csr_matrix(A)
     n, m = A.shape
     coo = A.tocoo()
     off = coo.col.astype(np.int64) - coo.row
     offsets = np.unique(off)
     slot = np.searchsorted(offsets, off)
-    data = np.zeros((max(offsets.size, 1), n), dtype=dtype)
+    npad = -(-n // DiaMatrix._TILE) * DiaMatrix._TILE
+    data = np.zeros((max(offsets.size, 1), npad), dtype=dtype)
     np.add.at(data, (slot, coo.row), coo.data.astype(dtype))
     if offsets.size == 0:
         offsets = np.zeros(1, dtype=np.int64)
     lo = int(max(-offsets.min(), 0))
     hi = int(max(offsets.max() + n - m, 0))
-    return DiaMatrix(jnp.asarray(data), jnp.asarray(offsets, jnp.int32),
+    return DiaMatrix(jnp.asarray(data), tuple(int(o) for o in offsets),
                      (n, m), (lo, hi))
 
 
