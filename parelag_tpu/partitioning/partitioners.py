@@ -442,3 +442,38 @@ def _bfs_dist(A, src):
                     nxt.append(v)
         frontier = nxt
     return dist
+
+
+def metis_material_partition(elem_elem, material_id, n_parts,
+                             weights=None, seed=0) -> np.ndarray:
+    """Material-id-aware METIS coarsening (reference
+    CoarsenMetisMaterialId.hpp:39, the LogicalPartitioner coarsening op
+    that partitions WITHIN material regions using METIS): every connected
+    material region is partitioned independently by the multilevel
+    partitioner with a quota proportional to its size, so no agglomerate
+    ever crosses a material interface. Returns a global partition vector
+    with contiguous ids grouped by (material region, local part)."""
+    from parelag_tpu.ops.csr import connected_components
+    A = sp.csr_matrix(elem_elem)
+    n = A.shape[0]
+    mat = np.asarray(material_id)
+    w = np.ones(n) if weights is None else np.asarray(weights, float)
+    # split into connected material regions (identical logical info)
+    region, n_reg = connected_components(
+        np.unique(mat, return_inverse=True)[1], A)
+    out = np.empty(n, dtype=np.int64)
+    total = w.sum()
+    nxt = 0
+    for r in range(n_reg):
+        sel = np.where(region == r)[0]
+        quota = max(1, round(n_parts * float(w[sel].sum()) / total))
+        if quota == 1 or sel.size == 1:
+            out[sel] = nxt
+            nxt += 1
+            continue
+        sub = A[sel][:, sel]
+        p = multilevel_graph_partition(sub, quota, weights=w[sel],
+                                       seed=seed)
+        out[sel] = nxt + p
+        nxt += int(p.max()) + 1
+    return out

@@ -52,6 +52,21 @@ def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
     return H, A_levels, P_levels
 
 
+def build_ml_hiptmair(seqs, form, A_fine, sweeps=1, mu=1,
+                      dtype=np.float64, matrix_format="auto"):
+    """MLHiptmairSolver analog (reference ParELAG_MLHiptmairSolver.hpp:
+    34-130, templated on problem type): multilevel MG on the `form` space
+    with Hiptmair two-space smoothing at EVERY level — the auxiliary space
+    reached through the potential derivative D[form-1] coarsened along the
+    sequence chain. Template instances: form=1 (Hcurl, H1 potentials) and
+    form=2 (Hdiv, Hcurl potentials). Returns (Hierarchy, A_levels,
+    P_levels); solve with amge_pcg_solve."""
+    assert form >= 1, "Hiptmair needs a potential space (form >= 1)"
+    return build_amge_hierarchy(
+        seqs, form, A_fine, smoother="hiptmair", sweeps=sweeps, mu=mu,
+        dtype=dtype, matrix_format=matrix_format)
+
+
 def amge_pcg_solve(H, A_ell, b, rtol=1e-6, atol=1e-12, maxiter=500):
     """PCG with one MG cycle as preconditioner (the reference's
     'Krylov + AMGe preconditioner' composition, CreateXFormParameterList).
