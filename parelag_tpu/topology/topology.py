@@ -138,9 +138,10 @@ class AgglomeratedTopology:
         (reference ComputeCoarseFacets, Topology.cpp:455-662)."""
         from parelag_tpu.topology.betti import mark_bad_agglomerates
 
+        from parelag_tpu.utils.errors import InvalidInput
         partitioning = np.asarray(partitioning)
         if partitioning.size != self.num_entities(0):
-            raise ValueError(
+            raise InvalidInput(
                 f"partition vector has {partitioning.size} entries but the "
                 f"topology has {self.num_entities(0)} elements; the vector "
                 f"must assign an agglomerate id to every element of THIS "

@@ -141,3 +141,42 @@ def test_ml_hiptmair_template_hdiv():
         assert r < 1e-6 * np.linalg.norm(b)
         iters[n_lev] = int(it)
     assert iters[3] <= iters[2] + 8, iters
+
+def test_error_layer():
+    """Structured exceptions (elagError.hpp analogs) + raising invariant
+    check after a real Coarsen."""
+    import os
+    import pytest as _pytest
+    from parelag_tpu.utils import errors as E
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.partitioning.partitioners import (
+        refined_mesh_partition)
+
+    with _pytest.raises(E.InvalidInput):
+        E.test_for_exception(True, E.InvalidInput, "bad")
+    E.test_for_exception(False, E.InvalidInput, "ok")
+    with _pytest.raises(E.ParelagError):
+        E.parelag_assert(False, "nope")
+    os.environ["PARELAG_DEBUG"] = "1"
+    try:
+        with _pytest.raises(E.ParelagError):
+            E.debug_assert(False)
+    finally:
+        os.environ["PARELAG_DEBUG"] = "0"
+    E.debug_assert(False)        # gated off: no raise
+
+    # InvalidInput from the topology partition-length validation
+    m = hex_grid_mesh(2, 2, 2)
+    topo = AgglomeratedTopology.from_mesh(m)
+    with _pytest.raises(E.InvalidInput):
+        topo.coarsen_local_partitioning(np.zeros(3, dtype=np.int64))
+
+    # raising invariant check on a real coarsening
+    m2 = hex_grid_mesh(2, 2, 2).uniform_refinement()
+    t2 = AgglomeratedTopology.from_mesh(m2)
+    t2.coarsen_local_partitioning(refined_mesh_partition(64, 8))
+    seq = DeRhamSequenceFE(t2, m2)
+    seq.set_upscaling_targets(0)
+    seq.coarsen()
+    errs = E.assert_invariants(seq)
+    assert all(v < 1e-9 for v in errs.values())
