@@ -163,9 +163,13 @@ def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
 
     log_mark = len(DeRhamSequenceFE.log_stream)
     with TimeManager.add_timer("DeRhamSequence Construction: level 0"):
-        if feorder > 0:
+        if feorder > 0 and mesh.kind == "hex":
             from parelag_tpu.amge.fespace3d_ho import DeRhamSequence3DFE_HO
             seqs = [DeRhamSequence3DFE_HO(topos[0], mesh, feorder)]
+        elif feorder > 0:
+            from parelag_tpu.amge.fespace3d_tet_ho import (
+                DeRhamSequenceTetFE_HO)
+            seqs = [DeRhamSequenceTetFE_HO(topos[0], mesh, feorder)]
         else:
             seqs = [DeRhamSequenceFE(topos[0], mesh)]
         if coeff_hooks:
