@@ -338,31 +338,35 @@ def face_h1_mass(coords4):
     return (N.T[None] * w[:, None, :]) @ N
 
 
+_NDF_KERNEL = None
+
+
 def face_nd_mass(coords4, edge_signs):
     """(nf,4,4) tangential-trace ND mass on quad faces; dofs = global
     circulations of the 4 cycle edges (edge_signs (nf,4) = cycle-vs-global).
 
     2D reference ND0 on the unit square, circulation +1 along the CYCLE
-    direction of edges (v0v1, v1v2, v2v3, v3v0)."""
+    direction of edges (v0v1, v1v2, v2v3, v3v0). Computed as ONE flat GEMM
+    (nf, q*2*2) @ (q*2*2, 16) against the constant E x E kernel — batched
+    tiny matmuls were allocation-bound at scale."""
+    global _NDF_KERNEL
     s, t = _Q2[:, 0], _Q2[:, 1]
     nq = s.size
-    Ehat = np.zeros((nq, 4, 2))
-    Ehat[:, 0, 0] = 1 - t
-    Ehat[:, 1, 1] = s
-    Ehat[:, 2, 0] = -t
-    Ehat[:, 3, 1] = -(1 - s)
+    if _NDF_KERNEL is None:
+        Ehat = np.zeros((nq, 4, 2))
+        Ehat[:, 0, 0] = 1 - t
+        Ehat[:, 1, 1] = s
+        Ehat[:, 2, 0] = -t
+        Ehat[:, 3, 1] = -(1 - s)
+        _NDF_KERNEL = np.einsum(
+            "qib,qjc->qbcij", Ehat, Ehat).reshape(nq * 4, 16)
     _, F = _face_param(coords4, _Q2)
-    G = F.transpose(0, 1, 3, 2) @ F
+    G = np.einsum("fqai,fqaj->fqij", F, F)
     Ginv = _inv2(G)
     W = np.sqrt(_det2(G))
-    w = _QW2[None, :] * W
-    # M_ij = sum_{q,b} w t[f,q,i,b] Ehat[q,j,b]  (batched GEMM)
-    t = Ehat[None] @ Ginv                       # (f,q,i,b)
-    tw = t * w[:, :, None, None]
-    f, q, i, b = t.shape
-    A = tw.transpose(0, 2, 1, 3).reshape(f, i, q * b)
-    B = Ehat.transpose(1, 0, 2).reshape(-1, q * b)      # (j, q*b)
-    M = A @ B.T
+    WG = Ginv * (_QW2[None, :] * W)[:, :, None, None]
+    nf = coords4.shape[0]
+    M = (WG.reshape(nf, nq * 4) @ _NDF_KERNEL).reshape(nf, 4, 4)
     return M * edge_signs[:, :, None] * edge_signs[:, None, :]
 
 

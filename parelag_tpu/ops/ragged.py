@@ -81,6 +81,14 @@ def expand_blocks(rows_cat, row_off, cols_cat, col_off):
     rlen = np.diff(row_off)
     clen = np.diff(col_off)
     nb = rlen.size
+    if nb and rlen.min() == rlen.max() and clen.min() == clen.max():
+        # uniform-arity fast path (FE meshes): pure C broadcasts — the
+        # gathered-modulo general path below is ~30x slower at scale
+        k, c = int(rlen[0]), int(clen[0])
+        R2 = rows_cat.reshape(nb, k)
+        C2 = cols_cat.reshape(nb, c)
+        return (np.repeat(R2, c, axis=1).ravel(),
+                np.tile(C2, (1, k)).ravel())
     cnt = rlen * clen
     boff = sizes_to_offsets(cnt)
     total = int(boff[-1])
