@@ -96,9 +96,43 @@ def coarse_entity_sigs(patch, global_ents, codim, dim=3):
 
 
 def fine_dof_gids(patch, global_ents, form, dim=3):
-    """Global fine dof ids of a patch for `form` (lowest order: dofs ARE
-    entities of codim dim-form)."""
+    """Global fine dof ids of a patch for `form`. Lowest order: dofs ARE
+    entities of codim dim-form. Arbitrary order (entity-major HO
+    handlers): per-entity dof blocks over global entity gids — the global
+    layout [verts | edges*n_edge | faces*n_face | cells*n_int] with the
+    same within-entity order on every rank (gid-derived edge directions
+    and face frames survive the patch's MONOTONE vertex remap)."""
+    seq = patch.seqs[0] if hasattr(patch, "seqs") else patch.seq
+    h = seq.dof[form]
+    if hasattr(h, "off_f"):                 # HO entity-major handler
+        return _ho_dof_gids(patch, global_ents, h, form, dim)
     return fine_entity_gids(patch, global_ents, dim - form, dim)
+
+
+def _ho_dof_gids(patch, global_ents, h, form, dim=3):
+    nv_g = global_ents.num_vertices
+    ned_g = global_ents.num_edges
+    nfc_g = global_ents.num_faces
+    off_e_g = nv_g if form == 0 else 0
+    off_f_g = off_e_g + ned_g * h.n_edge
+    off_i_g = off_f_g + nfc_g * h.n_face
+    parts = []
+    if form == 0:
+        parts.append(patch.vert_gids)
+    if h.n_edge:
+        eg = fine_entity_gids(patch, global_ents, 2, dim)
+        parts.append((off_e_g + eg[:, None] * h.n_edge
+                      + np.arange(h.n_edge)[None, :]).ravel())
+    if h.n_face:
+        fg = fine_entity_gids(patch, global_ents, 1, dim)
+        parts.append((off_f_g + fg[:, None] * h.n_face
+                      + np.arange(h.n_face)[None, :]).ravel())
+    if h.n_int:
+        parts.append((off_i_g + patch.elem_gids[:, None] * h.n_int
+                      + np.arange(h.n_int)[None, :]).ravel())
+    out = np.concatenate(parts)
+    assert out.size == h.ndofs
+    return out
 
 
 @dataclass

@@ -67,7 +67,7 @@ def compose_partitions(partitions):
 def distributed_coarsen_multilevel(mesh, rank_of_elem, partitions, n_ranks,
                                    upscaling_order=0, svd_tol=1e-9,
                                    jform_start=0, fe_hook=None,
-                                   targets_fn=None):
+                                   targets_fn=None, seq_factory=None):
     """Recursive distributed Coarsen (DeRhamSequence.cpp:572-692 under MPI).
 
     partitions[0] maps fine elements -> level-1 AEs; partitions[l] maps
@@ -130,7 +130,9 @@ def distributed_coarsen_multilevel(mesh, rank_of_elem, partitions, n_ranks,
             if lvl + 1 < n_levels:
                 local_part, ae_gids = _dense_remap(
                     np.asarray(partitions[lvl + 1])[ae_gids])
-        seq0 = DeRhamSequenceFE(p.topos[0], p.mesh)
+        seq0 = (DeRhamSequenceFE(p.topos[0], p.mesh)
+                if seq_factory is None
+                else seq_factory(p.topos[0], p.mesh))
         seq0.jform_start = jform_start
         if fe_hook is not None:
             fe_hook(seq0)

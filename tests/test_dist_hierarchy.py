@@ -218,3 +218,65 @@ def test_no_patch_holds_global(dist):
         assert p.mesh.num_elements < mesh.num_elements
         for lvl, t in enumerate(p.topos[1:], start=1):
             assert t.num_entities(0) <= p.topos[0].num_entities(0)
+
+
+def test_multilevel_distributed_ho(dist):
+    """The distributed pipeline is ORDER-generic: with an arbitrary-order
+    (feorder=1) fine sequence the per-level published P and owned operator
+    rows stay digit-exact vs serial (gid-derived HO dof conventions
+    survive the patch's monotone renumbering)."""
+    from parelag_tpu.amge.fespace3d_ho import DeRhamSequence3DFE_HO
+    mesh, rank_of_elem, partitions = _setup()
+    patches, gents = distributed_coarsen_multilevel(
+        mesh, rank_of_elem, partitions, N_RANKS, upscaling_order=0,
+        seq_factory=lambda t, m: DeRhamSequence3DFE_HO(t, m, 1))
+
+    def patch_A(p):
+        s = p.seqs[0]
+        M = s.compute_mass_operator(FORM)
+        W = s.compute_mass_operator(FORM + 1)
+        D = s.D[FORM]
+        return (M + D.T @ W @ D).tocsr()
+
+    setup = distributed_operator_setup(
+        patches, gents, FORM, patch_A, rank_of_elem)
+
+    # serial HO chain
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    topo.coarsen_local_partitioning(partitions[0])
+    topo.coarser.coarsen_local_partitioning(partitions[1])
+    seqs = [DeRhamSequence3DFE_HO(topo, mesh, 1)]
+    seqs[0].set_upscaling_targets(0)
+    seqs.append(seqs[0].coarsen())
+    seqs.append(seqs[1].coarsen())
+
+    assert setup.ndofs[0] == seqs[0].dof[FORM].ndofs
+    assert setup.ndofs[1] == seqs[1].dof[FORM].ndofs
+    assert setup.ndofs[2] == seqs[2].dof[FORM].ndofs
+
+    rows, cols, vals = setup.P_published[0]
+    P_dist = sp.coo_matrix(
+        (vals, (rows, cols)),
+        shape=(setup.ndofs[0], setup.ndofs[1])).tocsr()
+    cmap = _serial_colmap(seqs, 1, FORM)
+    P_serial = sp.csr_matrix(seqs[0].P[FORM])[:, np.argsort(cmap)]
+    d = (P_dist - P_serial).tocoo()
+    assert (np.abs(d.data).max() if d.nnz else 0.0) < 1e-11
+
+    # level-2 operator rows vs serial composite RAP
+    rows = np.concatenate([t[0] for t in setup.A_rows[2]])
+    cols = np.concatenate([t[1] for t in setup.A_rows[2]])
+    vals = np.concatenate([t[2] for t in setup.A_rows[2]])
+    A_dist = sp.coo_matrix(
+        (vals, (rows, cols)),
+        shape=(setup.ndofs[2], setup.ndofs[2])).tocsr()
+    M = seqs[0].compute_mass_operator(FORM)
+    W = seqs[0].compute_mass_operator(FORM + 1)
+    A0 = (M + seqs[0].D[FORM].T @ W @ seqs[0].D[FORM]).tocsr()
+    Pc = (sp.csr_matrix(seqs[0].P[FORM])
+          @ sp.csr_matrix(seqs[1].P[FORM])).tocsr()
+    Ac = (Pc.T @ A0 @ Pc).tocsr()
+    perm = np.argsort(_serial_colmap(seqs, 2, FORM))
+    Ac = Ac[perm][:, perm]
+    d = (A_dist - Ac).tocoo()
+    assert (np.abs(d.data).max() if d.nnz else 0.0) < 1e-9
