@@ -46,8 +46,16 @@ _EPS = np.finfo(np.float64).eps
 class DeRhamSequence:
     # accumulating coarsening log stream (the reference's static
     # DeRhamSequence_os, DeRhamSequence.hpp:499; PV/NullSpace dof counts
-    # appended per coarse-dof stage, DeRhamSequence.cpp:2080-2083)
+    # appended per coarse-dof stage, DeRhamSequence.cpp:2080-2083).
+    # Bounded: long-lived processes would otherwise grow it forever.
     log_stream = []
+    _LOG_CAP = 4096
+
+    @classmethod
+    def _log(cls, line):
+        cls.log_stream.append(line)
+        if len(cls.log_stream) > cls._LOG_CAP:
+            del cls.log_stream[:-cls._LOG_CAP // 2]
 
     def __init__(self, topo, nforms):
         self.topo = topo
@@ -219,12 +227,12 @@ class DeRhamSequence:
             # coarsening-stats stream (PV/NullSpace dof counts,
             # DeRhamSequence.cpp:2080-2083)
             for cd in sorted(cdof.n_ranget):
-                DeRhamSequence.log_stream.append(
+                DeRhamSequence._log(
                     f"form {jform} codim {cd}: "
                     f"{cdof.n_ranget[cd].size} entities, "
                     f"RangeT dofs {int(cdof.n_ranget[cd].sum())}, "
                     f"NullSpace dofs {int(cdof.n_null[cd].sum())}")
-            DeRhamSequence.log_stream.append(
+            DeRhamSequence._log(
                 f"form {jform}: coarse ndofs {cdof.ndofs} "
                 f"(fine {self.dof[jform].ndofs})")
 

@@ -218,6 +218,11 @@ class DiaMatrix:
     def _pallas_ok(self):
         from parelag_tpu.ops.pallas_kernels import pallas_dia_supported
         n, m = self.shape
+        # the kernel's xpad is sized from the ROW tiling: wide rectangular
+        # operators (m > npad + hi) don't fit its layout — use the XLA path
+        npad = -(-n // self._TILE) * self._TILE
+        if m > npad + self.span[1]:
+            return False
         # padded x must stay VMEM-resident (~budget half of 16 MB)
         if (m + self.span[0] + self.span[1] + self._TILE) \
                 * self.data.dtype.itemsize > 8 * 2 ** 20:

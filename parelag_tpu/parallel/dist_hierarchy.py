@@ -376,7 +376,6 @@ def distributed_operator_setup(patches, global_ents, form, A_fn,
     """Run the post-coarsening distributed operator setup: per-level global
     numberings, published P, per-rank owned operator rows at every level."""
     n_coarsen = len(patches[0].seqs) - 1
-    n_fine = patches[0].seqs[0].dof[form].ndofs  # patch-local; fixed below
     # true global fine dof count from the gid space
     n_fine = max(int(fine_dof_gids(p, global_ents, form, dim).max())
                  for p in patches) + 1
@@ -424,17 +423,12 @@ def distribute_from_rank_rows(rank_rows, owner, ndofs, ndev,
     """Build a sharding.DistributedSystem directly from per-rank owned-row
     triplets — the device-block construction never assembles a global CSR
     (rows land straight in their owner device's padded block)."""
-    from parelag_tpu.parallel.sharding import DistributedSystem
+    from parelag_tpu.parallel.sharding import (
+        DistributedSystem, owner_layout)
 
     owner = np.asarray(owner)
     n = ndofs
-    order = np.argsort(owner, kind="stable")
-    counts = np.bincount(owner, minlength=ndev)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    slot = np.empty(n, dtype=np.int64)
-    slot[order] = np.arange(n) - np.repeat(starts, counts)
-    n_loc = int(counts.max())
-    virt = owner * n_loc + slot
+    slot, n_loc, virt = owner_layout(owner, ndev)
 
     # global max row width across ranks (one scalar allreduce)
     k = 1

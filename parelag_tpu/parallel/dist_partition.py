@@ -120,37 +120,49 @@ def _contract(shards, R, rng):
     return new_shards, maps, n_coarse
 
 
+def _conn_table(s, part, k):
+    """(nv_local, k) part-connectivity weights of the shard's owned
+    vertices — one bincount over the CSR rows (vectorized; the per-vertex
+    Python loop cost minutes at bench scale)."""
+    rows = s.rows
+    nv = s.verts.size
+    v_of = np.repeat(np.arange(nv, dtype=np.int64),
+                     np.diff(rows.indptr))
+    key = v_of * k + part[rows.indices]
+    return np.bincount(key, weights=rows.data,
+                       minlength=nv * k).reshape(nv, k)
+
+
 def _refine_pass(shards, part, k, target, imb=1.05):
     """One distributed boundary-refinement pass: ranks propose positive-
-    gain moves for their owned boundary vertices (evaluated from their own
-    rows + the partition halo); moves apply best-gain-first under the
-    balance constraint."""
+    gain moves for their owned boundary vertices (gains from one
+    vectorized connectivity table per rank + the partition halo); moves
+    apply best-gain-first under the balance constraint."""
     sizes = np.zeros(k)
     for s in shards:
         np.add.at(sizes, part[s.verts], s.vwgt)
     cap = imb * target
-    moves = []
+    gains, verts, srcs, dsts, wgts = [], [], [], [], []
     for s in shards:
-        rows = s.rows
-        pv = part[s.verts]
-        for li in range(s.verts.size):
-            a, b = rows.indptr[li], rows.indptr[li + 1]
-            cols, wts = rows.indices[a:b], rows.data[a:b]
-            if cols.size == 0:
-                continue
-            pn = part[cols]
-            if np.all(pn == pv[li]):
-                continue
-            conn = np.zeros(k)
-            np.add.at(conn, pn, wts)
-            best = int(np.argmax(conn))
-            gain = conn[best] - conn[pv[li]]
-            if best != pv[li] and gain > 0:
-                moves.append((float(gain), int(s.verts[li]),
-                              int(pv[li]), best, float(s.vwgt[li])))
-    moves.sort(key=lambda t: -t[0])
+        conn = _conn_table(s, part, k)
+        own = part[s.verts]
+        best = np.argmax(conn, axis=1)
+        gain = conn[np.arange(own.size), best] \
+            - conn[np.arange(own.size), own]
+        sel = (best != own) & (gain > 0)
+        gains.append(gain[sel])
+        verts.append(s.verts[sel])
+        srcs.append(own[sel])
+        dsts.append(best[sel])
+        wgts.append(s.vwgt[sel])
+    gains = np.concatenate(gains)
+    order = np.argsort(-gains)
+    verts = np.concatenate(verts)[order]
+    srcs = np.concatenate(srcs)[order]
+    dsts = np.concatenate(dsts)[order]
+    wgts = np.concatenate(wgts)[order]
     n_moved = 0
-    for gain, v, src, dst, w in moves:
+    for v, src, dst, w in zip(verts, srcs, dsts, wgts):
         if part[v] != src:
             continue
         if sizes[dst] + w > cap or sizes[src] - w < 0.25 * target:
@@ -164,33 +176,42 @@ def _refine_pass(shards, part, k, target, imb=1.05):
 
 def _balance_pass(shards, part, k, target, imb=1.10):
     """Move least-penalty boundary vertices out of overweight parts into
-    underweight neighbor parts (the ParMETIS balance phase)."""
+    neighbor parts with headroom (the ParMETIS balance phase); gains from
+    the vectorized per-rank connectivity tables."""
     sizes = np.zeros(k)
     for s in shards:
         np.add.at(sizes, part[s.verts], s.vwgt)
     cap = imb * target
-    cands = []
+    pens, verts, srcs, dsts, wgts = [], [], [], [], []
     for s in shards:
-        rows = s.rows
-        for li in range(s.verts.size):
-            v = s.verts[li]
-            if sizes[part[v]] <= cap:
-                continue
-            a, b = rows.indptr[li], rows.indptr[li + 1]
-            cols, wts = rows.indices[a:b], rows.data[a:b]
-            pn = part[cols]
-            conn = np.zeros(k)
-            np.add.at(conn, pn, wts)
-            opts = np.unique(pn[pn != part[v]])
-            if opts.size == 0:
-                continue
-            dst = opts[np.argmax(conn[opts])]
-            penalty = conn[part[v]] - conn[dst]
-            cands.append((float(penalty), int(v), int(part[v]), int(dst),
-                          float(s.vwgt[li])))
-    cands.sort(key=lambda t: t[0])
+        own = part[s.verts]
+        over = sizes[own] > cap
+        if not over.any():
+            continue
+        conn = _conn_table(s, part, k)
+        masked = conn.copy()
+        masked[np.arange(own.size), own] = -np.inf
+        masked[:, :] = np.where(conn > 0, masked, -np.inf)
+        dst = np.argmax(masked, axis=1)
+        has = np.isfinite(masked[np.arange(own.size), dst])
+        sel = over & has
+        pen = (conn[np.arange(own.size), own]
+               - conn[np.arange(own.size), dst])
+        pens.append(pen[sel])
+        verts.append(s.verts[sel])
+        srcs.append(own[sel])
+        dsts.append(dst[sel])
+        wgts.append(s.vwgt[sel])
+    if not pens:
+        return 0
+    pens = np.concatenate(pens)
+    order = np.argsort(pens)
+    verts = np.concatenate(verts)[order]
+    srcs = np.concatenate(srcs)[order]
+    dsts = np.concatenate(dsts)[order]
+    wgts = np.concatenate(wgts)[order]
     n_moved = 0
-    for pen, v, src, dst, w in cands:
+    for v, src, dst, w in zip(verts, srcs, dsts, wgts):
         if part[v] != src or sizes[src] <= cap:
             continue
         if sizes[dst] + w > cap:

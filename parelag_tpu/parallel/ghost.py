@@ -34,16 +34,15 @@ class GhostMap:
     @classmethod
     def build(cls, owner, reads):
         """owner: owning rank per entity; reads[r]: entity ids rank r
-        references (its own + neighbors'; ghosts = reads - owned)."""
+        references (its own + neighbors'; ghosts = reads - owned). The
+        rank count comes from len(reads): ranks that own nothing still
+        read (and must receive) ghosts."""
+        from parelag_tpu.parallel.sharding import owner_layout
         owner = np.asarray(owner)
         n = owner.size
-        ndev = int(owner.max()) + 1 if n else 1
-        order = np.argsort(owner, kind="stable")
-        counts = np.bincount(owner, minlength=ndev)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        slot = np.empty(n, dtype=np.int64)
-        slot[order] = np.arange(n) - np.repeat(starts, counts)
-        n_loc = max(int(counts.max()), 1)
+        ndev = max(len(reads),
+                   int(owner.max()) + 1 if n else 1)
+        slot, n_loc, _ = owner_layout(owner, ndev)
         ghosts = []
         for r in range(ndev):
             ids = np.unique(np.asarray(reads[r]))

@@ -54,6 +54,22 @@ class DistributedSystem:
         return np.asarray(x_blocks)[self.owner, self.slot]
 
 
+def owner_layout(owner, ndev):
+    """(slot, n_loc, virt): padded per-device slot assignment in global
+    dof order — THE virtual-global layout convention (owner * n_loc +
+    slot) shared by distribute_system, dist_hierarchy.
+    distribute_from_rank_rows and ghost.GhostMap."""
+    owner = np.asarray(owner)
+    n = owner.size
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=ndev)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    slot = np.empty(n, dtype=np.int64)
+    slot[order] = np.arange(n) - np.repeat(starts, counts)
+    n_loc = max(int(counts.max()), 1) if n else 1
+    return slot, n_loc, owner * n_loc + slot
+
+
 def dof_partition(entity_dof_pattern, elem_partition) -> np.ndarray:
     """Owner of each dof = partition of its first adjacent element
     (owner-computes convention, SharingMap.hpp:52-66)."""
@@ -73,15 +89,7 @@ def distribute_system(A, owner, ndev, dtype=np.float32) -> DistributedSystem:
     A = sp.csr_matrix(A)
     n = A.shape[0]
     owner = np.asarray(owner)
-    # slot[d] = position of dof d within its owner's block, in global dof
-    # order (segment ranks via a stable sort by owner)
-    order = np.argsort(owner, kind="stable")
-    counts = np.bincount(owner, minlength=ndev)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    slot = np.empty(n, dtype=np.int64)
-    slot[order] = np.arange(n) - np.repeat(starts, counts)
-    n_loc = int(counts.max())
-    virt = owner * n_loc + slot
+    slot, n_loc, virt = owner_layout(owner, ndev)
 
     nnz_per_row = np.diff(A.indptr)
     k = max(int(nnz_per_row.max()), 1)

@@ -304,12 +304,18 @@ class _AuxAMGSolver(Solver):
         b = np.asarray(b, dtype=np.float64)
         x = np.zeros_like(b)
         r0 = np.linalg.norm(b)
+        self.iterations = 0
+        self.converged = False
         for it in range(self._maxit):
             r = b - self._A_host @ x
             if np.linalg.norm(r) <= self._rtol * r0:
+                self.converged = True
                 break
             x = x + self.apply(r)
-        self.iterations = it + 1
+            self.iterations = it + 1
+        else:
+            self.converged = np.linalg.norm(
+                b - self._A_host @ x) <= self._rtol * r0
         return x
 
     def device_state(self):
