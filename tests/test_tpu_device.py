@@ -27,7 +27,7 @@ def _clean_env():
     return env
 
 
-def _run(script, timeout=600):
+def _run(script, timeout=1200):
     return subprocess.run([sys.executable, "-c", script],
                           capture_output=True, text=True,
                           env=_clean_env(), timeout=timeout)
@@ -128,7 +128,9 @@ print(f"pcg ok iters={int(it)} rel={rel:.2e}")
 
 @pytest.mark.skipif(not _have_tpu(), reason="no accelerator backend")
 def test_f32_solve_phase_on_device():
-    r = _run(_DEVICE_SCRIPT, timeout=600)
+    # generous timeout: this host has ONE core, and co-running
+    # jobs (bench, suite) have caused spurious subprocess timeouts
+    r = _run(_DEVICE_SCRIPT, timeout=1200)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     for tag in ("spmv ok", "invariants ok", "pcg ok"):
         assert tag in r.stdout, r.stdout
