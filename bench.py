@@ -316,6 +316,60 @@ def lane_darcy_hybridized(nx):
                 value=n * niter / dt, unit="dof_iter_per_s")
 
 
+def lane_maxwell(nx):
+    """Hcurl lane: curl-curl + mass system, Hiptmair-smoothed 2-level
+    AMGe V-cycle PCG on device (UpscalingMaxwell / MultigridTest1Form
+    analog; Hiptmair smoothing is the reference's 1-form default,
+    Create1FormParameterList.hpp:85-101)."""
+    import jax
+    import jax.numpy as jnp
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+    from parelag_tpu.models.upscaling import (
+        mark_dofs_on_bndr, eliminate_rowcols)
+    from parelag_tpu.solvers.amge_solver import build_ml_hiptmair
+    from parelag_tpu.solvers.cg import pcg
+
+    t0 = time.time()
+    mesh = hex_grid_mesh(nx, nx, nx)
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    topo.coarsen_local_partitioning(
+        cartesian_partition((nx, nx, nx), (2, 2, 2)))
+    seq = DeRhamSequenceFE(topo, mesh)
+    seq.set_upscaling_targets(0)
+    seqs = [seq, seq.coarsen()]
+    M = seq.compute_mass_operator(1)
+    W = seq.compute_mass_operator(2)
+    D = seq.D[1]
+    A = (M + D.T @ W @ D).tocsr()
+    rng = np.random.RandomState(0)
+    b = rng.randn(A.shape[0])
+    marker = mark_dofs_on_bndr(seq, 1, {1, 2, 3, 4, 5, 6})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    H, _, _ = build_ml_hiptmair(seqs, 1, A.astype(np.float32),
+                                dtype=np.float32)
+    setup_s = time.time() - t0
+    bj = jnp.asarray(b.astype(np.float32))
+
+    @jax.jit
+    def solve(Harg, bb):
+        return pcg(lambda v: Harg.levels[0].A @ v, bb,
+                   precond=Harg.apply, rtol=1e-6, atol=0.0, maxiter=200)
+
+    x, (it, nom) = solve(H, bj)
+    niter = int(it)
+    res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
+    dt = _slope_time(lambda: solve(H, bj)[0])
+    n = A.shape[0]
+    return dict(metric="maxwell_hiptmair_amge_pcg", ndofs=n,
+                iters=niter,
+                rel_res=res / max(float(np.linalg.norm(b)), 1e-30),
+                setup_s=setup_s, solve_s=dt,
+                value=n * niter / dt, unit="dof_iter_per_s")
+
+
 def main():
     big = 96 if SCALE == "full" else 24
     darcy_nx = 32 if SCALE == "full" else 12
@@ -338,6 +392,11 @@ def main():
         print(json.dumps({"lane": "setup", **s}), file=sys.stderr)
     except Exception as e:               # pragma: no cover
         print(f"[setup] lane failed: {e}", file=sys.stderr)
+    try:
+        mx = lane_maxwell(24 if SCALE == "full" else 8)
+        print(json.dumps({"lane": "maxwell", **mx}), file=sys.stderr)
+    except Exception as e:               # pragma: no cover
+        print(f"[maxwell] lane failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": out["metric"],

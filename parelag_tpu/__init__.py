@@ -44,6 +44,28 @@ _LAZY = {
     "TimeManager": ("parelag_tpu.utils.timing", "TimeManager"),
     "save_pytree": ("parelag_tpu.utils.checkpoint", "save_pytree"),
     "load_pytree": ("parelag_tpu.utils.checkpoint", "load_pytree"),
+    # round 3: arbitrary order, multi-level distribution, partitioning
+    "DeRhamSequence3DFE_HO": ("parelag_tpu.amge.fespace3d_ho",
+                              "DeRhamSequence3DFE_HO"),
+    "DeRhamSequenceTetFE_HO": ("parelag_tpu.amge.fespace3d_tet_ho",
+                               "DeRhamSequenceTetFE_HO"),
+    "DeRhamSequence2DFE_HO": ("parelag_tpu.amge.fespace2d_ho",
+                              "DeRhamSequence2DFE_HO"),
+    "build_ml_hiptmair": ("parelag_tpu.solvers.amge_solver",
+                          "build_ml_hiptmair"),
+    "GhostMap": ("parelag_tpu.parallel.ghost", "GhostMap"),
+    "parmetis_kway": ("parelag_tpu.parallel.dist_partition",
+                      "parmetis_kway"),
+    "metis_material_partition": ("parelag_tpu.partitioning.partitioners",
+                                 "metis_material_partition"),
+    "distributed_coarsen_multilevel": (
+        "parelag_tpu.parallel.dist_hierarchy",
+        "distributed_coarsen_multilevel"),
+    "distributed_operator_setup": ("parelag_tpu.parallel.dist_hierarchy",
+                                   "distributed_operator_setup"),
+    "build_hierarchy_from_setup": ("parelag_tpu.parallel.dist_hierarchy",
+                                   "build_hierarchy_from_setup"),
+    "assert_invariants": ("parelag_tpu.utils.errors", "assert_invariants"),
 }
 
 
