@@ -180,3 +180,19 @@ def test_error_layer():
     seq.coarsen()
     errs = E.assert_invariants(seq)
     assert all(v < 1e-9 for v in errs.values())
+
+
+def test_ghost_trailing_rank_owning_nothing():
+    """Rank count comes from len(reads): a trailing rank that owns no
+    entities still receives its ghosts (review regression)."""
+    owner = np.array([0, 0, 1, 1])
+    reads = [np.array([0, 1, 2]), np.array([1, 2, 3]), np.array([0, 3])]
+    gm = GhostMap.build(owner, reads)
+    assert gm.ndev == 3
+    assert len(gm.ghosts) == 3
+    assert np.array_equal(gm.ghosts[2], [0, 3])
+    vals = np.array([10.0, 20.0, 30.0, 40.0])
+    copies = gm.distribute(vals)
+    assert np.array_equal(copies[2], [10.0, 40.0])
+    out = gm.assemble(vals, [np.zeros(1), np.zeros(1), np.array([1.0, 2.0])])
+    assert out[0] == 11.0 and out[3] == 42.0

@@ -53,6 +53,6 @@ ref = np.einsum("nkrc,nkc->nr", np.asarray(tiles),
                 xr[np.asarray(cb)]).reshape(-1)
 assert np.abs(y - ref).max() < 1e-3 * np.abs(ref).max()
 print("bcsr pallas ok")
-""", timeout=420)
+""", timeout=1200)
     assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
     assert "bcsr pallas ok" in r.stdout
