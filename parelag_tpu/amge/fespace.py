@@ -103,25 +103,41 @@ class DeRhamSequenceFE(DeRhamSequence):
         coeff = elem_coeffs or {}
 
         # ---- codim 0 (element) blocks for all forms ---- #
-        fe = hexfe if self.kind == "hex" else tetfe
-        h1m = fe.hex_h1_mass if self.kind == "hex" else fe.tet_h1_mass
-        ndm = fe.hex_nd_mass if self.kind == "hex" else fe.tet_nd_mass
-        rtm = fe.hex_rt_mass if self.kind == "hex" else fe.tet_rt_mass
-        l2m = fe.hex_l2_mass if self.kind == "hex" else fe.tet_l2_mass
-        self.M[(0, 0)] = LocalMass.from_uniform(
-            m.elements, h1m(ec, coeff.get(0)))
-        self.M[(0, 1)] = LocalMass.from_uniform(
-            e.elem_edge, ndm(ec, e.elem_edge_sign, coeff.get(1)))
-        self.M[(0, 2)] = LocalMass.from_uniform(
-            e.elem_face, rtm(ec, e.elem_face_sign, coeff.get(2)))
-        self.M[(0, 3)] = LocalMass.from_uniform(
-            np.arange(ne)[:, None], l2m(ec, coeff.get(3)))
+        # shared geometry: one Jacobian/tangent-frame evaluation feeds all
+        # four element kernels and all three face kernels (computing them
+        # per kernel dominated the fine build at scale)
+        if self.kind == "hex":
+            geom = hexfe.elem_geom(ec)
+            self.M[(0, 0)] = LocalMass.from_uniform(
+                m.elements, hexfe.hex_h1_mass(ec, coeff.get(0), geom=geom))
+            self.M[(0, 1)] = LocalMass.from_uniform(
+                e.elem_edge, hexfe.hex_nd_mass(
+                    ec, e.elem_edge_sign, coeff.get(1), geom=geom))
+            self.M[(0, 2)] = LocalMass.from_uniform(
+                e.elem_face, hexfe.hex_rt_mass(
+                    ec, e.elem_face_sign, coeff.get(2), geom=geom))
+            self.M[(0, 3)] = LocalMass.from_uniform(
+                np.arange(ne)[:, None],
+                hexfe.hex_l2_mass(ec, coeff.get(3), geom=geom))
+        else:
+            self.M[(0, 0)] = LocalMass.from_uniform(
+                m.elements, tetfe.tet_h1_mass(ec, coeff.get(0)))
+            self.M[(0, 1)] = LocalMass.from_uniform(
+                e.elem_edge, tetfe.tet_nd_mass(
+                    ec, e.elem_edge_sign, coeff.get(1)))
+            self.M[(0, 2)] = LocalMass.from_uniform(
+                e.elem_face, tetfe.tet_rt_mass(
+                    ec, e.elem_face_sign, coeff.get(2)))
+            self.M[(0, 3)] = LocalMass.from_uniform(
+                np.arange(ne)[:, None], tetfe.tet_l2_mass(
+                    ec, coeff.get(3)))
 
         # ---- codim 1 (facet) trace masses ---- #
         if self.kind == "hex":
-            fh1 = hexfe.face_h1_mass(fc)
-            fnd = hexfe.face_nd_mass(fc, e.face_edge_sign)
-            frt = hexfe.face_rt_trace_mass(fc)
+            F = hexfe.face_geom(fc)
+            fh1 = hexfe.face_h1_mass(fc, F=F)
+            fnd = hexfe.face_nd_mass(fc, e.face_edge_sign, F=F)
+            frt = hexfe.face_rt_trace_mass(fc, F=F)
         else:
             fh1 = tetfe.tri_h1_mass(fc)
             fnd = tetfe.tri_nd_mass(fc, e.face_edge_sign)

@@ -210,11 +210,25 @@ def _rt0_ref_shapes(p):
     return np.stack(shapes, axis=1)
 
 
-def hex_h1_mass(coords, coeff=None):
+def elem_geom(coords):
+    """Shared element geometry: (J, detJ_signed) at the volume rule —
+    compute once, pass to every hex_* mass kernel via geom=."""
+    J = _jacobians(coords, _Q3)
+    return J, _det3(J)
+
+
+def face_geom(coords4):
+    """Shared face geometry: the bilinear tangent frame F at the surface
+    rule — compute once, pass to every face_* kernel via F=."""
+    _, F = _face_param(coords4, _Q2)
+    return F
+
+
+def hex_h1_mass(coords, coeff=None, geom=None):
     """(ne,8,3) vertex coords -> (ne,8,8) Q1 mass matrices.
     coeff: optional (ne, nq) coefficient values at quadrature points."""
-    J = _jacobians(coords, _Q3)
-    detJ = np.abs(_det3(J))                             # (ne, nq)
+    J, detJ_s = geom if geom is not None else elem_geom(coords)
+    detJ = np.abs(detJ_s)                             # (ne, nq)
     N = _q1_shapes(_Q3)                                 # (nq, 8)
     w = _QW3[None, :] * detJ
     if coeff is not None:
@@ -251,12 +265,12 @@ _ND0_E = None
 _RT0_F = None
 
 
-def hex_nd_mass(coords, edge_signs, coeff=None):
+def hex_nd_mass(coords, edge_signs, coeff=None, geom=None):
     """(ne,12,12) ND0 mass, global-circulation dofs (edge_signs (ne,12))."""
     global _ND0_E
-    J = _jacobians(coords, _Q3)
-    detJ = np.abs(_det3(J))
-    Jinv = _inv3(J, None)                                # (ne,nq,3,3)
+    J, detJ_s = geom if geom is not None else elem_geom(coords)
+    detJ = np.abs(detJ_s)
+    Jinv = _inv3(J, detJ_s)                              # (ne,nq,3,3)
     if _ND0_E is None:
         _ND0_E = _nd0_ref_shapes(_Q3)                    # (nq,12,3)
     # covariant: u = J^{-T} E; phys phys^T = E (Jinv Jinv^T) E^T, so the
@@ -269,11 +283,10 @@ def hex_nd_mass(coords, edge_signs, coeff=None):
     return M * edge_signs[:, :, None] * edge_signs[:, None, :]
 
 
-def hex_rt_mass(coords, face_signs, coeff=None):
+def hex_rt_mass(coords, face_signs, coeff=None, geom=None):
     """(ne,6,6) RT0 mass, global-flux dofs (face_signs (ne,6))."""
     global _RT0_F
-    J = _jacobians(coords, _Q3)
-    detJ_s = _det3(J)
+    J, detJ_s = geom if geom is not None else elem_geom(coords)
     detJ = np.abs(detJ_s)
     if _RT0_F is None:
         _RT0_F = _rt0_ref_shapes(_Q3)                    # (nq,6,3)
@@ -286,10 +299,10 @@ def hex_rt_mass(coords, face_signs, coeff=None):
     return M * face_signs[:, :, None] * face_signs[:, None, :]
 
 
-def hex_l2_mass(coords, coeff=None):
+def hex_l2_mass(coords, coeff=None, geom=None):
     """(ne,1,1) cell-value mass = cell volume (weighted)."""
-    J = _jacobians(coords, _Q3)
-    detJ = np.abs(_det3(J))
+    J, detJ_s = geom if geom is not None else elem_geom(coords)
+    detJ = np.abs(detJ_s)
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
@@ -327,11 +340,12 @@ def face_areas(coords4):
     return (W * _QW2[None, :]).sum(axis=1)
 
 
-def face_h1_mass(coords4):
+def face_h1_mass(coords4, F=None):
     """(nf,4,4) Q1 surface mass on quad faces, dofs in cycle-vertex order."""
     s, t = _Q2[:, 0], _Q2[:, 1]
     N = np.stack([(1 - s) * (1 - t), s * (1 - t), s * t, (1 - s) * t], axis=1)
-    _, F = _face_param(coords4, _Q2)
+    if F is None:
+        F = face_geom(coords4)
     G = F.transpose(0, 1, 3, 2) @ F
     W = np.sqrt(_det2(G))
     w = _QW2[None, :] * W
@@ -341,7 +355,7 @@ def face_h1_mass(coords4):
 _NDF_KERNEL = None
 
 
-def face_nd_mass(coords4, edge_signs):
+def face_nd_mass(coords4, edge_signs, F=None):
     """(nf,4,4) tangential-trace ND mass on quad faces; dofs = global
     circulations of the 4 cycle edges (edge_signs (nf,4) = cycle-vs-global).
 
@@ -360,7 +374,8 @@ def face_nd_mass(coords4, edge_signs):
         Ehat[:, 3, 1] = -(1 - s)
         _NDF_KERNEL = np.einsum(
             "qib,qjc->qbcij", Ehat, Ehat).reshape(nq * 4, 16)
-    _, F = _face_param(coords4, _Q2)
+    if F is None:
+        F = face_geom(coords4)
     G = np.einsum("fqai,fqaj->fqij", F, F)
     Ginv = _inv2(G)
     W = np.sqrt(_det2(G))
@@ -370,10 +385,11 @@ def face_nd_mass(coords4, edge_signs):
     return M * edge_signs[:, :, None] * edge_signs[:, None, :]
 
 
-def face_rt_trace_mass(coords4):
+def face_rt_trace_mass(coords4, F=None):
     """(nf,1,1) normal-trace mass: integral over reference of 1/W
     (= 1/area for planar faces), flux-dof convention."""
-    _, F = _face_param(coords4, _Q2)
+    if F is None:
+        F = face_geom(coords4)
     G = F.transpose(0, 1, 3, 2) @ F
     W = np.sqrt(_det2(G))
     return ((_QW2[None, :] / W).sum(axis=1))[:, None, None]
