@@ -138,10 +138,14 @@ def _metric_mass(wG, E):
     batched tiny matmuls are BLAS-call-bound, this is a single dgemm."""
     q, k, d = E.shape
     key = (id(E), E.shape)
-    K = _METRIC_KERNELS.get(key)
-    if K is None:
+    hit = _METRIC_KERNELS.get(key)
+    if hit is None:
         K = np.einsum("qia,qjb->qabij", E, E).reshape(q * d * d, k * k)
-        _METRIC_KERNELS[key] = K
+        # pin E in the cache entry: keeps its id() from ever being reused
+        # by a different array while the kernel is cached
+        _METRIC_KERNELS[key] = (E, K)
+    else:
+        K = hit[1]
     n = wG.shape[0]
     return (wG.reshape(n, q * d * d) @ K).reshape(n, k, k)
 
