@@ -212,3 +212,42 @@ def test_poisson_solve_converges(p):
         errs.append(float(np.sqrt(d @ (M @ d))))
     rate = np.log2(errs[0] / errs[1])
     assert rate > p + 0.6, f"p={p}: L2 rate {rate} (errs {errs})"
+
+
+def test_ho_spectral_hdiv_l2_targets():
+    """Feature intersection: mixed Hdiv-L2 SPECTRAL coarse targets
+    (LocalSpectralTargets.cpp:93-297) on an arbitrary-order fine space
+    with a high-contrast coefficient — the engine is order-agnostic."""
+    from parelag_tpu.amge.spectral import (
+        compute_local_hdiv_l2_spectral_targets)
+
+    m = hex_grid_mesh(4, 4, 4)
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(
+        cartesian_partition((4, 4, 4), (2, 2, 2)))
+    seq = DeRhamSequence3DFE_HO(topo, m, 1)
+
+    def perm(q):
+        return np.where((np.floor(q[..., 0] * 4)
+                         + np.floor(q[..., 1] * 4)) % 2 == 0, 1e3, 1.0)
+
+    seq.replace_mass_integrator(2, perm)
+    seq.jform_start = 2
+    seq.set_upscaling_targets(0)
+    seq.agglomerate_dofs()
+    tr, l2 = compute_local_hdiv_l2_spectral_targets(seq, 0.0025, 8)
+    seq.set_local_targets(1, 2, tr)
+    seq.set_local_targets(0, 3, l2)
+    coarse = seq.coarsen()
+    for j in (2, 3):
+        P = sp.csr_matrix(seq.P[j])
+        err = np.abs(
+            (seq.Pi[j].matrix @ P) - sp.identity(P.shape[1])).max()
+        assert err < 1e-10, (j, err)
+    comm = np.abs(sp.csr_matrix(coarse.D[2])
+                  - seq.Pi[3].matrix @ seq.D[2] @ seq.P[2]).max()
+    assert comm < 1e-10
+    # spectral enrichment actually enriched: more coarse Hdiv dofs than
+    # the PV-only count (one per coarse facet + derivative bubbles)
+    n_facets = topo.coarser.num_entities(1)
+    assert seq.P[2].shape[1] > n_facets
