@@ -280,3 +280,58 @@ def test_multilevel_distributed_ho(dist):
     Ac = Ac[perm][:, perm]
     d = (A_dist - Ac).tocoo()
     assert (np.abs(d.data).max() if d.nnz else 0.0) < 1e-9
+
+
+def test_multilevel_distributed_unstructured_tets():
+    """The recursion on an UNSTRUCTURED TET mesh (cube456, the reference
+    testsuite's canonical mesh) with geometric agglomeration: per-level
+    numbering and published P digit-exact vs serial."""
+    from parelag_tpu.mesh.mesh import read_mesh
+    from parelag_tpu.ops import csr as C
+    from parelag_tpu.partitioning.partitioners import (
+        geometric_box_partition)
+    from parelag_tpu.parallel.dist_hierarchy import publish_P_level
+
+    m = read_mesh("/root/reference/meshes/cube456.mesh")
+    topo0 = AgglomeratedTopology.from_mesh(m)
+    g = topo0.local_element_element()
+    p1, n1 = C.connected_components(geometric_box_partition(m, 64), g)
+    cent = np.zeros((n1, 3))
+    ec = m.vertices[m.elements].mean(axis=1)
+    np.add.at(cent, p1, ec)
+    cent /= np.bincount(p1, minlength=n1)[:, None]
+    p2_raw = ((cent[:, 0] > np.median(cent[:, 0])).astype(np.int64) * 2
+              + (cent[:, 1] > np.median(cent[:, 1])).astype(np.int64))
+    AE1g = C.transpose_orientation(p1, n1)
+    g1 = sp.csr_matrix(C.bool_mult(
+        C.pattern(AE1g @ topo0.B[0]), C.pattern(AE1g @ topo0.B[0]).T))
+    p2, n2 = C.connected_components(p2_raw, g1)
+    R = n2
+    rank_of_elem = (np.arange(n2) % R)[p2[p1]]
+
+    patches, gents = distributed_coarsen_multilevel(
+        m, rank_of_elem, [p1, p2], R, upscaling_order=0)
+
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(p1)
+    topo.coarser.coarsen_local_partitioning(p2)
+    seqs = [DeRhamSequenceFE(topo, m)]
+    seqs[0].set_upscaling_targets(0)
+    seqs.append(seqs[0].coarsen())
+    seqs.append(seqs[1].coarsen())
+
+    num1 = global_numbering_level(patches, gents, FORM, 1)
+    num2 = global_numbering_level(patches, gents, FORM, 2)
+    assert num1.ndofs == seqs[1].dof[FORM].ndofs
+    assert num2.ndofs == seqs[2].dof[FORM].ndofs
+
+    rows, cols, vals = publish_P_level(
+        patches, gents, num1, num2, FORM, 1)
+    P_dist = sp.coo_matrix((vals, (rows, cols)),
+                           shape=(num1.ndofs, num2.ndofs)).tocsr()
+    cmap_r = _serial_colmap(seqs, 1, FORM)
+    cmap_c = _serial_colmap(seqs, 2, FORM)
+    P_serial = sp.csr_matrix(seqs[1].P[FORM])[
+        np.argsort(cmap_r)][:, np.argsort(cmap_c)]
+    d = (P_dist - P_serial).tocoo()
+    assert (np.abs(d.data).max() if d.nnz else 0.0) < 1e-11
