@@ -87,60 +87,98 @@ def compute_local_hdiv_l2_spectral_targets(
     # interior ones, reference AE_fc pattern)
     AE_bfc = C.drop_zeros((AE_e @ topo.B[0]).tocsr(), 1e-10)
 
-    l2_targets = []
-    AE_mu = []
+    # ---- batched per-AE eigenproblems, grouped by shape signature ----- #
+    # (the per-AE dict/np.ix_ loop cost minutes at SPE10 scale; on
+    # quasi-uniform agglomerations a handful of groups cover everything
+    # and every dense step below is one stacked LAPACK call per group)
+    from parelag_tpu.ops import ragged as Rg
+    nu_ints = uagg.n_interior(0)
+    u_cat, u_off = uagg.ae_dofs_cat(0)
+    p_cat, p_off = pagg.ae_dofs_cat(0)
+    u_sizes = np.diff(u_off)
+    p_sizes = np.diff(p_off)
+    Dlocs = C.extract_blocks_cat(D, p_cat, p_off, u_cat, u_off)
+
+    # per-AE assembled boundary trace mass Q via a scratch position array
+    ndofs_u = uagg.dof.ndofs
+    posarr = np.full(ndofs_u, -1, dtype=np.int64)
+    Q_list = [None] * n_ae
+    qd_cat, qd_off, qb_cat, qb_off = Qlocal.concatenated()
     for iae in range(n_ae):
-        u_all = uagg.ae_dofs(0)[iae]
-        nu_int = int(uagg.n_interior(0)[iae])
+        u_all = u_cat[u_off[iae]:u_off[iae + 1]]
+        nu_int = int(nu_ints[iae])
         u_bdr = u_all[nu_int:]
-        p_all = pagg.ae_dofs(0)[iae]
-        Mloc = Md[iae]
-        if kinv_scaling is not None:
-            Mloc = Mloc * kinv_scaling[iae]
-        Wloc = Wd[iae]
-        Dloc = C.extract_submatrix(D, p_all, u_all)
-        Bloc = Wloc @ Dloc
-        # Q: assembled facet trace mass on the AE's boundary dofs
         nb = u_bdr.size
+        posarr[u_bdr] = np.arange(nb)
         Qloc = np.zeros((nb, nb))
-        pos = {int(d): i for i, d in enumerate(u_bdr)}
-        bfacets = AE_bfc.indices[AE_bfc.indptr[iae]:AE_bfc.indptr[iae + 1]]
+        bfacets = AE_bfc.indices[
+            AE_bfc.indptr[iae]:AE_bfc.indptr[iae + 1]]
         for f in bfacets:
-            dofs = np.asarray(Qlocal.dofs[f])
-            idx = np.array([pos[int(d)] for d in dofs])
-            Qloc[np.ix_(idx, idx)] += np.asarray(Qlocal.blocks[f])
-        # C: Q-weighted boundary trace rows against all AE dofs (reference
-        # extracts C from the Q matrix itself,
-        # LocalSpectralTargets.cpp:139 — NOT identity rows; the trace block
-        # of the Schur eigenproblem is Q M^{-1} Q vs Q)
-        Cloc = np.concatenate(
-            [np.zeros((nb, nu_int)), Qloc], axis=1)
-        Minv_BC = np.linalg.solve(
-            Mloc, np.concatenate([Bloc, Cloc], axis=0).T)
-        S = np.concatenate([Bloc, Cloc], axis=0) @ Minv_BC
-        S = 0.5 * (S + S.T)
-        RHS = scipy.linalg.block_diag(Wloc, Qloc)
-        w, V = scipy.linalg.eigh(S, RHS)
-        count = int(np.sum(np.abs(w) <= rel_tol * max(abs(w[-1]), 1.0)))
-        m = max(min(count, max_evects) if max_evects >= 1 else count, 1)
-        V = V[:, :m]
-        if V[0, 0] < 0:
-            V[:, 0] *= -1
-        npl = p_all.size
-        l2_targets.append(V[:npl, :].copy())
-        AE_mu.append((u_bdr, V[npl:, :].copy()))
+            dofs = qd_cat[qd_off[f]:qd_off[f + 1]]
+            idx = posarr[dofs]
+            k = dofs.size
+            Qloc[idx[:, None], idx[None, :]] += \
+                qb_cat[qb_off[f]:qb_off[f + 1]].reshape(k, k)
+        posarr[u_bdr] = -1
+        Q_list[iae] = Qloc
+
+    sigs = list(zip(u_sizes, nu_ints, p_sizes))
+    l2_targets = [None] * n_ae
+    AE_mu = [None] * n_ae
+    for sig, idxs in Rg.group_by(sigs).items():
+        nu_all, nu_int, npl = (int(v) for v in sig)
+        nb = nu_all - nu_int
+        m_g = len(idxs)
+        Mst = Rg.take(Md, idxs, (nu_all, nu_all))
+        if kinv_scaling is not None:
+            Mst = Mst * np.asarray(
+                [kinv_scaling[i] for i in idxs])[:, None, None]
+        Wst = Rg.take(Wd, idxs, (npl, npl))
+        Dst = Rg.take(Dlocs, idxs, (npl, nu_all))
+        Bst = Wst @ Dst
+        Qst = np.stack([Q_list[i] for i in idxs])
+        Cst = np.concatenate(
+            [np.zeros((m_g, nb, nu_int)), Qst], axis=2)
+        BC = np.concatenate([Bst, Cst], axis=1)
+        Minv_BC = np.linalg.solve(Mst, BC.transpose(0, 2, 1))
+        S = BC @ Minv_BC
+        S = 0.5 * (S + S.transpose(0, 2, 1))
+        RHS = np.zeros((m_g, npl + nb, npl + nb))
+        RHS[:, :npl, :npl] = Wst
+        RHS[:, npl:, npl:] = Qst
+        # Cholesky-reduced generalized eigh, one batched LAPACK call
+        # (what ?sygvd does internally, stacked)
+        L = np.linalg.cholesky(RHS)
+        Sst = np.linalg.solve(L, S.transpose(0, 2, 1))
+        Sst = np.linalg.solve(L, Sst.transpose(0, 2, 1))
+        w, Vt = np.linalg.eigh(Sst)
+        # V = L^{-T} Vt: solve L^T V = Vt
+        V = np.linalg.solve(L.transpose(0, 2, 1), Vt)
+        counts = np.sum(
+            np.abs(w) <= rel_tol
+            * np.maximum(np.abs(w[:, -1:]), 1.0), axis=1)
+        for j, iae in enumerate(idxs):
+            m = int(counts[j])
+            m = max(min(m, max_evects) if max_evects >= 1 else m, 1)
+            Vj = V[j, :, :m].copy()
+            if Vj[0, 0] < 0:
+                Vj[:, 0] *= -1
+            l2_targets[iae] = Vj[:npl, :]
+            u_all = u_cat[u_off[iae]:u_off[iae + 1]]
+            AE_mu[iae] = (u_all[nu_int:], Vj[npl:, :])
 
     # coarse-facet Hdiv trace targets: restrict adjacent AEs' mu parts
     hdiv_trace_targets = []
+    af_dofs_list = uagg.ae_dofs(1)
     for iaf in range(n_af):
-        af_dofs = uagg.ae_dofs(1)[iaf]
+        af_dofs = af_dofs_list[iaf]
         aes = AF_AE.indices[AF_AE.indptr[iaf]:AF_AE.indptr[iaf + 1]]
         cols = []
         for ae in aes:
             u_bdr, mu = AE_mu[ae]
-            pos = {int(d): i for i, d in enumerate(u_bdr)}
-            idx = np.array([pos[int(d)] for d in af_dofs])
-            cols.append(mu[idx, :])
+            posarr[u_bdr] = np.arange(u_bdr.size)
+            cols.append(mu[posarr[af_dofs], :])
+            posarr[u_bdr] = -1
         if cols:
             hdiv_trace_targets.append(np.concatenate(cols, axis=1))
         else:

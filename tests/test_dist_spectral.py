@@ -114,6 +114,33 @@ def _serial_colmap(seqs, level, form, dim=3):
     return out
 
 
+def _compare_P_subspaces(P_dist, P_serial, cdof, colmap, dim, form,
+                         tol=1e-6):
+    """Per-entity coarse-basis SUBSPACE comparison: spectral targets are
+    defined only up to rotations inside (near-)degenerate eigenvalue
+    clusters, and second-generation eigensolves amplify ULP-level input
+    differences (BLAS batch-extent effects) into large entrywise rotations
+    — the invariant that IS stable is each entity's span."""
+    import scipy.linalg as sla
+    Pd = sp.csc_matrix(P_dist)
+    Ps = sp.csc_matrix(P_serial)
+    for codim in range(dim - form, -1, -1):
+        o = cdof.interior_offsets[codim]
+        for i in range(o.size - 1):
+            a, b = int(o[i]), int(o[i + 1])
+            if b == a:
+                continue
+            cols_d = np.sort(colmap[a:b])
+            Bs = Ps[:, a:b].toarray()
+            Bd = Pd[:, cols_d].toarray()
+            rows = np.unique(np.concatenate(
+                [np.nonzero(np.abs(Bs).max(axis=1) > 0)[0],
+                 np.nonzero(np.abs(Bd).max(axis=1) > 0)[0]]))
+            ang = sla.subspace_angles(Bs[rows], Bd[rows])
+            assert ang.max() < tol, \
+                (form, codim, i, float(ang.max()))
+
+
 def _compare_P(patches, gents, seqs, form, level, tol=1e-12):
     num_f = (None if level == 0 else
              global_numbering_level(patches, gents, form, level))
@@ -150,15 +177,35 @@ def hdiv_case():
 
 @pytest.mark.parametrize("form,level", [(2, 0), (2, 1), (3, 0), (3, 1)])
 def test_hdiv_l2_spectral_P_matches_serial(hdiv_case, form, level):
-    """Level 0 is digit-exact. At level >= 1 the inputs pass through a
-    second generation of generalized eigensolves whose matrices differ at
-    the ULP level between patch and serial runs (BLAS GEMM blocking depends
-    on the batch extent of the fine element-matrix kernels), and clustered
-    eigenvalues amplify that; the protocol itself is still deterministic —
-    the subspace DIMENSIONS match exactly and entries to ~1e-8."""
+    """Level 0 is digit-exact (entrywise). At level >= 1 the inputs pass
+    through a second generation of generalized eigensolves whose matrices
+    differ at the ULP level between patch and serial runs (BLAS
+    batch-extent effects), and eigenvectors inside degenerate clusters
+    rotate arbitrarily under that — so the stable invariant is each
+    entity's coarse SUBSPACE (checked via principal angles), with the
+    dimensions matching exactly."""
     patches, gents, seqs = hdiv_case
-    _compare_P(patches, gents, seqs, form, level,
-               tol=1e-12 if level == 0 else 3e-8)
+    if level == 0:
+        _compare_P(patches, gents, seqs, form, level, tol=1e-12)
+        return
+    # composite prolongation to the FINE level: the level-1 dof basis
+    # itself rotates with the clusters, so only fine-level column spans
+    # are basis-independent
+    num1 = global_numbering_level(patches, gents, form, 1)
+    num2 = global_numbering_level(patches, gents, form, 2)
+    assert num2.ndofs == seqs[2].dof[form].ndofs
+    nfine = seqs[0].dof[form].ndofs
+    r0, c0, v0 = publish_P_level(patches, gents, None, num1, form, 0)
+    P0d = sp.coo_matrix((v0, (r0, c0)), shape=(nfine, num1.ndofs)).tocsr()
+    r1, c1, v1 = publish_P_level(patches, gents, num1, num2, form, 1)
+    P1d = sp.coo_matrix((v1, (r1, c1)),
+                        shape=(num1.ndofs, num2.ndofs)).tocsr()
+    Pc_dist = (P0d @ P1d).tocsr()
+    Pc_serial = (sp.csr_matrix(seqs[0].P[form])
+                 @ sp.csr_matrix(seqs[1].P[form])).tocsr()
+    cmap_c = _serial_colmap(seqs, 2, form)
+    _compare_P_subspaces(Pc_dist, Pc_serial, seqs[2].dof[form],
+                         cmap_c, 3, form)
 
 
 def test_h1_spectral_P_matches_serial():
