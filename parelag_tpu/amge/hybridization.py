@@ -241,6 +241,16 @@ class HybridHdivL2:
             d = np.where(np.abs(d) > 0, d, 1.0)
             Hff = sp.diags(d) @ Hff @ sp.diags(d)
             gf = d * gf
+        if solver == "auto":
+            # device PCG when an accelerator is the default backend (the
+            # bench's darcy lane path), host scipy CG otherwise
+            solver = "cg"
+            try:
+                import jax
+                if jax.default_backend() != "cpu":
+                    solver = "device"
+            except Exception:
+                pass
         if solver == "direct":
             xf = spla.spsolve(Hff, gf)
         elif solver == "device":

@@ -169,6 +169,10 @@ def spe10_darcy(field: PermeabilityField = None, cells=(16, 16, 8),
         s = seqs[k]
         if solver == "hybridization":
             hyb = HybridHdivL2(s)
+            # NOTE: measured on the axon tunnel, the device multiplier PCG
+            # loses to host scipy CG at these sizes (one XLA compile per
+            # level shape ~ minutes vs a 5 s solve); pass solver="auto"
+            # or "device" to route to the chip (the bench darcy lane does)
             u, p = hyb.solve(rhs_u[k], rhs_p[k], solver="cg", rtol=1e-8,
                              rescale=True)
             out["iters"].append(hyb.n_mult)
