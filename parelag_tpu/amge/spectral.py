@@ -45,12 +45,31 @@ def smallest_generalized(A, D, rel_tol, max_evects, max_eval=1.0):
 
 def compute_local_spectral_targets(agg_blocks, rel_tol, max_evects):
     """agg_blocks: per-AE dense local operators (e.g. M + D^T W D on the
-    agglomerate); returns per-AE (n_ae_dofs, m) target arrays."""
-    out = []
-    for A in agg_blocks:
-        d = weighted_l1_diagonal(A)
-        _, V = smallest_generalized(A, d, rel_tol, max_evects)
-        out.append(V)
+    agglomerate); returns per-AE (n_ae_dofs, m) target arrays. Batched by
+    shape group: the diagonal weight makes the generalized problem a
+    symmetric similarity transform, one stacked eigh per group."""
+    from parelag_tpu.ops import ragged as Rg
+    n = len(agg_blocks)
+    out = [None] * n
+    groups = {}
+    for i, A in enumerate(agg_blocks):
+        groups.setdefault(np.asarray(A).shape, []).append(i)
+    for shape, idxs in groups.items():
+        Ast = Rg.take(agg_blocks, idxs, shape)
+        dg = np.einsum("bii->bi", Ast)
+        D = (np.abs(Ast)
+             * np.sqrt(dg[:, :, None] / dg[:, None, :])).sum(axis=2)
+        isq = 1.0 / np.sqrt(D)
+        At = Ast * isq[:, :, None] * isq[:, None, :]
+        At = 0.5 * (At + At.transpose(0, 2, 1))
+        w, V = np.linalg.eigh(At)
+        # smallest_generalized's criterion: |lambda| <= rel_tol * max_eval
+        # with max_eval = 1 (the weighted-l1 diagonal bounds |lambda| by 1)
+        counts = np.sum(np.abs(w) <= rel_tol, axis=1)
+        for j, i in enumerate(idxs):
+            m = int(counts[j])
+            m = max(min(m, max_evects) if max_evects >= 1 else m, 1)
+            out[i] = isq[j][:, None] * V[j, :, :m]
     return out
 
 
