@@ -315,14 +315,34 @@ def lane_darcy_hybridized(nx):
         return pcg(lambda v: Hdev @ v, bb, precond=lambda r: di * r,
                    rtol=1e-6, atol=0.0, maxiter=500)
 
-    x, (it, nom) = solve(Hd, dinv, gj)
-    niter = int(it)
-    res = float(np.linalg.norm(gf - Hs @ np.asarray(x)))
-    dt = _slope_time(lambda: solve(Hd, dinv, gj)[0])
+    # mixed precision: the f32 device CG stalls near its dtype floor
+    # (~1e-4 relative on this ill-conditioned multiplier system); wrap it
+    # in f64 host-residual refinement — each outer pass restarts the
+    # device solve on the true residual (reliable-updates CG)
+    Hs64 = Hs.astype(np.float64)
+    g64 = gf.astype(np.float64)
+
+    def refined_solve():
+        x = np.zeros(Hs.shape[0])
+        total_it = 0
+        for _ in range(3):
+            r = g64 - Hs64 @ x
+            dx, (it, _) = solve(Hd, dinv, jnp.asarray(
+                r.astype(np.float32)))
+            x = x + np.asarray(dx, dtype=np.float64)
+            total_it += int(it)
+            if np.linalg.norm(g64 - Hs64 @ x) <= 1e-8 * np.linalg.norm(
+                    g64):
+                break
+        return x, total_it
+
+    x, niter = refined_solve()
+    res = float(np.linalg.norm(g64 - Hs64 @ x))
+    dt = _slope_time(lambda: refined_solve()[0], warm=1, n1=2, n2=4)
     n = Hs.shape[0]
     return dict(metric="darcy_hybridized_multiplier_pcg",
                 n_mult=n, cells=nx ** 3, iters=niter,
-                rel_res=res / max(float(np.linalg.norm(gf)), 1e-30),
+                rel_res=res / max(float(np.linalg.norm(g64)), 1e-30),
                 setup_s=setup_s, solve_s=dt,
                 value=n * niter / dt, unit="dof_iter_per_s")
 
