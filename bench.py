@@ -37,7 +37,9 @@ def _slope_time(run_once, warm=5, n1=10, n2=30, attempts=2):
     """Amortized per-call wall time via pipelined batch slope. Robust to
     transient tunnel stalls: a stall during the n1 batch makes the slope
     NEGATIVE (observed on the flaky axon link) — fall back to the plain
-    amortized estimate for that attempt and report the best valid one."""
+    amortized estimate for that attempt — and the CONSERVATIVE (max)
+    estimate over attempts is reported, because a stall inflating t1
+    deflates that attempt's slope and would overstate throughput."""
     def batch(k):
         t0 = time.time()
         out = None

@@ -135,6 +135,8 @@ def compute_local_hdiv_l2_spectral_targets(
         for f in bfacets:
             dofs = qd_cat[qd_off[f]:qd_off[f + 1]]
             idx = posarr[dofs]
+            assert (idx >= 0).all(), \
+                "boundary facet dof outside the AE's boundary-dof set"
             k = dofs.size
             Qloc[idx[:, None], idx[None, :]] += \
                 qb_cat[qb_off[f]:qb_off[f + 1]].reshape(k, k)
@@ -196,7 +198,10 @@ def compute_local_hdiv_l2_spectral_targets(
         for ae in aes:
             u_bdr, mu = AE_mu[ae]
             posarr[u_bdr] = np.arange(u_bdr.size)
-            cols.append(mu[posarr[af_dofs], :])
+            idx = posarr[af_dofs]
+            assert (idx >= 0).all(), \
+                "coarse-facet dof outside an adjacent AE's boundary set"
+            cols.append(mu[idx, :])
             posarr[u_bdr] = -1
         if cols:
             hdiv_trace_targets.append(np.concatenate(cols, axis=1))

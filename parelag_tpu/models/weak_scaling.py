@@ -96,7 +96,7 @@ def distributed_weak_scaling(n_ranks_list=(1, 2, 4), base=(4, 4, 4),
     final relative residual — weak scalability shows as flat iteration
     counts while dofs grow with ranks."""
     import numpy as np
-    import scipy.sparse.linalg as spla
+    import scipy.sparse as sp
     from parelag_tpu.mesh.mesh import hex_grid_mesh
     from parelag_tpu.partitioning.partitioners import cartesian_partition
     from parelag_tpu.parallel.dist_hierarchy import (
@@ -107,14 +107,20 @@ def distributed_weak_scaling(n_ranks_list=(1, 2, 4), base=(4, 4, 4),
 
     dtype = dtype or np.float64
     bx, by, bz = base
+    assert bx % 2 == by % 2 == bz % 2 == 0, \
+        "base dims must be even (2x2x2 first coarsening)"
     out = []
     for R in n_ranks_list:
         grid = (bx, by * R, bz)              # grow along y with ranks
         mesh = hex_grid_mesh(*grid)
+        # cartesian_partition coarsens with CEIL: the level-2 partition
+        # must be sized for the actual AE grid
+        ae_shape = tuple(-(-s // 2) for s in grid)
         partitions = [
             cartesian_partition(grid, (2, 2, 2)),
-            cartesian_partition(tuple(s // 2 for s in grid),
-                                (bx // 2, by // 2, bz // 2)),
+            cartesian_partition(ae_shape,
+                                (ae_shape[0], ae_shape[1] // R,
+                                 ae_shape[2])),
         ]
         rank_of_elem = compose_partitions(partitions)[-1]
         assert int(rank_of_elem.max()) + 1 == R
@@ -135,7 +141,6 @@ def distributed_weak_scaling(n_ranks_list=(1, 2, 4), base=(4, 4, 4),
         b = rng.randn(setup.ndofs[0])
         x = distributed_mg_l_pcg(hier, b, jmesh, iters=iters, dtype=dtype)
         # residual against the union of the distributed owned rows
-        import scipy.sparse as sp
         rows = np.concatenate([t[0] for t in setup.A_rows[0]])
         cols = np.concatenate([t[1] for t in setup.A_rows[0]])
         vals = np.concatenate([t[2] for t in setup.A_rows[0]])

@@ -15,7 +15,12 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+# source location: the repo-root native/ directory next to the package in
+# a checkout; installed trees (site-packages) don't carry it — set
+# PARELAG_NATIVE_DIR to point at the sources in that case
+_ROOT = os.environ.get(
+    "PARELAG_NATIVE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
 
 
 def _load():
@@ -26,6 +31,13 @@ def _load():
     so = os.path.abspath(os.path.join(_ROOT, "libparelag_kernels.so"))
     src = os.path.abspath(os.path.join(_ROOT, "parelag_kernels.cpp"))
     if not os.path.exists(src):
+        import warnings
+        warnings.warn(
+            "parelag_tpu native kernels unavailable (no "
+            f"parelag_kernels.cpp at {os.path.abspath(_ROOT)}); setup "
+            "falls back to slower numpy paths. Set PARELAG_NATIVE_DIR to "
+            "the repo's native/ directory to enable them.",
+            RuntimeWarning, stacklevel=2)
         return None
     # Staleness via a source-hash sidecar (mtimes are unreliable after git
     # checkout). The .so is never committed; every checkout builds fresh.
