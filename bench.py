@@ -271,8 +271,15 @@ def lane_setup(nx, backends=("host", "device")):
         print(f"[setup] backend={backend} {dt:.1f}s "
               f"({ndofs / dt:.0f} dof/s)", file=sys.stderr)
     out["ndofs"] = ndofs
-    out["value"] = max(out.get("device_dof_per_s", 0.0),
-                       out.get("host_dof_per_s", 0.0))
+    # headline = the device backend when it ran (a device regression must
+    # not hide behind the host number); the host figure stays alongside
+    if "device_dof_per_s" in out:
+        out["value"] = out["device_dof_per_s"]
+        out["winner"] = ("device" if out["device_dof_per_s"]
+                         >= out.get("host_dof_per_s", 0.0) else "host")
+    else:
+        out["value"] = out.get("host_dof_per_s", 0.0)
+        out["winner"] = "host"
     out["unit"] = "dof_per_s"
     return out
 

@@ -174,6 +174,63 @@ void assemble_agglomerate_block_many(
     }
 }
 
+// Permutation-friendly batched extraction: per-block index ranges arrive
+// as explicit (begin, end) arrays so the caller can present blocks in a
+// row-locality order (sorted by first row) while outputs still land at
+// each block's original out_beg slot. At ~10^6-dof scale the CSR arrays
+// exceed cache and unsorted block order made extraction latency-bound.
+void csr_extract_dense_many2_i32(
+    const int32_t* indptr, const int32_t* indices, const double* data,
+    const int64_t* rows_cat, const int64_t* row_beg, const int64_t* row_end,
+    const int64_t* cols_cat, const int64_t* col_beg, const int64_t* col_end,
+    int64_t* pos, double* out_cat, const int64_t* out_beg,
+    const int64_t* order, int64_t n_blocks) {
+    for (int64_t t = 0; t < n_blocks; ++t) {
+        const int64_t b = order[t];
+        const int64_t* rows = rows_cat + row_beg[b];
+        const int64_t n_rows = row_end[b] - row_beg[b];
+        const int64_t* cols = cols_cat + col_beg[b];
+        const int64_t n_cols = col_end[b] - col_beg[b];
+        double* out = out_cat + out_beg[b];
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = j;
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const int64_t row = rows[r];
+            double* out_row = out + r * n_cols;
+            for (int32_t k = indptr[row]; k < indptr[row + 1]; ++k) {
+                const int64_t m = pos[indices[k]];
+                if (m >= 0) out_row[m] = data[k];
+            }
+        }
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = -1;
+    }
+}
+
+void csr_extract_dense_many2(
+    const int64_t* indptr, const int64_t* indices, const double* data,
+    const int64_t* rows_cat, const int64_t* row_beg, const int64_t* row_end,
+    const int64_t* cols_cat, const int64_t* col_beg, const int64_t* col_end,
+    int64_t* pos, double* out_cat, const int64_t* out_beg,
+    const int64_t* order, int64_t n_blocks) {
+    for (int64_t t = 0; t < n_blocks; ++t) {
+        const int64_t b = order[t];
+        const int64_t* rows = rows_cat + row_beg[b];
+        const int64_t n_rows = row_end[b] - row_beg[b];
+        const int64_t* cols = cols_cat + col_beg[b];
+        const int64_t n_cols = col_end[b] - col_beg[b];
+        double* out = out_cat + out_beg[b];
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = j;
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const int64_t row = rows[r];
+            double* out_row = out + r * n_cols;
+            for (int64_t k = indptr[row]; k < indptr[row + 1]; ++k) {
+                const int64_t m = pos[indices[k]];
+                if (m >= 0) out_row[m] = data[k];
+            }
+        }
+        for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = -1;
+    }
+}
+
 // Variable-arity batched agglomerate assembly: per-entity dof lists and
 // dense blocks arrive concatenated with offset tables (coarse-level local
 // mass blocks have different sizes per entity).

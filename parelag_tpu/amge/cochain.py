@@ -126,8 +126,11 @@ class CochainProjector:
         Pi = self._hat_pi(max_codim, nfine)
         for codim in range(max_codim - 1, -1, -1):
             hat = self._hat_pi(codim, nfine)
-            Pi = (Pi + hat @ (sp.identity(nfine, format="csr") - P @ Pi)
-                  ).tocsr()
+            # Pi + hat (I - P Pi) regrouped as Pi + hat - (hat P) Pi: the
+            # intermediate hat@P is (ncoarse x ncoarse) instead of the
+            # (nfine x nfine) product P@Pi — at ~10^6 fine dofs the
+            # nfine-sized SpGEMM + identity subtraction dominated setup
+            Pi = (Pi + hat - (hat @ P) @ Pi).tocsr()
         self.matrix = Pi
         return Pi
 

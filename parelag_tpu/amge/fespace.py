@@ -105,20 +105,36 @@ class DeRhamSequenceFE(DeRhamSequence):
         # ---- codim 0 (element) blocks for all forms ---- #
         # shared geometry: one Jacobian/tangent-frame evaluation feeds all
         # four element kernels and all three face kernels (computing them
-        # per kernel dominated the fine build at scale)
+        # per kernel dominated the fine build at scale). CHUNKED: the
+        # geometry pipeline materializes several (chunk, nq, 3, 3)
+        # temporaries — at ~10^6 elements whole-mesh temporaries are
+        # hundreds of MB each and the build becomes allocator/bandwidth
+        # bound; ~64k-element chunks keep them cache-sized at identical
+        # results (every kernel is elementwise in the batch dimension)
         if self.kind == "hex":
-            geom = hexfe.elem_geom(ec)
-            self.M[(0, 0)] = LocalMass.from_uniform(
-                m.elements, hexfe.hex_h1_mass(ec, coeff.get(0), geom=geom))
-            self.M[(0, 1)] = LocalMass.from_uniform(
-                e.elem_edge, hexfe.hex_nd_mass(
-                    ec, e.elem_edge_sign, coeff.get(1), geom=geom))
-            self.M[(0, 2)] = LocalMass.from_uniform(
-                e.elem_face, hexfe.hex_rt_mass(
-                    ec, e.elem_face_sign, coeff.get(2), geom=geom))
+            blocks = {0: np.empty((ne, 8, 8)), 1: np.empty((ne, 12, 12)),
+                      2: np.empty((ne, 6, 6)), 3: np.empty((ne, 1, 1))}
+
+            def _c(j, sl):
+                cj = coeff.get(j)
+                return None if cj is None else cj[sl]
+            CH = 65536
+            for s0 in range(0, max(ne, 1), CH):
+                sl = slice(s0, min(s0 + CH, ne))
+                geom = hexfe.elem_geom(ec[sl])
+                blocks[0][sl] = hexfe.hex_h1_mass(
+                    ec[sl], _c(0, sl), geom=geom)
+                blocks[1][sl] = hexfe.hex_nd_mass(
+                    ec[sl], e.elem_edge_sign[sl], _c(1, sl), geom=geom)
+                blocks[2][sl] = hexfe.hex_rt_mass(
+                    ec[sl], e.elem_face_sign[sl], _c(2, sl), geom=geom)
+                blocks[3][sl] = hexfe.hex_l2_mass(
+                    ec[sl], _c(3, sl), geom=geom)
+            self.M[(0, 0)] = LocalMass.from_uniform(m.elements, blocks[0])
+            self.M[(0, 1)] = LocalMass.from_uniform(e.elem_edge, blocks[1])
+            self.M[(0, 2)] = LocalMass.from_uniform(e.elem_face, blocks[2])
             self.M[(0, 3)] = LocalMass.from_uniform(
-                np.arange(ne)[:, None],
-                hexfe.hex_l2_mass(ec, coeff.get(3), geom=geom))
+                np.arange(ne)[:, None], blocks[3])
         else:
             self.M[(0, 0)] = LocalMass.from_uniform(
                 m.elements, tetfe.tet_h1_mass(ec, coeff.get(0)))
@@ -134,10 +150,18 @@ class DeRhamSequenceFE(DeRhamSequence):
 
         # ---- codim 1 (facet) trace masses ---- #
         if self.kind == "hex":
-            F = hexfe.face_geom(fc)
-            fh1 = hexfe.face_h1_mass(fc, F=F)
-            fnd = hexfe.face_nd_mass(fc, e.face_edge_sign, F=F)
-            frt = hexfe.face_rt_trace_mass(fc, F=F)
+            nf_tot = fc.shape[0]
+            fh1 = np.empty((nf_tot, 4, 4))
+            fnd = np.empty((nf_tot, 4, 4))
+            frt = np.empty((nf_tot, 1, 1))
+            CH = 131072
+            for s0 in range(0, max(nf_tot, 1), CH):
+                sl = slice(s0, min(s0 + CH, nf_tot))
+                F = hexfe.face_geom(fc[sl])
+                fh1[sl] = hexfe.face_h1_mass(fc[sl], F=F)
+                fnd[sl] = hexfe.face_nd_mass(
+                    fc[sl], e.face_edge_sign[sl], F=F)
+                frt[sl] = hexfe.face_rt_trace_mass(fc[sl], F=F)
         else:
             fh1 = tetfe.tri_h1_mass(fc)
             fnd = tetfe.tri_nd_mass(fc, e.face_edge_sign)
@@ -202,43 +226,52 @@ class DeRhamSequenceFE(DeRhamSequence):
     def interpolate_vector_targets(self, jform, fns):
         """Moment interpolation of vector fields: ND dof = circulation along
         the edge (2-pt Gauss); RT dof = flux through the face (2x2 Gauss)."""
+        CH = 131072       # chunked: whole-mesh quad-point temporaries are
+        #                   hundreds of MB at ~10^6 entities
         if jform == 1:
             rc = self._edge_coords()
-            tang = rc[:, 1] - rc[:, 0]                      # global direction
+            ne_tot = rc.shape[0]
+            out = np.empty((ne_tot, len(fns)))
             g = hexfe._G2
-            pts = (rc[:, 0][:, None, :] * (1 - g)[None, :, None]
-                   + rc[:, 1][:, None, :] * g[None, :, None])
-            cols = []
-            for f in fns:
-                v = np.asarray(f(pts))                      # (nedge, nq, 3)
-                circ = np.einsum("eqc,ec,q->e", v, tang, hexfe._W2)
-                cols.append(circ)
-            return np.stack(cols, axis=1) if fns else np.zeros(
-                (rc.shape[0], 0))
+            for s0 in range(0, max(ne_tot, 1), CH):
+                sl = slice(s0, min(s0 + CH, ne_tot))
+                rcs = rc[sl]
+                tang = rcs[:, 1] - rcs[:, 0]                # global direction
+                pts = (rcs[:, 0][:, None, :] * (1 - g)[None, :, None]
+                       + rcs[:, 1][:, None, :] * g[None, :, None])
+                for j, f in enumerate(fns):
+                    v = np.asarray(f(pts))                  # (nedge, nq, 3)
+                    out[sl, j] = np.einsum("eqc,ec,q->e", v, tang,
+                                           hexfe._W2)
+            return out if fns else np.zeros((ne_tot, 0))
         elif jform == 2:
             fc = self._face_coords()
-            if self.kind == "hex":
-                X, F = hexfe._face_param(fc, hexfe._Q2)
-                normal = np.cross(F[..., 0], F[..., 1])     # cycle normal
-                qw = hexfe._QW2
-            else:
-                a = fc[:, 0][:, None, :]
-                F1 = (fc[:, 1] - fc[:, 0])[:, None, :]
-                F2 = (fc[:, 2] - fc[:, 0])[:, None, :]
-                sq = tetfe._SQ
-                X = a + sq[None, :, 0, None] * F1 + sq[None, :, 1, None] * F2
-                normal = np.broadcast_to(
-                    np.cross(F1[:, 0], F2[:, 0])[:, None, :], X.shape)
-                # flux = sum_q w_q v(X_q).(F1 x F2), w sums to ref area 1/2
-                # and |F1 x F2| = 2*area, so constants integrate exactly
-                qw = tetfe._SW
-            cols = []
-            for f in fns:
-                v = np.asarray(f(X))                        # (nf, nq, 3)
-                flux = np.einsum("fqc,fqc,q->f", v, normal, qw)
-                cols.append(flux)
-            return np.stack(cols, axis=1) if fns else np.zeros(
-                (fc.shape[0], 0))
+            nf_tot = fc.shape[0]
+            out = np.empty((nf_tot, len(fns)))
+            for s0 in range(0, max(nf_tot, 1), CH):
+                sl = slice(s0, min(s0 + CH, nf_tot))
+                fcs = fc[sl]
+                if self.kind == "hex":
+                    X, F = hexfe._face_param(fcs, hexfe._Q2)
+                    normal = np.cross(F[..., 0], F[..., 1])  # cycle normal
+                    qw = hexfe._QW2
+                else:
+                    a = fcs[:, 0][:, None, :]
+                    F1 = (fcs[:, 1] - fcs[:, 0])[:, None, :]
+                    F2 = (fcs[:, 2] - fcs[:, 0])[:, None, :]
+                    sq = tetfe._SQ
+                    X = (a + sq[None, :, 0, None] * F1
+                         + sq[None, :, 1, None] * F2)
+                    normal = np.broadcast_to(
+                        np.cross(F1[:, 0], F2[:, 0])[:, None, :], X.shape)
+                    # flux = sum_q w_q v(X_q).(F1 x F2), w sums to ref area
+                    # 1/2 and |F1 x F2| = 2*area, so constants integrate
+                    # exactly
+                    qw = tetfe._SW
+                for j, f in enumerate(fns):
+                    v = np.asarray(f(X))                    # (nf, nq, 3)
+                    out[sl, j] = np.einsum("fqc,fqc,q->f", v, normal, qw)
+            return out if fns else np.zeros((nf_tot, 0))
         raise ValueError(jform)
 
     # ------------------------------------------------------------------ #

@@ -224,22 +224,28 @@ def elem_geom(coords):
 def face_geom(coords4):
     """Shared face geometry: the bilinear tangent frame F at the surface
     rule — compute once, pass to every face_* kernel via F=."""
-    _, F = _face_param(coords4, _Q2)
-    return F
+    return _face_frames(coords4, _Q2)
+
+
+_H1_KERNEL = None
 
 
 def hex_h1_mass(coords, coeff=None, geom=None):
     """(ne,8,3) vertex coords -> (ne,8,8) Q1 mass matrices.
-    coeff: optional (ne, nq) coefficient values at quadrature points."""
+    coeff: optional (ne, nq) coefficient values at quadrature points.
+    M_n = sum_q w_nq (N_q x N_q): ONE flat GEMM (ne, nq) @ (nq, 64)
+    against the constant shape-outer-product kernel (the batched
+    per-element 8x8x8 matmul form dispatched ne tiny BLAS calls)."""
+    global _H1_KERNEL
     J, detJ_s = geom if geom is not None else elem_geom(coords)
     detJ = np.abs(detJ_s)                             # (ne, nq)
-    N = _q1_shapes(_Q3)                                 # (nq, 8)
+    if _H1_KERNEL is None:
+        N = _q1_shapes(_Q3)                             # (nq, 8)
+        _H1_KERNEL = np.einsum("qi,qj->qij", N, N).reshape(-1, 64)
     w = _QW3[None, :] * detJ
     if coeff is not None:
         w = w * coeff
-    # M_n = N^T diag(w_n) N as one batched GEMM (einsum without a
-    # contraction path is an order of magnitude slower here)
-    return (N.T[None] * w[:, None, :]) @ N
+    return (w @ _H1_KERNEL).reshape(-1, 8, 8)
 
 
 def hex_h1_stiffness(coords, coeff=None):
@@ -321,6 +327,19 @@ def hex_volumes(coords):
 # ---------------------------------------------------------------------- #
 # face (codim 1) geometry + trace masses
 # ---------------------------------------------------------------------- #
+def _face_frames(coords4, p2):
+    """Tangent frames F (nf,nq,3,2) of bilinear quads — the mass kernels
+    need only F; computing X alongside doubled the face-geometry cost."""
+    s, t = p2[:, 0][None, :, None], p2[:, 1][None, :, None]
+    v0 = coords4[:, 0][:, None, :]
+    v1 = coords4[:, 1][:, None, :]
+    v2 = coords4[:, 2][:, None, :]
+    v3 = coords4[:, 3][:, None, :]
+    dXds = -(1 - t) * v0 + (1 - t) * v1 + t * v2 - t * v3
+    dXdt = -(1 - s) * v0 - s * v1 + s * v2 + (1 - s) * v3
+    return np.stack([dXds, dXdt], axis=-1)
+
+
 def _face_param(coords4, p2):
     """Bilinear quad X(s,t); returns (X (nf,nq,3), F (nf,nq,3,2))."""
     s, t = p2[:, 0][None, :, None], p2[:, 1][None, :, None]
@@ -330,30 +349,35 @@ def _face_param(coords4, p2):
     v3 = coords4[:, 3][:, None, :]
     X = ((1 - s) * (1 - t) * v0 + s * (1 - t) * v1
          + s * t * v2 + (1 - s) * t * v3)
-    dXds = -(1 - t) * v0 + (1 - t) * v1 + t * v2 - t * v3
-    dXdt = -(1 - s) * v0 - s * v1 + s * v2 + (1 - s) * v3
-    F = np.stack([dXds, dXdt], axis=-1)
-    return X, F
+    return X, _face_frames(coords4, p2)
 
 
 def face_areas(coords4):
     """(nf,) areas of bilinear quad faces (coords in cycle order)."""
-    _, F = _face_param(coords4, _Q2)
-    G = F.transpose(0, 1, 3, 2) @ F
+    F = _face_frames(coords4, _Q2)
+    G = np.einsum("fqai,fqaj->fqij", F, F)
     W = np.sqrt(_det2(G))
     return (W * _QW2[None, :]).sum(axis=1)
 
 
+_FH1_KERNEL = None
+
+
 def face_h1_mass(coords4, F=None):
-    """(nf,4,4) Q1 surface mass on quad faces, dofs in cycle-vertex order."""
-    s, t = _Q2[:, 0], _Q2[:, 1]
-    N = np.stack([(1 - s) * (1 - t), s * (1 - t), s * t, (1 - s) * t], axis=1)
+    """(nf,4,4) Q1 surface mass on quad faces, dofs in cycle-vertex order.
+    One flat GEMM (nf, nq) @ (nq, 16) against the constant kernel."""
+    global _FH1_KERNEL
+    if _FH1_KERNEL is None:
+        s, t = _Q2[:, 0], _Q2[:, 1]
+        N = np.stack([(1 - s) * (1 - t), s * (1 - t), s * t, (1 - s) * t],
+                     axis=1)
+        _FH1_KERNEL = np.einsum("qi,qj->qij", N, N).reshape(-1, 16)
     if F is None:
         F = face_geom(coords4)
-    G = F.transpose(0, 1, 3, 2) @ F
+    G = np.einsum("fqai,fqaj->fqij", F, F)
     W = np.sqrt(_det2(G))
     w = _QW2[None, :] * W
-    return (N.T[None] * w[:, None, :]) @ N
+    return (w @ _FH1_KERNEL).reshape(-1, 4, 4)
 
 
 _NDF_KERNEL = None
@@ -394,7 +418,7 @@ def face_rt_trace_mass(coords4, F=None):
     (= 1/area for planar faces), flux-dof convention."""
     if F is None:
         F = face_geom(coords4)
-    G = F.transpose(0, 1, 3, 2) @ F
+    G = np.einsum("fqai,fqaj->fqij", F, F)
     W = np.sqrt(_det2(G))
     return ((_QW2[None, :] / W).sum(axis=1))[:, None, None]
 

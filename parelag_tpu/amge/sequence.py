@@ -48,14 +48,28 @@ class DeRhamSequence:
     # DeRhamSequence_os, DeRhamSequence.hpp:499; PV/NullSpace dof counts
     # appended per coarse-dof stage, DeRhamSequence.cpp:2080-2083).
     # Bounded: long-lived processes would otherwise grow it forever.
+    # Each entry carries a monotone sequence number so readers can slice
+    # with log_mark()/log_since() without being invalidated by trims.
     log_stream = []
     _LOG_CAP = 4096
+    _log_seq = 0
 
     @classmethod
     def _log(cls, line):
-        cls.log_stream.append(line)
+        cls.log_stream.append((cls._log_seq, line))
+        cls._log_seq += 1
         if len(cls.log_stream) > cls._LOG_CAP:
             del cls.log_stream[:-cls._LOG_CAP // 2]
+
+    @classmethod
+    def log_mark(cls):
+        """Monotone bookmark; pass to log_since to read newer lines."""
+        return cls._log_seq
+
+    @classmethod
+    def log_since(cls, mark):
+        """Lines appended after `mark` (trim-safe, oldest first)."""
+        return [line for seq, line in cls.log_stream if seq >= mark]
 
     def __init__(self, topo, nforms):
         self.topo = topo
@@ -88,9 +102,12 @@ class DeRhamSequence:
     def _ae_blocks(self, codim, jform):
         hit = self._ae_blocks_cache.get((codim, jform))
         if hit is None:
-            hit = assemble_agglomerate_blocks(
-                self.M[(codim, jform)], self.topo.AEntity_entity[codim],
-                self.dofagg[jform], codim)
+            from parelag_tpu.utils.timing import TimeManager
+            with TimeManager.add_timer("coarsen: ae_blocks assemble"):
+                hit = assemble_agglomerate_blocks(
+                    self.M[(codim, jform)],
+                    self.topo.AEntity_entity[codim],
+                    self.dofagg[jform], codim)
             self._ae_blocks_cache[(codim, jform)] = hit
         return hit
 
@@ -205,7 +222,9 @@ class DeRhamSequence:
             self._P_snapshot = sp.csr_matrix((self._P_nrows, 0))
             self.Pi[jform] = CochainProjector(cdof, self.dofagg[jform])
 
-            self._compute_coarse_traces(jform)
+            from parelag_tpu.utils.timing import TimeManager as _TM
+            with _TM.add_timer("coarsen: traces"):
+                self._compute_coarse_traces(jform)
 
             if codim > 0:
                 self._D_builder = C.coo_builder()
@@ -222,7 +241,8 @@ class DeRhamSequence:
 
             self.P[jform] = self._P_snapshot
             assert self.P[jform].shape[1] == cdof.ndofs
-            self.Pi[jform].compute_projector(self.P[jform])
+            with _TM.add_timer("coarsen: cochain projector"):
+                self.Pi[jform].compute_projector(self.P[jform])
 
             # coarsening-stats stream (PV/NullSpace dof counts,
             # DeRhamSequence.cpp:2080-2083)
@@ -279,98 +299,105 @@ class DeRhamSequence:
 
         # gather pass: deflated target blocks per AE, then ONE stacked
         # LAPACK call per shape group for the M-weighted SVDs; everything
-        # shape-grouped — no per-AE Python linear algebra
+        # group-stacked end to end — no per-AE Python work at all (the
+        # per-item scatter lists dominated flagship-scale coarsening)
         from parelag_tpu.ops import ragged as Rg
-        from parelag_tpu.ops.batched import batched_weighted_svd
-        Ts, pv_locs, pv_dots = [None] * n_ae, [None] * n_ae, np.zeros(n_ae)
+        from parelag_tpu.ops.batched import weighted_svd_group
         dof_cat, dof_off = dofagg.ae_dofs_cat(codim)
-        groups = {}
-        for iae in range(n_ae):
-            ltw = loc_tars[iae].shape[1] if loc_tars is not None else 0
-            groups.setdefault((ae_dofs[iae].size, ltw), []).append(iae)
-        for (nd, _ltw), idxs in groups.items():
-            ii = np.asarray(idxs, dtype=np.int64)
+        sizes = np.diff(dof_off)
+        ltws = (np.fromiter((t.shape[1] for t in loc_tars),
+                            np.int64, n_ae)
+                if loc_tars is not None else np.zeros(n_ae, np.int64))
+        pv_dots = np.zeros(n_ae)
+        nkeeps = np.zeros(n_ae, dtype=np.int64)
+        gdata = []
+        for (nd, _ltw), ii in Rg.group_by(
+                np.stack([sizes, ltws], axis=1)).items():
             dof_st = dof_cat[dof_off[ii][:, None]
                              + np.arange(nd, dtype=np.int64)]  # (m, nd)
             Mst = Rg.take(Md_blocks, ii, (nd, nd))             # (m, nd, nd)
             pv_st = pv[dof_st]                                # (m, nd)
             T_st = (targets[dof_st, :] if n_targets
-                    else np.zeros((len(idxs), nd, 0)))
+                    else np.zeros((ii.size, nd, 0)))
             if loc_tars is not None:
                 T_st = np.concatenate(
-                    [T_st, np.stack([loc_tars[i] for i in idxs])], axis=2)
+                    [T_st, np.stack([loc_tars[i] for i in ii])], axis=2)
             pv_m = np.einsum("bij,bj->bi", Mst, pv_st)
             dots = np.einsum("bi,bi->b", pv_st, pv_m)
             if T_st.shape[2]:
                 coef = np.einsum("bi,bik->bk", pv_m, T_st) / dots[:, None]
                 T_st = T_st - pv_st[:, :, None] * coef[:, None, :]
-            for j, i in enumerate(idxs):
-                Ts[i] = T_st[j]
-                pv_locs[i] = pv_st[j]
-            pv_dots[np.asarray(idxs)] = dots
-        svds = batched_weighted_svd(Md_blocks, Ts)
+            U_st, s_st = weighted_svd_group(Mst, T_st)
+            pv_dots[ii] = dots
+            nkeeps[ii] = (s_st > dots[:, None] * self.svd_tol).sum(axis=1)
+            gdata.append((ii, dof_st, Mst, pv_st, U_st))
 
-        # per-AE kept mode counts (host, cheap), then shape-grouped scatter
-        nkeeps = np.zeros(n_ae, dtype=np.int64)
-        for iae in range(n_ae):
-            _, s = svds[iae]
-            nkeeps[iae] = int(np.searchsorted(-s, -pv_dots[iae]
-                                              * self.svd_tol))
         col_off = Rg.sizes_to_offsets(nkeeps + 1)
         counter = int(col_off[-1])
         cdof.n_ranget[codim][:] = 1
         cdof.n_null[codim][:] = nkeeps
 
-        coarse_dofs_lists = [None] * n_ae
-        coarse_blocks = [None] * n_ae
-        p_locs = [None] * n_ae
-        for (nd, nk), idxs in Rg.group_by(
-                zip((d.size for d in ae_dofs), nkeeps)).items():
-            Mst = Rg.take(Md_blocks, idxs, (nd, nd))
-            pv_st = np.stack([pv_locs[i] for i in idxs])
-            U_st = np.stack([svds[i][0][:, :nk] for i in idxs])
-            scale = np.sqrt(pv_dots[idxs])
-            p_st = np.concatenate(
-                [pv_st[:, :, None], scale[:, None, None] * U_st], axis=2)
-            Mp = Mst @ p_st
-            cm = np.einsum("bij,bik->bjk", p_st, Mp)
-            cm = 0.5 * (cm + cm.transpose(0, 2, 1))
-            for j, i in enumerate(idxs):
-                p_locs[i] = p_st[j]
-                coarse_blocks[i] = cm[j]
-                coarse_dofs_lists[i] = np.arange(col_off[i], col_off[i + 1])
-        ccat, coff = Rg.ranges_cat(col_off[:-1], col_off[1:])
-        self._P_builder.add_blocks_var(
-            dof_cat, dof_off, ccat, coff,
-            np.concatenate([p.reshape(-1) for p in p_locs]))
-        self.Pi[jform].create_dof_functionals(codim, p_locs, Md_blocks)
+        # emission pass: P entries, cochain functionals and coarse local
+        # mass blocks, one stacked write per (shape, kept-count) subgroup
+        nlocs = nkeeps + 1
+        blk_off = Rg.sizes_to_offsets(nlocs * nlocs)
+        blk_cat = np.zeros(int(blk_off[-1]))
+        ar = np.arange
+        for ii, dof_st, Mst, pv_st, U_st in gdata:
+            nd = dof_st.shape[1]
+            for nk, sel in Rg.group_by(nkeeps[ii]).items():
+                jj = ii[sel]
+                ms = jj.size
+                scale = np.sqrt(pv_dots[jj])
+                p_st = np.concatenate(
+                    [pv_st[sel][:, :, None],
+                     scale[:, None, None] * U_st[sel][:, :, :nk]], axis=2)
+                Mp = Mst[sel] @ p_st
+                cm = np.einsum("bij,bik->bjk", p_st, Mp)
+                cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+                nloc = nk + 1
+                cols = (col_off[jj][:, None]
+                        + ar(nloc, dtype=np.int64))
+                self._P_builder.add_blocks_var(
+                    dof_st[sel].ravel(),
+                    ar(ms + 1, dtype=np.int64) * nd,
+                    cols.ravel(), ar(ms + 1, dtype=np.int64) * nloc,
+                    p_st.ravel())
+                self.Pi[jform].add_functionals_group(
+                    codim, jj, p_st, Mst[sel])
+                blk_cat[blk_off[jj][:, None]
+                        + ar(nloc * nloc, dtype=np.int64)] = \
+                    cm.reshape(ms, -1)
 
         cdof.finalize_codim(codim)
         self._P_ncols = counter
         self._refresh_P()
-        self.coarser.M[(codim, jform)] = LocalMass(
-            coarse_dofs_lists, coarse_blocks)
+        ccat, coff = Rg.ranges_cat(col_off[:-1], col_off[1:])
+        self.coarser.M[(codim, jform)] = LocalMass.from_cat(
+            ccat, coff, blk_cat, blk_off)
 
     def _compute_0form_traces(self, cdof, pv):
-        """Vertex picks (Compute0formCoarseTraces, DeRhamSequence.cpp:1521)."""
+        """Vertex picks (Compute0formCoarseTraces, DeRhamSequence.cpp:1521).
+        Fully vectorized: one identity-pick scatter and one grouped unit
+        functional for all coarse vertices (the per-vertex Python loop
+        dominated flagship-scale coarsening)."""
         codim = self.dim
         AE_e = self.topo.AEntity_entity[codim].tocsr()
         n_ae = AE_e.shape[0]
-        dofs_lists, blocks = [], []
-        for iae in range(n_ae):
-            row = AE_e.indices[AE_e.indptr[iae]:AE_e.indptr[iae + 1]]
-            assert row.size == 1, \
-                "agglomerated peak with != 1 vertex (topology error)"
-            self._P_builder.add_entries([row[0]], [iae], [1.0])
-            cdof.set_n_ranget(codim, iae, 1)
-            self.Pi[0].create_dof_functional(
-                codim, iae, np.ones((1, 1)), np.ones((1, 1)))
-            dofs_lists.append(np.array([iae]))
-            blocks.append(np.ones((1, 1)))
+        assert np.all(np.diff(AE_e.indptr) == 1), \
+            "agglomerated peak with != 1 vertex (topology error)"
+        verts = AE_e.indices.astype(np.int64)
+        ar = np.arange(n_ae, dtype=np.int64)
+        self._P_builder.add_entries(verts, ar, np.ones(n_ae))
+        cdof.n_ranget[codim][:] = 1
+        self.Pi[0].add_functionals_group(
+            codim, ar, np.ones((n_ae, 1, 1)), np.ones((n_ae, 1, 1)))
         cdof.finalize_codim(codim)
         self._P_ncols = n_ae
         self._refresh_P()
-        self.coarser.M[(codim, 0)] = LocalMass(dofs_lists, blocks)
+        self.coarser.M[(codim, 0)] = LocalMass.from_cat(
+            ar, np.arange(n_ae + 1, dtype=np.int64),
+            np.ones(n_ae), np.arange(n_ae + 1, dtype=np.int64))
 
     def _refresh_P(self):
         self._P_snapshot = self._P_builder.tocsr(
@@ -419,6 +446,9 @@ class DeRhamSequence:
         # ---- pass 0 (host): batched extraction of all per-AE blocks, all
         # index families built as flat (cat, off) arrays — no Python loops - #
         from parelag_tpu.ops import ragged as Rg
+        from parelag_tpu.utils.timing import TimeManager as _TM
+        _w = _TM.get_timer("coarsen: ext pass0 extract")
+        _w.start()
         nu_ints = uagg.n_interior(codim_dom)
         np_ints = pagg.n_interior(codim_dom)
         u_cat, u_off = uagg.ae_dofs_cat(codim_dom)
@@ -444,6 +474,9 @@ class DeRhamSequence:
             D2locs = C.extract_blocks_cat(D2, e2_cat, e2_off, p_cat, p_off)
             dPcs = C.extract_blocks_cat(PDc, p_cat, p_off, cb_cat, cb_off)
 
+        _w.stop()
+        _w = _TM.get_timer("coarsen: ext pass1 assemble")
+        _w.start()
         # ---- pass 1 (host): batched per-AE system/rhs assembly, grouped by
         # shape signature — on quasi-uniform agglomerations a handful of
         # groups cover thousands of AEs, so every dense op below is one
@@ -457,8 +490,12 @@ class DeRhamSequence:
                     if loc_tars is not None else np.zeros(n_ae, np.int64))
         e2_sizes = (np.zeros(n_ae, np.int64) if use_lagrange
                     else np.diff(e2_off))
-        sigs = list(zip(u_sizes, nu_ints, p_sizes, np_ints, cb_sizes,
-                        pn_sizes, lt_sizes, e2_sizes))
+        sigs = np.stack([
+            np.asarray(u_sizes, np.int64), np.asarray(nu_ints, np.int64),
+            np.asarray(p_sizes, np.int64), np.asarray(np_ints, np.int64),
+            np.asarray(cb_sizes, np.int64), np.asarray(pn_sizes, np.int64),
+            np.asarray(lt_sizes, np.int64), np.asarray(e2_sizes, np.int64),
+        ], axis=1)
         groups = []
         for sig, idxs in Rg.group_by(sigs).items():
             nu_all, nu_int, np_all, np_int, k_ext, n_rt_raw, ltw, ne2 = (
@@ -467,11 +504,12 @@ class DeRhamSequence:
             Mst = Rg.take(Md, idxs, (nu_all, nu_all))
             Wst = Rg.take(Wd, idxs, (np_all, np_all))
             Dst = Rg.take(Dlocs, idxs, (np_all, nu_all))
-            Bst = Wst @ Dst                          # (m, p_all, u_all)
+            # only the first np_int rows of B = W D are ever used
+            Bst = Wst[:, :np_int, :] @ Dst           # (m, p_int, u_all)
             M_ii = Mst[:, :nu_int, :nu_int]
             M_ib = Mst[:, :nu_int, nu_int:]
-            B_ii = Bst[:, :np_int, :nu_int]
-            B_ib = Bst[:, :np_int, nu_int:]
+            B_ii = Bst[:, :, :nu_int]
+            B_ib = Bst[:, :, nu_int:]
             W_ii = Wst[:, :np_int, :np_int]
 
             # ---- local systems ---- #
@@ -560,10 +598,13 @@ class DeRhamSequence:
                 idxs=np.asarray(idxs, dtype=np.int64), m=m,
                 nu_all=nu_all, nu_int=nu_int, np_int=np_int,
                 k_ext=k_ext, n_rt=n_rt, k_null=k_null, nsys=nsys,
-                A=A, rhs=rhs, t_int=t_int,
+                A=A, rhs=rhs, t_int=t_int, Mst=Mst, Pbst=Pbst,
                 Tst=(Tst if use_lagrange else None),
                 do_solve=do_solve))
 
+        _w.stop()
+        _w = _TM.get_timer("coarsen: ext pass2 solve")
+        _w.start()
         # ---- pass 2 (device): one batched solve per shape group --------- #
         from parelag_tpu.ops.batched import solve_groups
         Xs = solve_groups([g["A"] for g in groups],
@@ -584,6 +625,9 @@ class DeRhamSequence:
                 g["bubU"] = U
                 n_nulls[g["idxs"]] = np.sum(sv > self.svd_tol, axis=1)
 
+        _w.stop()
+        _w = _TM.get_timer("coarsen: ext pass3 scatter")
+        _w.start()
         # ---- pass 3 (host): group-level scatter into P, coarse D, Pi, and
         # the coarse mass — zero per-agglomerate Python work -------------- #
         aoff = Rg.sizes_to_offsets(n_rts + n_nulls) + counter
@@ -640,8 +684,8 @@ class DeRhamSequence:
                     pn_st.ravel(), rt_st.ravel(), np.ones(m * n_rt))
 
             # subgroups by kept null count: everything uniform inside
-            Mst = Rg.take(Md, idxs, (nu_all, nu_all))
-            Pbst = Rg.take(Pbs, idxs, (nu_all - nu, k_ext))
+            Mst = g["Mst"]               # carried from pass 1 (re-gather
+            Pbst = g["Pbst"]             # was latency-bound at scale)
             for nn, sel in Rg.group_by(n_nulls[idxs]).items():
                 nn = int(nn)
                 ii = idxs[sel]
@@ -675,9 +719,11 @@ class DeRhamSequence:
                         + ar(nloc * nloc, dtype=np.int64)] = \
                     blk.reshape(ms, -1)
 
-        cdof.finalize_codim(codim_dom)
-        self._P_ncols = counter
-        self._refresh_P()
+        _w.stop()
+        with _TM.add_timer("coarsen: ext refresh_P"):
+            cdof.finalize_codim(codim_dom)
+            self._P_ncols = counter
+            self._refresh_P()
         self.coarser.M[(codim_dom, jform)] = LocalMass.from_cat(
             mass_cat, mass_off, blk_cat, blk_off)
 

@@ -161,7 +161,7 @@ def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
             topos.append(topos[il].coarsen_local_partitioning(
                 part, check_topology=unstructured))
 
-    log_mark = len(DeRhamSequenceFE.log_stream)
+    log_mark = DeRhamSequenceFE.log_mark()
     with TimeManager.add_timer("DeRhamSequence Construction: level 0"):
         if feorder > 0 and mesh.kind == "hex":
             from parelag_tpu.amge.fespace3d_ho import DeRhamSequence3DFE_HO
@@ -181,7 +181,7 @@ def build_hierarchy(nref_parallel=1, n_levels=None, unstructured=False,
                 f"DeRhamSequence Construction: level {il + 1}"):
             seqs.append(seqs[il].coarsen(svd_tol=svd_tol))
     if verbose:
-        for line in DeRhamSequenceFE.log_stream[log_mark:]:
+        for line in DeRhamSequenceFE.log_since(log_mark):
             print(line)
         TimeManager.print_summary()
     return mesh, topos, seqs

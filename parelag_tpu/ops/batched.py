@@ -312,6 +312,32 @@ def batched_svd_basis(mats, backend="auto"):
     return out
 
 
+def weighted_svd_group(Mst, Tst):
+    """Stacked M-weighted SVD: Mst (m,n,n), Tst (m,n,t) ->
+    (U (m,n,min(n,t)), s (m,min(n,t))) with U^T M U = I per member.
+    One stacked LAPACK call for the whole group (diagonal-M fast path)."""
+    m, n, t = Tst.shape
+    if t == 0 or n == 0:
+        return np.zeros((m, n, 0)), np.zeros((m, 0))
+    d = np.einsum("bii->bi", Mst)
+    offd = Mst - d[:, :, None] * np.eye(n)
+    if np.count_nonzero(offd) == 0:
+        sc = np.sqrt(d)                            # (m, n)
+        U, s, _ = np.linalg.svd(Tst * sc[:, :, None],
+                                full_matrices=False)
+        U = U / sc[:, :, None]
+    else:
+        w, V = np.linalg.eigh(Mst)
+        w = np.maximum(w, 0.0)
+        sq = np.sqrt(w)
+        isq = 1.0 / np.sqrt(np.maximum(w, 1e-300))
+        X = np.einsum("bij,bj,bkj->bik", V, sq, V)
+        Xinv = np.einsum("bij,bj,bkj->bik", V, isq, V)
+        U0, s, _ = np.linalg.svd(X @ Tst, full_matrices=False)
+        U = Xinv @ U0
+    return U, s
+
+
 def batched_weighted_svd(Ms, Ts):
     """M-weighted SVD orthonormalization for ragged lists (the trace-stage
     hot loop): returns [(U_i, s_i)] with U^T M U = I. Groups identical
@@ -328,22 +354,7 @@ def batched_weighted_svd(Ms, Ts):
     for (n, t), idxs in groups.items():
         Mst = take(Ms, idxs, (n, n))                   # (m, n, n)
         Tst = np.stack([Ts[i] for i in idxs])          # (m, n, t)
-        d = np.einsum("bii->bi", Mst)
-        offd = Mst - d[:, :, None] * np.eye(n)
-        if np.count_nonzero(offd) == 0:
-            sc = np.sqrt(d)                            # (m, n)
-            U, s, _ = np.linalg.svd(Tst * sc[:, :, None],
-                                    full_matrices=False)
-            U = U / sc[:, :, None]
-        else:
-            w, V = np.linalg.eigh(Mst)
-            w = np.maximum(w, 0.0)
-            sq = np.sqrt(w)
-            isq = 1.0 / np.sqrt(np.maximum(w, 1e-300))
-            X = np.einsum("bij,bj,bkj->bik", V, sq, V)
-            Xinv = np.einsum("bij,bj,bkj->bik", V, isq, V)
-            U0, s, _ = np.linalg.svd(X @ Tst, full_matrices=False)
-            U = Xinv @ U0
+        U, s = weighted_svd_group(Mst, Tst)
         for j, i in enumerate(idxs):
             out[i] = (U[j], s[j])
     return out

@@ -305,12 +305,23 @@ def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
     from parelag_tpu.ops import native
     if A.data.dtype == np.float64 and native.available():
         pos = _col_scratch(A.shape[1])
-        native.csr_extract_dense_many(
-            A.indptr, A.indices, A.data,
-            np.ascontiguousarray(rows_cat.astype(np.int64, copy=False)),
-            np.asarray(row_off, np.int64),
+        row_off = np.asarray(row_off, np.int64)
+        rows_cat = np.ascontiguousarray(
+            rows_cat.astype(np.int64, copy=False))
+        # visit blocks sorted by their first row: at >10^6 dofs the CSR
+        # arrays exceed cache and scattered block order makes extraction
+        # DRAM-latency-bound (outputs still land at each block's slot)
+        first = np.full(nb, -1, dtype=np.int64)
+        nz = rsz > 0
+        first[nz] = rows_cat[row_off[:-1][nz]]
+        order = np.argsort(first, kind="stable").astype(np.int64)
+        native.csr_extract_dense_many2(
+            A.indptr, A.indices, A.data, rows_cat,
+            row_off[:-1].copy(), row_off[1:].copy(),
             np.ascontiguousarray(cols_cat.astype(np.int64, copy=False)),
-            np.asarray(col_off, np.int64), pos, out_cat, out_off)
+            np.asarray(col_off[:-1], np.int64).copy(),
+            np.asarray(col_off[1:], np.int64).copy(),
+            pos, out_cat, out_off[:-1].copy(), order)
         return BlockList(out_cat, out_off, rsz, csz)
     for b in range(nb):
         blk = extract_submatrix(A, rows_cat[row_off[b]:row_off[b + 1]],

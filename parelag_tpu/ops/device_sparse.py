@@ -218,10 +218,12 @@ class DiaMatrix:
     def _pallas_ok(self):
         from parelag_tpu.ops.pallas_kernels import pallas_dia_supported
         n, m = self.shape
-        # the kernel's xpad is sized from the ROW tiling: wide rectangular
-        # operators (m > npad + hi) don't fit its layout — use the XLA path
+        # the kernel's xpad is sized from the ROW tiling: every tile read
+        # must be provably in bounds, which requires m <= npad and every
+        # offset within [-lo, hi] of the row span (wide operators with
+        # m > n can push offs.max() past hi for padded slots)
         npad = -(-n // self._TILE) * self._TILE
-        if m > npad + self.span[1]:
+        if m > npad or m > n:
             return False
         # padded x must stay VMEM-resident (~budget half of 16 MB)
         if (m + self.span[0] + self.span[1] + self._TILE) \

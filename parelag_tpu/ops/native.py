@@ -83,6 +83,12 @@ def _load():
     lib.csr_extract_dense_many_i32.argtypes = [
         i32p, i32p, f64p, i64p, i64p, i64p, i64p, i64p, f64p, i64p,
         ctypes.c_int64]
+    lib.csr_extract_dense_many2.argtypes = [
+        i64p, i64p, f64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        f64p, i64p, i64p, ctypes.c_int64]
+    lib.csr_extract_dense_many2_i32.argtypes = [
+        i32p, i32p, f64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        f64p, i64p, i64p, ctypes.c_int64]
     lib.assemble_agglomerate_block_many.argtypes = [
         i64p, i64p, i64p, f64p, ctypes.c_int64, i64p, i64p, i64p, f64p,
         i64p, ctypes.c_int64]
@@ -137,6 +143,21 @@ def csr_extract_dense_many(indptr, indices, data, rows_cat, row_off,
             _p64(indptr), _p64(indices), _pf(data), _p64(rows_cat),
             _p64(row_off), _p64(cols_cat), _p64(col_off), _p64(pos),
             _pf(out_cat), _p64(out_off), nb)
+
+
+def csr_extract_dense_many2(indptr, indices, data, rows_cat, row_beg,
+                            row_end, cols_cat, col_beg, col_end, pos,
+                            out_cat, out_beg, order):
+    """Block extraction with explicit per-block ranges processed in
+    `order` (callers sort by first row for cache locality)."""
+    lib = _load()
+    nb = ctypes.c_int64(order.size)
+    fn = (lib.csr_extract_dense_many2_i32 if indptr.dtype == np.int32
+          else lib.csr_extract_dense_many2)
+    ip = _p32 if indptr.dtype == np.int32 else _p64
+    fn(ip(indptr), ip(indices), _pf(data), _p64(rows_cat), _p64(row_beg),
+       _p64(row_end), _p64(cols_cat), _p64(col_beg), _p64(col_end),
+       _p64(pos), _pf(out_cat), _p64(out_beg), _p64(order), nb)
 
 
 def assemble_agglomerate_block_many(ents_cat, ent_off, dofs, blocks,

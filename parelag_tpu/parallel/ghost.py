@@ -71,20 +71,25 @@ class GhostMap:
 
     # ------------------------ device execution ------------------------ #
     def device_fns(self, mesh):
-        """(distribute_fn, assemble_fn) as jitted shard_map collectives.
-        Block layout: (ndev, n_loc) owned values; ghosts padded to the max
-        ghost count (mask returned by `ghost_blocks`)."""
+        """(gvirt, distribute_fn, assemble_fn) as jitted shard_map
+        collectives. Block layout: (ndev, n_loc) owned values; ghosts
+        padded to the max ghost count (validity mask from
+        `ghost_mask()`); padded contribution slots route to a scratch
+        slot and are discarded."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
         from parelag_tpu.parallel.sharding import shard_map
 
         m_g = max([g.size for g in self.ghosts] + [1])
-        gv = np.zeros((self.ndev, m_g), dtype=np.int64)
+        ndev, n_loc = self.ndev, self.n_loc
+        # padding slots point at a scratch slot PAST the owned range so a
+        # nonzero padded contribution can never alias entity 0; the
+        # scratch column is dropped after the psum
+        gv = np.full((self.ndev, m_g), ndev * n_loc, dtype=np.int64)
         for r, g in enumerate(self.ghosts):
             gv[r, :g.size] = self.virt[g]
         gvirt = jnp.asarray(gv)
-        ndev, n_loc = self.ndev, self.n_loc
 
         @jax.jit
         @lambda f: shard_map(f, mesh=mesh,
@@ -99,8 +104,8 @@ class GhostMap:
                              in_specs=(P("dd"), P("dd"), P("dd")),
                              out_specs=P("dd"))
         def assemble_fn(x_blk, contrib_blk, gv_blk):
-            buf = jnp.zeros(ndev * n_loc, x_blk.dtype).at[
-                gv_blk[0]].add(contrib_blk[0])
+            buf = jnp.zeros(ndev * n_loc + 1, x_blk.dtype).at[
+                gv_blk[0]].add(contrib_blk[0])[:ndev * n_loc]
             tot = jax.lax.psum(buf.reshape(ndev, n_loc), "dd")
             me = jax.lax.axis_index("dd")
             own = jax.lax.dynamic_slice_in_dim(
@@ -108,6 +113,14 @@ class GhostMap:
             return x_blk + own[None, :]
 
         return gvirt, distribute_fn, assemble_fn
+
+    def ghost_mask(self):
+        """(ndev, m_g) bool: which padded ghost slots are real."""
+        m_g = max([g.size for g in self.ghosts] + [1])
+        mask = np.zeros((self.ndev, m_g), dtype=bool)
+        for r, g in enumerate(self.ghosts):
+            mask[r, :g.size] = True
+        return mask
 
     def to_blocks(self, values):
         """Global (n_ent,) -> (ndev, n_loc) owned blocks."""

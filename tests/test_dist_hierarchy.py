@@ -127,8 +127,11 @@ def test_operator_rows_match_serial(dist, level):
     rows = np.concatenate([t[0] for t in setup.A_rows[level]])
     cols = np.concatenate([t[1] for t in setup.A_rows[level]])
     vals = np.concatenate([t[2] for t in setup.A_rows[level]])
-    # each owned row contributed exactly once
-    assert np.unique(rows).size == setup.ndofs[level] or True
+    # every level dof is owned by exactly one rank: per-rank owned row
+    # sets are disjoint and together cover [0, ndofs)
+    per_rank = [np.unique(t[0]) for t in setup.A_rows[level]]
+    assert sum(r.size for r in per_rank) == setup.ndofs[level]
+    assert np.unique(rows).size == setup.ndofs[level]
     A_dist = sp.coo_matrix(
         (vals, (rows, cols)),
         shape=(setup.ndofs[level], setup.ndofs[level])).tocsr()

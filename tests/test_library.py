@@ -158,12 +158,12 @@ def test_coarsening_stats_and_phase_table(capsys):
     TimeManager phase table (MultigridTestDarcy.cpp:233-247,550)."""
     from parelag_tpu.models.upscaling import build_hierarchy
     from parelag_tpu.amge.sequence import DeRhamSequence
-    mark = len(DeRhamSequence.log_stream)
+    mark = DeRhamSequence.log_mark()
     build_hierarchy(nref_parallel=1, verbose=True)
     out = capsys.readouterr().out
     assert "RangeT dofs" in out and "NullSpace dofs" in out
     assert "DeRhamSequence Construction: level 1" in out
     assert "Mesh Agglomeration: level 1" in out
     # the stream accumulated one block per coarsened form
-    new = DeRhamSequence.log_stream[mark:]
+    new = DeRhamSequence.log_since(mark)
     assert sum("coarse ndofs" in l for l in new) == 4
