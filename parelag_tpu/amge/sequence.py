@@ -690,14 +690,18 @@ class DeRhamSequence:
                 nn = int(nn)
                 ii = idxs[sel]
                 ms = sel.size
-                rt_basis = X[sel][:, :nu, k_ext:k_ext + n_rt]
-                Un = (g["bubU"][sel][:, :, :nn] if nn
+                whole = ms == m       # single-subgroup fast path: avoid
+                #                       re-copying the full group stacks
+                X_s = X if whole else X[sel]
+                M_s = Mst if whole else Mst[sel]
+                rt_basis = X_s[:, :nu, k_ext:k_ext + n_rt]
+                Un = (g["bubU"][sel, :, :nn] if nn
                       else np.zeros((ms, nu, 0)))
                 if nn:
                     nl_st = (aoff[ii][:, None] + n_rt
                              + ar(nn, dtype=np.int64))
                     self._P_builder.add_blocks_var(
-                        u_int_st[sel].ravel(),
+                        (u_int_st if whole else u_int_st[sel]).ravel(),
                         ar(ms + 1, dtype=np.int64) * nu,
                         nl_st.ravel(), ar(ms + 1, dtype=np.int64) * nn,
                         Un.ravel())
@@ -705,15 +709,15 @@ class DeRhamSequence:
                 self.Pi[jform].add_functionals_group(
                     codim_dom, ii,
                     np.concatenate([rt_basis, Un], axis=2),
-                    Mst[sel][:, :nu, :nu])
+                    M_s[:, :nu, :nu])
                 # coarse mass block over [cbdr, RangeT, Null]
                 nloc = k_ext + n_rt + nn
                 basis = np.zeros((ms, nu_all, nloc))
-                basis[:, nu:, :k_ext] = Pbst[sel]
-                basis[:, :nu, :k_ext] = X[sel][:, :nu, :k_ext]
+                basis[:, nu:, :k_ext] = Pbst if whole else Pbst[sel]
+                basis[:, :nu, :k_ext] = X_s[:, :nu, :k_ext]
                 basis[:, :nu, k_ext:k_ext + n_rt] = rt_basis
                 basis[:, :nu, k_ext + n_rt:] = Un
-                blk = basis.transpose(0, 2, 1) @ (Mst[sel] @ basis)
+                blk = basis.transpose(0, 2, 1) @ (M_s @ basis)
                 blk = 0.5 * (blk + blk.transpose(0, 2, 1))
                 blk_cat[blk_off[ii][:, None]
                         + ar(nloc * nloc, dtype=np.int64)] = \

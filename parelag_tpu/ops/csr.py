@@ -387,18 +387,22 @@ class _CooBuilder:
     def tocsr(self, shape, sum_duplicates=False) -> sp.csr_matrix:
         """COO -> CSR. Duplicate (row, col) pairs are summed (standard COO
         semantics); with sum_duplicates=False duplicates are treated as a
-        caller bug and raise instead of silently summing."""
+        caller bug — checked only under PARELAG_DEBUG=1 (the full-sort
+        uniqueness scan is O(nnz log nnz) and the setup phase rebuilds
+        multi-10M-nnz snapshots every stage)."""
         if not self.rows:
             return sp.csr_matrix(shape)
         r = np.concatenate(self.rows)
         c = np.concatenate(self.cols)
         v = np.concatenate(self.vals)
         if not sum_duplicates:
-            keys = r.astype(np.int64) * shape[1] + c
-            if np.unique(keys).size != keys.size:
-                raise ValueError(
-                    "duplicate (row, col) entries in COO builder; pass "
-                    "sum_duplicates=True to accumulate them")
+            from parelag_tpu.utils.errors import _debug_enabled
+            if _debug_enabled():
+                keys = r.astype(np.int64) * shape[1] + c
+                if np.unique(keys).size != keys.size:
+                    raise ValueError(
+                        "duplicate (row, col) entries in COO builder; pass "
+                        "sum_duplicates=True to accumulate them")
         return sp.coo_matrix((v, (r, c)), shape=shape).tocsr()
 
 
