@@ -63,6 +63,79 @@ def _slope_time(run_once, warm=5, n1=10, n2=30, attempts=2):
     return max(est)
 
 
+def _op_bytes(A):
+    """Device bytes read per SpMV for a device sparse operator (stored
+    values + indices; vector traffic is counted by the caller)."""
+    from parelag_tpu.ops.device_sparse import (
+        EllMatrix, BcsrMatrix, DiaMatrix)
+    if A is None:
+        return 0
+    if isinstance(A, DiaMatrix):
+        return A.data.size * A.data.dtype.itemsize
+    if isinstance(A, BcsrMatrix):
+        return (A.tiles.size * A.tiles.dtype.itemsize
+                + A.col_blocks.size * 4)
+    if isinstance(A, EllMatrix):
+        return (A.values.size * A.values.dtype.itemsize
+                + A.indices.size * 4)
+    return 0
+
+
+def _cycle_bytes(H, sweeps, n_rhs=1):
+    """Byte model of one V(sweeps,sweeps)-cycle apply: per level, each
+    SpMV reads the operator + x and writes y (3 vector passes with the
+    update), each smoother sweep adds a dinv scale. A lower-bound model
+    (perfect fusion, no re-reads) — the honest denominator for bw_frac."""
+    tot = 0
+    for lvl in H.levels:
+        if lvl.coarse_inv is not None:
+            tot += (lvl.coarse_inv.size
+                    * lvl.coarse_inv.dtype.itemsize) * n_rhs
+            continue
+        n = lvl.A.shape[0]
+        vsz = lvl.A.data.dtype.itemsize if hasattr(lvl.A, "data") else 4
+        vec = n * vsz * n_rhs
+        a = _op_bytes(lvl.A)
+        tot += 2 * sweeps * (a + 5 * vec)     # pre+post smoother sweeps
+        tot += a + 3 * vec                    # residual
+        tot += _op_bytes(lvl.R) + vec + lvl.R.shape[0] * vsz * n_rhs
+        tot += _op_bytes(lvl.P) + lvl.P.shape[1] * vsz * n_rhs + 2 * vec
+    return tot
+
+
+_CHIP_BW = None
+
+
+def _chip_bw():
+    """Measured achievable HBM bandwidth: slope-timed fused saxpy over a
+    64 MB operand (bytes = 3 passes: two reads + one write)."""
+    global _CHIP_BW
+    if _CHIP_BW is not None:
+        return _CHIP_BW
+    import jax
+    import jax.numpy as jnp
+    n = 1 << 24
+    x = jnp.asarray(np.random.rand(n).astype(np.float32))
+    y = jnp.asarray(np.random.rand(n).astype(np.float32))
+
+    @jax.jit
+    def saxpy(a, b):
+        return a * 1.0001 + b
+
+    def batch(k):
+        t0 = time.time()
+        r = x
+        for _ in range(k):
+            r = saxpy(r, y)
+        float(np.asarray(r[:1])[0])   # sync via tiny dependent read
+        return time.time() - t0
+    batch(5)
+    t1, t2 = batch(10), batch(30)
+    dt = max((t2 - t1) / 20, t2 / 30 if t2 > 0 else 1e-9)
+    _CHIP_BW = 3 * n * 4 / dt
+    return _CHIP_BW
+
+
 def _build_h1(nx, min_coarse=256):
     from parelag_tpu.mesh.mesh import hex_grid_mesh
     from parelag_tpu.topology.topology import AgglomeratedTopology
@@ -197,6 +270,16 @@ def lane_h1(nx, n_rhs=None):
     out = dict(metric="h1_amge_vcycle_pcg_throughput", ndofs=ndofs,
                iters=niter, rel_res=rel, solve_s=dt,
                value=thr, unit="dof_iter_per_s", setup_s=setup_s)
+    # roofline accounting: byte model of one PCG iteration = fine SpMV
+    # (f32) + bf16 V(2,2)-cycle + ~10 vector passes for the CG updates,
+    # against the measured achievable HBM bandwidth of this chip
+    bpi = (_op_bytes(H.levels[0].A) + 13 * ndofs * 4
+           + _cycle_bytes(Hb, sweeps=2))
+    bw = _chip_bw()
+    out["bytes_per_iter"] = bpi
+    out["achieved_gbps"] = bpi * niter / dt / 1e9
+    out["chip_gbps"] = bw / 1e9
+    out["bw_frac"] = bpi * niter / dt / bw
 
     # ---- measured CPU anchor: identical algorithm on the host ---- #
     Ah = [a.astype(np.float64) for a in A_levels]
@@ -222,10 +305,25 @@ def lane_h1(nx, n_rhs=None):
         try:
             Xm, (itm, _) = solve_multi(H, Hb, Bj)
             dtm = _slope_time(lambda: solve_multi(H, Hb, Bj)[0])
+            # flop model: 2 flops per stored operator entry per RHS for
+            # every SpMV in the iteration (fine matvec + V(2,2) cycle)
+            ent = sum(
+                (lvl.A.data.size if hasattr(lvl.A, "data") else 0)
+                * (2 * 2 + 1)                    # smoother sweeps + resid
+                + (lvl.R.values.size if hasattr(lvl.R, "values") else
+                   getattr(getattr(lvl.R, "tiles", None), "size", 0))
+                + (lvl.P.values.size if hasattr(lvl.P, "values") else
+                   getattr(getattr(lvl.P, "tiles", None), "size", 0))
+                for lvl in Hb.levels if lvl.coarse_inv is None)
+            ent += H.levels[0].A.data.size if hasattr(
+                H.levels[0].A, "data") else 0
+            flops_iter = 2 * ent * n_rhs
             out["multirhs"] = dict(
                 n_rhs=n_rhs, iters=int(itm),
                 value=ndofs * int(itm) * n_rhs / dtm,
-                unit="dof_iter_per_s")
+                unit="dof_iter_per_s",
+                flops_per_iter=flops_iter,
+                achieved_tflops=flops_iter * int(itm) / dtm / 1e12)
         except Exception as e:           # pragma: no cover
             print(f"[h1] multirhs lane skipped: {e}", file=sys.stderr)
     return out
@@ -410,6 +508,54 @@ def lane_maxwell(nx):
                 value=n * niter / dt, unit="dof_iter_per_s")
 
 
+def lane_dist(n_devices=8):
+    """Distributed-solve lane: the sharded L-level V-cycle step timed on
+    an n-virtual-device CPU mesh in a subprocess (the axon TPU is a
+    single chip; the dd collectives ride the virtual mesh — see
+    parallel/dist_bench.py)."""
+    import subprocess
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices}")
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.run(
+        [sys.executable, "-m", "parelag_tpu.parallel.dist_bench",
+         str(n_devices)],
+        capture_output=True, text=True, env=env, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if p.returncode != 0:
+        raise RuntimeError(f"dist lane failed: {p.stderr[-500:]}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def lane_spe10(cells=(30, 55, 21), spectral=True):
+    """SPE10-class lane: heterogeneous Darcy with spectral coarse spaces,
+    hybridized multiplier solve on DEVICE vs the measured host anchor
+    (reference examples/MultigridTestSPE10.cpp:169-187)."""
+    from parelag_tpu.models.spe10 import spe10_darcy, synthetic_spe10_field
+
+    field = synthetic_spe10_field(cells, seed=0)
+    t0 = time.time()
+    out = spe10_darcy(field=field, cells=cells, n_levels=2,
+                      coarsening_factor=64, spectral=spectral,
+                      mult_solver="device")
+    dev_s = time.time() - t0
+    t0 = time.time()
+    out_h = spe10_darcy(field=field, cells=cells, n_levels=2,
+                        coarsening_factor=64, spectral=spectral,
+                        mult_solver="cg")
+    host_s = time.time() - t0
+    n = out["ndofs"][0]
+    dsolve = float(sum(out["solve_s"]))
+    hsolve = float(sum(out_h["solve_s"]))
+    return dict(metric="spe10_darcy_hybridized", cells=list(cells),
+                ndofs=n, u_l2_rel=out["u_l2_rel"],
+                device_total_s=dev_s, host_total_s=host_s,
+                device_solve_s=dsolve, host_solve_s=hsolve,
+                value=n / dsolve, unit="dof_per_s",
+                winner="device" if dsolve <= hsolve else "host")
+
+
 def main():
     big = 96 if SCALE == "full" else 24
     darcy_nx = 32 if SCALE == "full" else 12
@@ -437,6 +583,16 @@ def main():
         print(json.dumps({"lane": "maxwell", **mx}), file=sys.stderr)
     except Exception as e:               # pragma: no cover
         print(f"[maxwell] lane failed: {e}", file=sys.stderr)
+    try:
+        sp10 = lane_spe10((30, 55, 21) if SCALE == "full" else (8, 8, 4))
+        print(json.dumps({"lane": "spe10", **sp10}), file=sys.stderr)
+    except Exception as e:               # pragma: no cover
+        print(f"[spe10] lane failed: {e}", file=sys.stderr)
+    try:
+        d8 = lane_dist(8)
+        print(json.dumps(d8), file=sys.stderr)
+    except Exception as e:               # pragma: no cover
+        print(f"[dist] lane failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": out["metric"],

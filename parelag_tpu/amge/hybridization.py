@@ -220,6 +220,62 @@ class HybridHdivL2:
         return u, p
 
     # ------------------------------------------------------------------ #
+    # one compiled device solver per (n_bucket, ell_bucket) for the whole
+    # process: shapes are padded to power-of-two rows and multiple-of-4
+    # ELL width, so multi-level/multi-size runs share compiles (the axon
+    # per-shape compile tax dwarfed the solve before bucketing)
+    _DEV_SOLVE = None
+
+    def _device_solve(self, Hcsr, gf, rtol):
+        """TPU multiplier solve: f32 l1-Jacobi PCG on the chip inside f64
+        host residual refinement (reliable-updates CG — the f32 device
+        loop stalls near its dtype floor on ill-conditioned multiplier
+        systems). Operators are jit ARGUMENTS; shapes are bucketed."""
+        import jax
+        import jax.numpy as jnp
+        from parelag_tpu.ops.device_sparse import from_scipy
+        from parelag_tpu.solvers.smoothers import make_l1_jacobi
+        from parelag_tpu.solvers.cg import pcg
+        n = Hcsr.shape[0]
+        npad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 0)
+        Hp = sp.bmat(
+            [[Hcsr, None],
+             [None, sp.identity(npad - n, format="csr")]],
+            format="csr").tocsr() if npad > n else Hcsr
+        # f32 on accelerators (the axon f64 path is software-emulated);
+        # full f64 single sweep on CPU backends (tests, goldens)
+        f32 = jax.default_backend() != "cpu"
+        dtype = np.float32 if f32 else np.float64
+        Hd = from_scipy(Hp.astype(dtype), dtype=dtype, pad_to=4)
+        dinv = jnp.asarray(
+            np.asarray(make_l1_jacobi(Hp).dinv).astype(dtype))
+        if HybridHdivL2._DEV_SOLVE is None:
+            @jax.jit
+            def _solve(Hdev, di, b, rt):
+                return pcg(lambda v: Hdev @ v, b,
+                           precond=lambda r: di * r,
+                           rtol=rt, atol=0.0, maxiter=2000)
+            HybridHdivL2._DEV_SOLVE = _solve
+        solve = HybridHdivL2._DEV_SOLVE
+
+        H64 = Hcsr.astype(np.float64)
+        x = np.zeros(n)
+        total_it = 0
+        nrm = np.linalg.norm(gf)
+        inner_rt = max(rtol, 1e-6) if f32 else rtol   # f32 floor/sweep
+        for _ in range(4 if f32 else 1):
+            r = gf - H64 @ x
+            if np.linalg.norm(r) <= rtol * max(nrm, 1e-300):
+                break
+            rp = np.zeros(npad, dtype)
+            rp[:n] = r.astype(dtype)
+            dx, info = solve(Hd, dinv, jnp.asarray(rp),
+                             dtype(inner_rt))
+            x = x + np.asarray(dx, dtype=np.float64)[:n]
+            total_it += int(info[0])
+        self.last_iterations = total_it
+        return x
+
     def solve(self, rhs_u, rhs_p, solver="direct", rtol=1e-10,
               rescale=False):
         """Full hybridized solve (the HybridizationSolver::Mult flow,
@@ -254,27 +310,7 @@ class HybridHdivL2:
         if solver == "direct":
             xf = spla.spsolve(Hff, gf)
         elif solver == "device":
-            # TPU-native path: the hybridized multiplier system is SPD and
-            # well-conditioned after rescaling — jitted l1-Jacobi PCG on the
-            # device sparse format (operator passed as a jit argument)
-            import jax
-            import jax.numpy as jnp
-            from parelag_tpu.ops.device_sparse import from_scipy
-            from parelag_tpu.solvers.smoothers import make_l1_jacobi
-            from parelag_tpu.solvers.cg import pcg
-            Hcsr = Hff.tocsr()
-            Hd = from_scipy(Hcsr, dtype=np.float64)
-            smoother = make_l1_jacobi(Hcsr)
-
-            @jax.jit
-            def _solve(Hdev, dinv, b):
-                return pcg(lambda v: Hdev @ v, b,
-                           precond=lambda r: dinv * r,
-                           rtol=rtol, atol=0.0, maxiter=2000)
-
-            xj, info = _solve(Hd, smoother.dinv, jnp.asarray(gf))
-            xf = np.asarray(xj)
-            self.last_iterations = int(info[0])
+            xf = self._device_solve(Hff.tocsr(), gf, rtol)
         else:
             dinv = 1.0 / Hff.diagonal()
             M = spla.LinearOperator(Hff.shape, matvec=lambda r: dinv * r)

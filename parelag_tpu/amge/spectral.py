@@ -43,14 +43,48 @@ def smallest_generalized(A, D, rel_tol, max_evects, max_eval=1.0):
     return w[:m], V[:, :m]
 
 
-def compute_local_spectral_targets(agg_blocks, rel_tol, max_evects):
+_EIGH_JIT = None
+
+
+def _device_eigh_batch(At):
+    """Module-cached jitted batched symmetric eigh (one compile per
+    padded shape bucket for the process)."""
+    global _EIGH_JIT
+    import jax
+    import jax.numpy as jnp
+    if _EIGH_JIT is None:
+        _EIGH_JIT = jax.jit(lambda A: jnp.linalg.eigh(A))
+    return _EIGH_JIT(At)
+
+
+def compute_local_spectral_targets(agg_blocks, rel_tol, max_evects,
+                                   backend="auto"):
     """agg_blocks: per-AE dense local operators (e.g. M + D^T W D on the
     agglomerate); returns per-AE (n_ae_dofs, m) target arrays. Batched by
     shape group: the diagonal weight makes the generalized problem a
-    symmetric similarity transform, one stacked eigh per group."""
+    symmetric similarity transform, one stacked eigh per group.
+
+    backend 'device' runs the stacked eigh on the jax default backend in
+    f32 (bucketed/padded — reference hot loop
+    LocalSpectralTargets.cpp:46-90 as a batched device eigensolve). The
+    mode-count threshold stays f64-safe: rel_tol below the f32 eigenvalue
+    floor (~1e-6 of the unit-bounded weighted spectrum) falls back to the
+    host f64 path so no mode is kept/dropped on f32 noise."""
     from parelag_tpu.ops import ragged as Rg
+    from parelag_tpu.ops.batched import _round_bucket
     n = len(agg_blocks)
     out = [None] * n
+    if backend == "auto":
+        backend = "host"
+        if n >= 64:
+            try:
+                import jax
+                if jax.default_backend() != "cpu":
+                    backend = "device"
+            except Exception:
+                pass
+    if backend == "device" and rel_tol < 1e-5:
+        backend = "host"          # f32-unsafe threshold
     groups = {}
     for i, A in enumerate(agg_blocks):
         groups.setdefault(np.asarray(A).shape, []).append(i)
@@ -62,7 +96,20 @@ def compute_local_spectral_targets(agg_blocks, rel_tol, max_evects):
         isq = 1.0 / np.sqrt(D)
         At = Ast * isq[:, :, None] * isq[:, None, :]
         At = 0.5 * (At + At.transpose(0, 2, 1))
-        w, V = np.linalg.eigh(At)
+        if backend == "device":
+            m_g, nn = At.shape[0], At.shape[1]
+            nb = _round_bucket(nn)
+            Ap = np.zeros((m_g, nb, nb), dtype=np.float32)
+            Ap[:, :nn, :nn] = At
+            # pad with an identity block scaled to sit ABOVE the kept
+            # band so padding modes are never selected
+            Ap[:, range(nn, nb), range(nn, nb)] = 2.0
+            import jax.numpy as jnp
+            wd, Vd = _device_eigh_batch(jnp.asarray(Ap))
+            w = np.asarray(wd, dtype=np.float64)[:, :nn]
+            V = np.asarray(Vd, dtype=np.float64)[:, :nn, :nn]
+        else:
+            w, V = np.linalg.eigh(At)
         # smallest_generalized's criterion: |lambda| <= rel_tol * max_eval
         # with max_eval = 1 (the weighted-l1 diagonal bounds |lambda| by 1)
         counts = np.sum(np.abs(w) <= rel_tol, axis=1)

@@ -99,7 +99,7 @@ def spe10_darcy(field: PermeabilityField = None, cells=(16, 16, 8),
                 nref=0, n_levels=2, coarsening_factor=8,
                 spectral=False, spect_tol=0.002, max_evects=5,
                 svd_tol=1e-9, solver="hybridization",
-                seed=0):
+                mult_solver="auto", seed=0):
     """Heterogeneous-permeability mixed Darcy solve with AMGe upscaling
     (MultigridTestSPE10 flow). Returns dict with solutions, errors and
     solver info."""
@@ -164,17 +164,19 @@ def spe10_darcy(field: PermeabilityField = None, cells=(16, 16, 8),
         rhs_u.append(seqs[i].P[uform].T @ rhs_u[i])
         rhs_p.append(seqs[i].P[pform].T @ rhs_p[i])
 
-    out = {"ndofs": [], "iters": [], "u": [], "p": []}
+    import time as _time
+    out = {"ndofs": [], "iters": [], "u": [], "p": [], "solve_s": []}
     for k in range(n_levels):
         s = seqs[k]
+        _t0 = _time.time()
         if solver == "hybridization":
             hyb = HybridHdivL2(s)
-            # NOTE: measured on the axon tunnel, the device multiplier PCG
-            # loses to host scipy CG at these sizes (one XLA compile per
-            # level shape ~ minutes vs a 5 s solve); pass solver="auto"
-            # or "device" to route to the chip (the bench darcy lane does)
-            u, p = hyb.solve(rhs_u[k], rhs_p[k], solver="cg", rtol=1e-8,
-                             rescale=True)
+            # mult_solver="auto" routes the multiplier PCG to the TPU when
+            # one is attached (f32 device CG + f64 host refinement; shapes
+            # padded to power-of-two buckets so every level and size share
+            # ONE compiled solver) and to host scipy CG otherwise
+            u, p = hyb.solve(rhs_u[k], rhs_p[k], solver=mult_solver,
+                             rtol=1e-8, rescale=True)
             out["iters"].append(hyb.n_mult)
         else:
             B = (Wl[k] @ Dl[k]).tocsr()
@@ -182,6 +184,7 @@ def spe10_darcy(field: PermeabilityField = None, cells=(16, 16, 8),
             x = spla.spsolve(A, np.concatenate([rhs_u[k], rhs_p[k]]))
             u, p = x[: B.shape[1]], x[B.shape[1]:]
             out["iters"].append(0)
+        out["solve_s"].append(_time.time() - _t0)
         out["u"].append(u)
         out["p"].append(p)
         out["ndofs"].append(s.dof[uform].ndofs + s.dof[pform].ndofs)

@@ -6,16 +6,18 @@ back by derefinement; upscaling errors are reported per level. Here the
 "rank count" maps to the dd device-mesh size: the same problem family runs
 with the element partition sharded over devices.
 
-NOTE on golden values: the reference's CTest lane asserts
-3.4325e-01/1.2642e-01 (Hdiv) and 1.6197e-01/3.0947e-02 (Hcurl) for the
-serial run; with the same mesh chain, BCs and coarsening, this framework —
-which matches the reference digit-for-digit on the UpscalingGeneralForm
-lanes for all three forms — obtains 3.6522e-02/9.1847e-03 resp.
-1.4807e-01/3.1436e-02 (our middle-level values coincide with the golden
-UpscalingGeneralForm values on the identical geometry, as they must; the
-reference's weak-scaling lane does not, suggesting its recorded values come
-from a different configuration or code state). We assert level-wise error
-decay and internal consistency instead.
+Golden values: the reference CTest lane asserts 3.4325e-01/1.2642e-01 +
+energy 2.9404e-01/1.3420e-01 (Hdiv) and 1.6197e-01/3.0947e-02 + energy
+7.0872e-01/2.3455e-01 (Hcurl). The config that produces them (round-2
+VERDICT item 8, now settled): (a) the drivers DEFORM the refined mesh
+(y += 0.5 exp(z), then x += sin(y), 3DHdivWeakScaling.cpp:148-159) and
+(b) polynomial targets are built only for forms >= 2
+(SetUpscalingTargets(..., form_start=2), :221). With both matched this
+driver reproduces the Hdiv goldens digit-for-digit and the Hcurl goldens
+to ~1e-4 relative (1.6196e-01/3.0943e-02, energy 7.0873e-01/2.3455e-01 —
+the reference evaluates errors on ADS-preconditioned iterative solutions
+at rtol 1e-6 where we solve direct, which accounts for the final-digit
+drift). tests/test_weak_scaling.py asserts these values.
 """
 
 import numpy as np
@@ -31,15 +33,26 @@ from parelag_tpu.models.upscaling import (
 
 def weak_scaling_driver(form, nref_parallel=2, n_sub=1, svd_tol=1e-9,
                         upscaling_order=0, solver="direct",
-                        targets_form_start=None) -> UpscalingResult:
+                        targets_form_start=2,
+                        deform=True) -> UpscalingResult:
     """form=2 -> 3DHdivWeakScaling, form=1 -> 3DHcurlWeakScaling.
-    n_sub^3 = per-device subcube count (the reference's num_procs)."""
+    n_sub^3 = per-device subcube count (the reference's num_procs).
+
+    deform=True applies the reference drivers' post-refinement mesh
+    deformation (3DHdivWeakScaling.cpp:148-159: y += 0.5 exp(z), then
+    x += sin(y) with the updated y) — the curved geometry behind the
+    CTest golden values; deform=False keeps the straight cube (which
+    reproduces the UpscalingGeneralForm golden family instead)."""
     mesh = hex_grid_mesh(n_sub, n_sub, n_sub)
     level_ne = []
     for _ in range(nref_parallel):
         level_ne.append(mesh.num_elements)
         mesh = mesh.uniform_refinement()
     level_ne = [mesh.num_elements] + level_ne[::-1]
+    if deform:
+        v = mesh.vertices
+        v[:, 1] += 0.5 * np.exp(v[:, 2])
+        v[:, 0] += np.sin(v[:, 1])
 
     topos = [AgglomeratedTopology.from_mesh(mesh)]
     for il in range(nref_parallel):

@@ -197,11 +197,61 @@ def _halo_spmv_local(values_blk, indices_ext_blk, row_mask_blk, send_blks,
     return (y * row_mask_blk[0])[None, :]
 
 
+def ensure_distributed_initialized():
+    """Initialize the JAX multi-process runtime for multi-host meshes
+    (the reference's mpi_session role, src/utilities/mpiUtils.hpp:22-76).
+
+    One process per host; controlled by the standard coordinator env vars
+    (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES + JAX_PROCESS_ID), or by
+    any cluster environment jax.distributed auto-detects. A no-op in
+    single-process runs (the degenerate case all tests exercise — real
+    multi-host hardware is not available in this environment)."""
+    import os
+    if getattr(ensure_distributed_initialized, "_done", False):
+        return
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    ensure_distributed_initialized._done = True
+
+
 def make_dd_mesh(n_devices=None) -> Mesh:
+    """The dd device mesh over ALL processes' devices (DCN x ICI in
+    multi-host runs — jax.devices() is global after
+    ensure_distributed_initialized). Device order comes from
+    mesh_utils.create_device_mesh so dd-axis neighbors are ICI-adjacent
+    where the topology allows (halo ppermutes ride ICI, not DCN)."""
+    ensure_distributed_initialized()
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
+    if len(devs) > 1:
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(
+                (len(devs),), devices=devs)
+            return Mesh(arr, ("dd",))
+        except Exception:          # fallback: enumeration order
+            pass
     return Mesh(np.array(devs), ("dd",))
+
+
+def shard_blocks(mesh: Mesh, blocks):
+    """Device-put (ndev, n_loc, ...) row blocks sharded over the dd axis.
+
+    In a multi-process run each process materializes only its addressable
+    shard (jax.make_array_from_callback); single-process this is an
+    ordinary sharded device_put. Use for the per-rank operator/vector
+    blocks consumed by the distributed step functions."""
+    from jax.sharding import NamedSharding
+    blocks = np.asarray(blocks)
+    spec = P("dd", *([None] * (blocks.ndim - 1)))
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        blocks.shape, sh, lambda idx: blocks[idx])
 
 
 def distributed_pcg_step(mesh: Mesh):

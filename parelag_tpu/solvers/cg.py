@@ -54,6 +54,116 @@ def pcg(matvec, b, precond=None, x0=None, rtol=1e-6, atol=1e-12,
     return x, (it, nom)
 
 
+def minres(matvec, b, precond=None, x0=None, rtol=1e-6, atol=0.0,
+           maxiter=500):
+    """Jitted preconditioned MINRES (Paige-Saunders Lanczos recurrence with
+    Givens rotations, the Elman-Silvester-Wathen PMINRES formulation).
+
+    Matches the reference Krylov dispatch's hypre/mfem MINRES
+    (ParELAG_KrylovSolver.cpp:42-61): symmetric (possibly indefinite)
+    operator, SPD preconditioner. Returns (x, (niter, |eta|)) where |eta|
+    is the preconditioned residual norm estimate."""
+    if precond is None:
+        precond = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    v1 = b - matvec(x)
+    z1 = precond(v1)
+    gamma1 = jnp.sqrt(jnp.maximum(jnp.vdot(v1, z1).real, 0.0))
+    tol = jnp.maximum(rtol * gamma1, atol)
+    v0 = jnp.zeros_like(b)
+    w0 = jnp.zeros_like(b)
+    w1 = jnp.zeros_like(b)
+    eta = gamma1
+    gamma0 = jnp.asarray(1.0, dtype=b.dtype)
+    c0 = c1 = jnp.asarray(1.0, dtype=b.dtype)
+    s0 = s1 = jnp.asarray(0.0, dtype=b.dtype)
+
+    def cond(st):
+        (x, v0, v1, z1, w0, w1, gamma0, gamma1,
+         c0, c1, s0, s1, eta, it) = st
+        return (jnp.abs(eta) > tol) & (it < maxiter) & (gamma1 > 0)
+
+    def body(st):
+        (x, v0, v1, z1, w0, w1, gamma0, gamma1,
+         c0, c1, s0, s1, eta, it) = st
+        g1 = jnp.where(gamma1 != 0, gamma1, 1.0)
+        z = z1 / g1
+        Az = matvec(z)
+        delta = jnp.vdot(z, Az).real.astype(b.dtype)
+        g0 = jnp.where(gamma0 != 0, gamma0, 1.0)
+        v2 = Az - (delta / g1) * v1 - (gamma1 / g0) * v0
+        z2 = precond(v2)
+        gamma2 = jnp.sqrt(jnp.maximum(jnp.vdot(v2, z2).real, 0.0)
+                          ).astype(b.dtype)
+        a0 = c1 * delta - c0 * s1 * gamma1
+        a1 = jnp.sqrt(a0 * a0 + gamma2 * gamma2)
+        a2 = s1 * delta + c0 * c1 * gamma1
+        a3 = s0 * gamma1
+        a1s = jnp.where(a1 != 0, a1, 1.0)
+        c2 = a0 / a1s
+        s2 = gamma2 / a1s
+        w2 = (z - a3 * w0 - a2 * w1) / a1s
+        x = x + (c2 * eta) * w2
+        eta = -s2 * eta
+        return (x, v1, v2, z2, w1, w2, gamma1, gamma2,
+                c1, c2, s1, s2, eta, it + 1)
+
+    st = (x, v0, v1, z1, w0, w1, gamma0, gamma1,
+          c0, c1, s0, s1, eta, jnp.asarray(0))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[0], (st[13], jnp.abs(st[12]))
+
+
+def bicgstab(matvec, b, precond=None, x0=None, rtol=1e-6, atol=0.0,
+             maxiter=500):
+    """Jitted preconditioned BiCGSTAB (van der Vorst), right-preconditioned
+    like mfem's BiCGSTABSolver in the reference Krylov dispatch
+    (ParELAG_KrylovSolver.cpp:42-61). Returns (x, (niter, ||r||^2))."""
+    if precond is None:
+        precond = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    rhat = r
+    nrm2 = jnp.vdot(r, r).real
+    tol2 = jnp.maximum(rtol * rtol * nrm2, atol * atol)
+    rho = alpha = omega = jnp.asarray(1.0, dtype=b.dtype)
+    v = jnp.zeros_like(b)
+    p = jnp.zeros_like(b)
+
+    def cond(st):
+        x, r, p, v, rho, alpha, omega, res2, it, ok = st
+        return (res2 > tol2) & (it < maxiter) & ok
+
+    def body(st):
+        x, r, p, v, rho, alpha, omega, res2, it, ok = st
+        rho_new = jnp.vdot(rhat, r).real.astype(b.dtype)
+        denom_r = jnp.where(rho != 0, rho, 1.0)
+        denom_o = jnp.where(omega != 0, omega, 1.0)
+        beta = (rho_new / denom_r) * (alpha / denom_o)
+        p = r + beta * (p - omega * v)
+        phat = precond(p)
+        v = matvec(phat)
+        rv = jnp.vdot(rhat, v).real.astype(b.dtype)
+        alpha = rho_new / jnp.where(rv != 0, rv, 1.0)
+        s = r - alpha * v
+        shat = precond(s)
+        t = matvec(shat)
+        tt = jnp.vdot(t, t).real.astype(b.dtype)
+        omega = jnp.vdot(t, s).real.astype(b.dtype) \
+            / jnp.where(tt != 0, tt, 1.0)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        res2 = jnp.vdot(r, r).real
+        # breakdown guard: rho or omega collapsing ends the iteration
+        ok = jnp.isfinite(res2) & (jnp.abs(rho_new) > 0)
+        return x, r, p, v, rho_new, alpha, omega, res2, it + 1, ok
+
+    st = (x, r, p, v, rho, alpha, omega, nrm2, jnp.asarray(0),
+          jnp.asarray(True))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[0], (st[8], st[7])
+
+
 def gmres(matvec, b, precond=None, x0=None, rtol=1e-6, atol=0.0,
           restart=30, max_restarts=20):
     """Jitted right-preconditioned restarted GMRES(m).

@@ -58,7 +58,7 @@ def _jit_krylov(apply_fn, kind, rtol, atol, maxiter):
     """One jitted end-to-end Krylov solve per (preconditioner kind, solver
     kind, tolerances) — operator and preconditioner state are arguments."""
     import jax
-    from parelag_tpu.solvers.cg import pcg, gmres
+    from parelag_tpu.solvers.cg import pcg, gmres, minres, bicgstab
 
     def run(Adev, state, b):
         mv = lambda v: Adev @ v
@@ -67,6 +67,12 @@ def _jit_krylov(apply_fn, kind, rtol, atol, maxiter):
             return gmres(mv, b, precond=pc, rtol=rtol, atol=atol,
                          restart=50,
                          max_restarts=max(1, -(-maxiter // 50)))
+        if kind == "MINRES":
+            return minres(mv, b, precond=pc, rtol=rtol, atol=atol,
+                          maxiter=maxiter)
+        if kind == "BICGSTAB":
+            return bicgstab(mv, b, precond=pc, rtol=rtol, atol=atol,
+                            maxiter=maxiter)
         return pcg(mv, b, precond=pc, rtol=rtol, atol=atol,
                    maxiter=maxiter)
 
@@ -392,7 +398,8 @@ class _KrylovSolver(Solver):
         self._rtol = fac.sp.get("Relative tolerance", 1e-6)
         self._atol = fac.sp.get("Absolute tolerance", 1e-12)
         self._maxit = fac.sp.get("Maximum iterations", 500)
-        self._kind = fac.sp.get("Solver name", "PCG")
+        # name -> NAME like the reference (ParELAG_KrylovSolver.cpp:39-41)
+        self._kind = fac.sp.get("Solver name", "PCG").upper()
         self._exec = fac.sp.get("Execution", "auto")
         pf = fac._sub("Preconditioner")
         self._prec = pf.build_solver(op, state) if pf else None
@@ -402,8 +409,9 @@ class _KrylovSolver(Solver):
         """(A_dev, state, apply_fn) if this solve can run fully jitted."""
         if self._exec == "host":
             return None
-        if self._kind not in ("PCG", "CG", "GMRES", "FGMRES"):
-            return None           # no jitted MINRES yet
+        if self._kind not in ("PCG", "CG", "GMRES", "FGMRES", "MINRES",
+                              "BICGSTAB"):
+            return None
         if self._prec is None:
             ds = (None, None)
         else:
@@ -432,10 +440,28 @@ class _KrylovSolver(Solver):
         run = _jit_krylov(apply_fn, self._kind, float(self._rtol),
                           float(self._atol), int(self._maxit))
         x, (it, nom) = run(A_dev, pstate, jnp.asarray(b, dtype=np.float64))
+        x = np.asarray(x)
         self.iterations = int(it)
         self.converged = self.iterations < self._maxit
         self.executed_on = "device"
-        return np.asarray(x)
+        # breakdown guard (one host SpMV): MINRES/BiCGSTAB can break down
+        # on compositions outside their theory (e.g. an indefinite
+        # preconditioner on a monolithic saddle system — the reference's
+        # hypre MINRES produces NaNs there too). A plainly failed device
+        # solve falls back to the host path, which carries the documented
+        # GMRES rescue for exactly those lanes.
+        if self._kind in ("MINRES", "BICGSTAB") and self._exec != "device":
+            nb = np.linalg.norm(b)
+            res = np.linalg.norm(b - self._A @ x)
+            if not np.isfinite(res) or (nb > 0 and res > 0.5 * nb):
+                import warnings
+                warnings.warn(
+                    f"device {self._kind} broke down "
+                    f"(|r|/|b|={res / max(nb, 1e-300):.2e}); "
+                    "falling back to the host solver", RuntimeWarning)
+                self.executed_on = "host"
+                return self._solve_host(b)
+        return x
 
     def _solve_host(self, b):
         M = None
@@ -478,6 +504,10 @@ class _KrylovSolver(Solver):
                                      atol=self._atol,
                                      maxiter=self._maxit, restart=50,
                                      callback=cb, callback_type="x")
+        elif self._kind == "BICGSTAB":
+            x, info = spla.bicgstab(self._A, b, M=M, rtol=self._rtol,
+                                    atol=self._atol,
+                                    maxiter=self._maxit, callback=cb)
         else:  # GMRES / FGMRES
             x, info = spla.gmres(self._A, b, M=M, rtol=self._rtol,
                                  atol=self._atol, maxiter=self._maxit,

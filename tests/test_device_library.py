@@ -76,15 +76,57 @@ def test_xml_darcy_gmres_amge_runs_on_device():
 
 
 def test_execution_device_raises_on_host_only_prec():
+    # a Block Jacobi preconditioner has no device_state — forcing
+    # Execution=device must fail loudly instead of silently running host
+    op, b, seqs = _block_problem()
+    lib = _lib({
+        "K": {"Type": "Krylov", "Solver Parameters": {
+            "Solver name": "MINRES", "Preconditioner": "BJ",
+            "Execution": "device"}},
+        "BJ": {"Type": "Block Jacobi", "Solver Parameters": {
+            "A00 Inverse": "D", "A11 Inverse": "D"}},
+        "D": {"Type": "Direct", "Solver Parameters": {}},
+    })
+    solver = lib.get_solver_factory("K").build_solver(
+        op, SolverState(seqs, [2, 3]))
+    with pytest.raises(RuntimeError, match="host-only|MINRES|device"):
+        solver.solve(b)
+
+
+def test_minres_runs_jitted_on_device():
+    """The jitted MINRES path (reference ParELAG_KrylovSolver.cpp:42-61
+    dispatch completeness): unpreconditioned MINRES on an SPD system
+    must execute on device and converge."""
     A, b, seqs = _scalar_problem(0)
     lib = _lib({
         "K": {"Type": "Krylov", "Solver Parameters": {
-            "Solver name": "MINRES", "Execution": "device"}},
+            "Solver name": "MINRES", "Relative tolerance": 1e-10,
+            "Maximum iterations": 2000}},
     })
     solver = lib.get_solver_factory("K").build_solver(
         A, SolverState(seqs, [0]))
-    with pytest.raises(RuntimeError, match="host-only|MINRES|device"):
-        solver.solve(b)
+    x = solver.solve(b)
+    assert solver.executed_on == "device"
+    res = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert res < 1e-7, res
+
+
+def test_bicgstab_runs_jitted_on_device():
+    """Jitted BiCGSTAB with an l1-Jacobi preconditioner on device."""
+    A, b, seqs = _scalar_problem(0)
+    lib = _lib({
+        "K": {"Type": "Krylov", "Solver Parameters": {
+            "Solver name": "BiCGSTAB", "Preconditioner": "S",
+            "Relative tolerance": 1e-10, "Maximum iterations": 2000}},
+        "S": {"Type": "Hypre", "Solver Parameters": {
+            "Type": "L1 Jacobi"}},
+    })
+    solver = lib.get_solver_factory("K").build_solver(
+        A, SolverState(seqs, [0]))
+    x = solver.solve(b)
+    assert solver.executed_on == "device"
+    res = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert res < 1e-7, res
 
 
 def test_direct_coarse_stays_device_when_small():

@@ -208,3 +208,27 @@ def test_distributed_l_level_mg_pcg():
     x = distributed_mg_l_pcg(hier, b, mesh, iters=25)
     xref = spla.spsolve(A.tocsc(), b)
     assert np.abs(x - xref).max() < 1e-11 * max(1.0, np.abs(xref).max())
+
+
+def test_make_dd_mesh_multihost_plumbing():
+    """Multi-host mesh construction degenerates correctly in one process
+    (reference role: mpi_session/SharingMap world setup,
+    mpiUtils.hpp:22-76, SharingMap.hpp:41): the dd mesh spans all visible
+    devices, is process-count-agnostic, and shard_blocks places row
+    blocks with a dd NamedSharding usable by the step functions."""
+    from parelag_tpu.parallel.sharding import (
+        make_dd_mesh, shard_blocks, ensure_distributed_initialized)
+    ensure_distributed_initialized()           # no-op single-process
+    mesh = make_dd_mesh()
+    n = len(jax.devices())
+    assert mesh.devices.size == n
+    assert mesh.axis_names == ("dd",)
+    blocks = np.arange(n * 6, dtype=np.float32).reshape(n, 6)
+    arr = shard_blocks(mesh, blocks)
+    assert arr.shape == (n, 6)
+    np.testing.assert_array_equal(np.asarray(arr), blocks)
+    # each dd row lands on its own device
+    assert len(arr.sharding.device_set) == n
+
+    sub = make_dd_mesh(2)
+    assert sub.devices.size == 2

@@ -72,3 +72,26 @@ def test_2form_spectral_amge():
     assert f"{r.u_energy_errors[0]:.4e}" == "1.3227e-02"
     assert r.u_l2_errors[1] < 1e-10
     assert r.u_energy_errors[1] < 1e-10
+
+
+def test_device_backend_matches_host():
+    """Batched device eigh path (LocalSpectralTargets.cpp:46-90 as a
+    bucketed f32 device eigensolve): the kept mode COUNTS must match the
+    host f64 path exactly (f64-safe thresholding) and the spanned
+    subspaces must agree to f32 accuracy."""
+    rng = np.random.RandomState(3)
+    blocks = []
+    for i in range(80):
+        n = 7 if i % 2 else 9
+        Q = np.linalg.qr(rng.randn(n, n))[0]
+        lam = np.concatenate([[1e-8, 5e-4], rng.uniform(0.3, 1.0, n - 2)])
+        blocks.append((Q * lam) @ Q.T + 1e-3 * np.eye(n))
+    host = compute_local_spectral_targets(blocks, 0.01, 4, backend="host")
+    dev = compute_local_spectral_targets(blocks, 0.01, 4,
+                                         backend="device")
+    for h, d in zip(host, dev):
+        assert h.shape == d.shape
+        # same subspace: projector difference small at f32 accuracy
+        Ph = h @ np.linalg.pinv(h)
+        Pd = d @ np.linalg.pinv(d)
+        assert np.abs(Ph - Pd).max() < 5e-3, np.abs(Ph - Pd).max()
