@@ -136,7 +136,7 @@ def _chip_bw():
     return _CHIP_BW
 
 
-def _build_h1(nx, min_coarse=256):
+def _build_h1(nx, min_coarse=256, setup_dtype=np.float32):
     from parelag_tpu.mesh.mesh import hex_grid_mesh
     from parelag_tpu.topology.topology import AgglomeratedTopology
     from parelag_tpu.amge.fespace import DeRhamSequenceFE
@@ -157,6 +157,11 @@ def _build_h1(nx, min_coarse=256):
         shape = tuple(s // 2 for s in shape)
     seq0 = DeRhamSequenceFE(topos[0], mesh)
     seq0.set_upscaling_targets(0)
+    if setup_dtype is not None:
+        # the flagship solve runs f32/bf16 — the coherent setup pipeline
+        # is f32 end to end (half the streamed bytes on the host-bound
+        # setup; convergence asserted on the measured iteration count)
+        seq0.cast_setup(setup_dtype)
     seqs = [seq0]
     for _ in range(len(topos) - 1):
         seqs.append(seqs[-1].coarsen())

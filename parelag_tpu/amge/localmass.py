@@ -24,9 +24,13 @@ class LocalMass:
 
     @classmethod
     def from_uniform(cls, dofs, blocks):
-        """Uniform-arity fast path: dofs (n, k) ids, blocks (n, k, k)."""
+        """Uniform-arity fast path: dofs (n, k) ids, blocks (n, k, k).
+        The block dtype is preserved (f32 setup pipelines stay f32)."""
         dofs = np.ascontiguousarray(np.asarray(dofs, dtype=np.int64))
-        blocks = np.ascontiguousarray(np.asarray(blocks, dtype=np.float64))
+        blocks = np.asarray(blocks)
+        if blocks.dtype != np.float32:
+            blocks = blocks.astype(np.float64, copy=False)
+        blocks = np.ascontiguousarray(blocks)
         n, k = dofs.shape
         off = np.arange(n + 1, dtype=np.int64)
         return cls.from_cat(dofs.reshape(-1), off * k,
@@ -37,11 +41,13 @@ class LocalMass:
         self = cls.__new__(cls)
         self._dofs = None
         self._blocks = None
+        blk_cat = np.asarray(blk_cat)
+        if blk_cat.dtype != np.float32:
+            blk_cat = blk_cat.astype(np.float64, copy=False)
         self._cat = (np.ascontiguousarray(dof_cat.astype(np.int64,
                                                          copy=False)),
                      np.asarray(dof_off, np.int64),
-                     np.ascontiguousarray(blk_cat.astype(np.float64,
-                                                         copy=False)),
+                     np.ascontiguousarray(blk_cat),
                      np.asarray(blk_off, np.int64))
         return self
 
@@ -124,7 +130,7 @@ def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
         sizes = np.diff(ae_off)
         out_off = np.zeros(n_ae + 1, np.int64)
         np.cumsum(sizes * sizes, out=out_off[1:])
-        out_cat = np.zeros(int(out_off[-1]))
+        out_cat = np.zeros(int(out_off[-1]), dtype=blk_cat.dtype)
         native.assemble_agglomerate_blocks_var(
             AE_e.indices.astype(np.int64), AE_e.indptr.astype(np.int64),
             dof_cat, dof_off, blk_cat, blk_off,

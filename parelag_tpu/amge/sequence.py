@@ -99,6 +99,12 @@ class DeRhamSequence:
         # keyed (codim, jform) — each is reused by 2-3 stages
         self._ae_blocks_cache = {}
 
+    def _svd_tol_eff(self, dt):
+        """SVD keep-threshold floored at the working precision: an f32
+        pipeline's deflation residuals sit at ~eps_f32, so the f64
+        default 1e-9 would keep pure roundoff modes as coarse dofs."""
+        return max(self.svd_tol, 50.0 * float(np.finfo(dt).eps))
+
     def _ae_blocks(self, codim, jform):
         hit = self._ae_blocks_cache.get((codim, jform))
         if hit is None:
@@ -112,6 +118,40 @@ class DeRhamSequence:
         return hit
 
     # ------------------------------------------------------------------ #
+    def cast_setup(self, dtype):
+        """Cast the setup-phase data (local masses, derivative operators,
+        targets) to `dtype` and return self.
+
+        cast_setup(np.float32) switches the whole coarsening engine to an
+        f32 pipeline — every extraction, agglomerate assembly, saddle
+        solve and scatter then streams half the bytes (the setup phase is
+        host-memory-bound; measured ~1.7x end-to-end). Appropriate when
+        the solve phase runs f32/bf16 anyway (the flagship bench);
+        golden/invariant work keeps the f64 default (check_invariants
+        tolerances assume f64)."""
+        dtype = np.dtype(dtype)
+        for k, lm in list(self.M.items()):
+            dc, do, bc, bo = lm.concatenated()
+            if bc.dtype != dtype:
+                self.M[k] = LocalMass.from_cat(
+                    dc, do, bc.astype(dtype), bo)
+        for j, Dj in enumerate(self.D):
+            if Dj is not None and Dj.dtype != dtype:
+                self.D[j] = sp.csr_matrix(Dj).astype(dtype)
+        for j, t in enumerate(self.targets):
+            if t is not None and t.dtype != dtype:
+                self.targets[j] = t.astype(dtype)
+        self._ae_blocks_cache.clear()
+        return self
+
+    @property
+    def setup_dtype(self):
+        for lm in self.M.values():
+            cat = getattr(lm, "_cat", None)
+            if cat is not None:
+                return cat[2].dtype
+        return np.dtype(np.float64)
+
     def set_targets(self, targets):
         self.targets = [np.asarray(t) if t is not None else None
                         for t in targets]
@@ -292,6 +332,9 @@ class DeRhamSequence:
         ae_dofs = dofagg.ae_dofs(codim)
         n_ae = len(ae_dofs)
         Md_blocks = self._ae_blocks(codim, jform)
+        dt = Md_blocks.cat.dtype if hasattr(Md_blocks, "cat") \
+            else np.float64
+        pv = pv.astype(dt, copy=False)
 
         targets = self.targets[jform]
         n_targets = targets.shape[1] if targets is not None else 0
@@ -317,8 +360,8 @@ class DeRhamSequence:
                              + np.arange(nd, dtype=np.int64)]  # (m, nd)
             Mst = Rg.take(Md_blocks, ii, (nd, nd))             # (m, nd, nd)
             pv_st = pv[dof_st]                                # (m, nd)
-            T_st = (targets[dof_st, :] if n_targets
-                    else np.zeros((ii.size, nd, 0)))
+            T_st = (targets[dof_st, :].astype(dt) if n_targets
+                    else np.zeros((ii.size, nd, 0), dtype=dt))
             if loc_tars is not None:
                 T_st = np.concatenate(
                     [T_st, np.stack([loc_tars[i] for i in ii])], axis=2)
@@ -329,7 +372,8 @@ class DeRhamSequence:
                 T_st = T_st - pv_st[:, :, None] * coef[:, None, :]
             U_st, s_st = weighted_svd_group(Mst, T_st)
             pv_dots[ii] = dots
-            nkeeps[ii] = (s_st > dots[:, None] * self.svd_tol).sum(axis=1)
+            nkeeps[ii] = (s_st > dots[:, None]
+                          * self._svd_tol_eff(dt)).sum(axis=1)
             gdata.append((ii, dof_st, Mst, pv_st, U_st))
 
         col_off = Rg.sizes_to_offsets(nkeeps + 1)
@@ -341,14 +385,14 @@ class DeRhamSequence:
         # mass blocks, one stacked write per (shape, kept-count) subgroup
         nlocs = nkeeps + 1
         blk_off = Rg.sizes_to_offsets(nlocs * nlocs)
-        blk_cat = np.zeros(int(blk_off[-1]))
+        blk_cat = np.zeros(int(blk_off[-1]), dtype=dt)
         ar = np.arange
         for ii, dof_st, Mst, pv_st, U_st in gdata:
             nd = dof_st.shape[1]
             for nk, sel in Rg.group_by(nkeeps[ii]).items():
                 jj = ii[sel]
                 ms = jj.size
-                scale = np.sqrt(pv_dots[jj])
+                scale = np.sqrt(pv_dots[jj]).astype(dt)
                 p_st = np.concatenate(
                     [pv_st[sel][:, :, None],
                      scale[:, None, None] * U_st[sel][:, :, :nk]], axis=2)
@@ -388,16 +432,18 @@ class DeRhamSequence:
             "agglomerated peak with != 1 vertex (topology error)"
         verts = AE_e.indices.astype(np.int64)
         ar = np.arange(n_ae, dtype=np.int64)
-        self._P_builder.add_entries(verts, ar, np.ones(n_ae))
+        dt = self.setup_dtype
+        self._P_builder.add_entries(verts, ar, np.ones(n_ae, dtype=dt))
         cdof.n_ranget[codim][:] = 1
         self.Pi[0].add_functionals_group(
-            codim, ar, np.ones((n_ae, 1, 1)), np.ones((n_ae, 1, 1)))
+            codim, ar, np.ones((n_ae, 1, 1), dtype=dt),
+            np.ones((n_ae, 1, 1), dtype=dt))
         cdof.finalize_codim(codim)
         self._P_ncols = n_ae
         self._refresh_P()
         self.coarser.M[(codim, 0)] = LocalMass.from_cat(
             ar, np.arange(n_ae + 1, dtype=np.int64),
-            np.ones(n_ae), np.arange(n_ae + 1, dtype=np.int64))
+            np.ones(n_ae, dtype=dt), np.arange(n_ae + 1, dtype=np.int64))
 
     def _refresh_P(self):
         self._P_snapshot = self._P_builder.tocsr(
@@ -442,6 +488,10 @@ class DeRhamSequence:
 
         n_ae = len(Md)
         counter = self._P_ncols
+        # setup dtype flows from the local mass blocks: an f32 sequence
+        # (seq.cast_setup(np.float32)) runs the whole extension pipeline
+        # in f32 — half the streamed bytes on the host-bound setup path
+        dt = Md.cat.dtype if hasattr(Md, "cat") else np.float64
 
         # ---- pass 0 (host): batched extraction of all per-AE blocks, all
         # index families built as flat (cat, off) arrays — no Python loops - #
@@ -519,7 +569,7 @@ class DeRhamSequence:
                                   (np_int, 1)).reshape(m, np_int)
                 Tst = np.einsum("bij,bj->bi", W_ii, ploc_pv)
                 nsys = nu_int + np_int + 1
-                A = np.zeros((m, nsys, nsys))
+                A = np.zeros((m, nsys, nsys), dtype=dt)
                 A[:, :nu_int, :nu_int] = M_ii
                 A[:, nu_int:nu_int + np_int, :nu_int] = B_ii
                 A[:, :nu_int, nu_int:nu_int + np_int] = \
@@ -533,7 +583,7 @@ class DeRhamSequence:
                 Cst = np.einsum("bki,bkl,blj->bij", D2i, W2st, D2i,
                                 optimize=True)
                 nsys = nu_int + np_int
-                A = np.zeros((m, nsys, nsys))
+                A = np.zeros((m, nsys, nsys), dtype=dt)
                 A[:, :nu_int, :nu_int] = M_ii
                 A[:, nu_int:, :nu_int] = B_ii
                 A[:, :nu_int, nu_int:] = B_ii.transpose(0, 2, 1)
@@ -550,7 +600,7 @@ class DeRhamSequence:
 
             # ---- rhs blocks: [trace ext | RangeT bubbles | Null targets] - #
             Pbst = Rg.take(Pbs, idxs, (nu_all - nu_int, k_ext))
-            rhs_ext = np.zeros((m, nsys, k_ext))
+            rhs_ext = np.zeros((m, nsys, k_ext), dtype=dt)
             rhs_ext[:, :nu_int] = -(M_ib @ Pbst)
             rhs_ext[:, nu_int:nu_int + np_int] = -(B_ib @ Pbst)
             if not use_lagrange:
@@ -563,7 +613,7 @@ class DeRhamSequence:
             # implicit zero column (its sharedvertex lanes fail outright,
             # testsuite CMakeLists.txt:94-109)
             n_rt = n_rt_raw if nu_int > 0 else 0
-            rhs_rt = np.zeros((m, nsys, n_rt))
+            rhs_rt = np.zeros((m, nsys, n_rt), dtype=dt)
             if n_rt:
                 rhs_rt[:, nu_int:nu_int + np_int] = \
                     W_ii @ Rg.take(cPs, idxs, (np_int, n_rt_raw))
@@ -572,10 +622,12 @@ class DeRhamSequence:
             u_st = u_cat[u_off[np.asarray(idxs)][:, None]
                          + np.arange(nu_all, dtype=np.int64)]
             if with_nulls and nu_int > n_rt and n_tars_ae:
-                t_int = (targets[u_st[:, :nu_int], :] if n_targets
-                         else np.zeros((m, nu_int, 0)))
-                t_bdr = (targets[u_st[:, nu_int:], :] if n_targets
-                         else np.zeros((m, nu_all - nu_int, 0)))
+                t_int = (targets[u_st[:, :nu_int], :].astype(dt)
+                         if n_targets
+                         else np.zeros((m, nu_int, 0), dtype=dt))
+                t_bdr = (targets[u_st[:, nu_int:], :].astype(dt)
+                         if n_targets
+                         else np.zeros((m, nu_all - nu_int, 0), dtype=dt))
                 if ltw:
                     # local target rows follow the interior-first AE order
                     # (PartitionLocalTargets, DeRhamSequence.cpp:2087-2112)
@@ -584,13 +636,13 @@ class DeRhamSequence:
                                            axis=2)
                     t_bdr = np.concatenate([t_bdr, lt_st[:, nu_int:]],
                                            axis=2)
-                rhs_null = np.zeros((m, nsys, n_tars_ae))
+                rhs_null = np.zeros((m, nsys, n_tars_ae), dtype=dt)
                 rhs_null[:, :nu_int] = -(M_ib @ t_bdr)
                 rhs_null[:, nu_int:nu_int + np_int] = B_ii @ t_int
                 k_null = n_tars_ae
             else:
-                t_int = np.zeros((m, nu_int, 0))
-                rhs_null = np.zeros((m, nsys, 0))
+                t_int = np.zeros((m, nu_int, 0), dtype=dt)
+                rhs_null = np.zeros((m, nsys, 0), dtype=dt)
                 k_null = 0
 
             rhs = np.concatenate([rhs_ext, rhs_rt, rhs_null], axis=2)
@@ -623,7 +675,8 @@ class DeRhamSequence:
                 bub = g["t_int"] - X[:, :nu, c0:]
                 U, sv, _ = np.linalg.svd(bub, full_matrices=False)
                 g["bubU"] = U
-                n_nulls[g["idxs"]] = np.sum(sv > self.svd_tol, axis=1)
+                n_nulls[g["idxs"]] = np.sum(
+                    sv > self._svd_tol_eff(dt), axis=1)
 
         _w.stop()
         _w = _TM.get_timer("coarsen: ext pass3 scatter")
@@ -641,7 +694,7 @@ class DeRhamSequence:
         mass_cat, mass_off = Rg.merge_ragged([(cb_cat, cb_off), rtc, nlc])
         nlocs = np.diff(mass_off)
         blk_off = Rg.sizes_to_offsets(nlocs * nlocs)
-        blk_cat = np.zeros(int(blk_off[-1]))
+        blk_cat = np.zeros(int(blk_off[-1]), dtype=dt)
 
         ar = np.arange
         for g in groups:
@@ -681,7 +734,8 @@ class DeRhamSequence:
                 pn_st = pn_cat[pn_off[idxs][:, None]
                                + ar(n_rt, dtype=np.int64)]
                 self._D_builder.add_entries(
-                    pn_st.ravel(), rt_st.ravel(), np.ones(m * n_rt))
+                    pn_st.ravel(), rt_st.ravel(),
+                    np.ones(m * n_rt, dtype=dt))
 
             # subgroups by kept null count: everything uniform inside
             Mst = g["Mst"]               # carried from pass 1 (re-gather
@@ -696,7 +750,7 @@ class DeRhamSequence:
                 M_s = Mst if whole else Mst[sel]
                 rt_basis = X_s[:, :nu, k_ext:k_ext + n_rt]
                 Un = (g["bubU"][sel, :, :nn] if nn
-                      else np.zeros((ms, nu, 0)))
+                      else np.zeros((ms, nu, 0), dtype=dt))
                 if nn:
                     nl_st = (aoff[ii][:, None] + n_rt
                              + ar(nn, dtype=np.int64))
@@ -712,7 +766,7 @@ class DeRhamSequence:
                     M_s[:, :nu, :nu])
                 # coarse mass block over [cbdr, RangeT, Null]
                 nloc = k_ext + n_rt + nn
-                basis = np.zeros((ms, nu_all, nloc))
+                basis = np.zeros((ms, nu_all, nloc), dtype=dt)
                 basis[:, nu:, :k_ext] = Pbst if whole else Pbst[sel]
                 basis[:, :nu, :k_ext] = X_s[:, :nu, :k_ext]
                 basis[:, :nu, k_ext:k_ext + n_rt] = rt_basis

@@ -75,14 +75,8 @@ def compute_local_spectral_targets(agg_blocks, rel_tol, max_evects,
     n = len(agg_blocks)
     out = [None] * n
     if backend == "auto":
-        backend = "host"
-        if n >= 64:
-            try:
-                import jax
-                if jax.default_backend() != "cpu":
-                    backend = "device"
-            except Exception:
-                pass
+        backend = "host"     # device is opt-in: remote-tunnel TPUs lose
+        #                      on transfers (52 MB/s up / 10 MB/s down)
     if backend == "device" and rel_tol < 1e-5:
         backend = "host"          # f32-unsafe threshold
     groups = {}

@@ -47,20 +47,12 @@ def batched_solve(systems, rhs, backend="auto", skip=None):
     if skip is None:
         skip = (False,) * n_items
     if backend == "auto":
-        # setup runs in float64; the TPU f64 path is software-emulated (and
-        # unreliable on the experimental axon platform), so auto only takes
-        # the device route for f32 data on an accelerator backend. Check the
-        # dtype FIRST — jax.default_backend() initializes the TPU client
-        # (~10s tunnel handshake), which f64 setup must never trigger.
+        # auto = host: on a remote-attached accelerator (the axon tunnel:
+        # measured 52 MB/s up, ~10 MB/s down, 30 ms sync round trips)
+        # shipping per-AE stacks to the chip loses to the host BLAS path
+        # at any size; pass backend="device" explicitly to route to the
+        # chip (locally-attached TPUs, or the bench's device lane).
         backend = "host"
-        if n_items >= 64 and all(s.dtype == np.float32
-                                 for s in systems[:1]):
-            try:
-                import jax
-                if jax.default_backend() != "cpu":
-                    backend = "device"
-            except Exception:
-                pass
 
     def _scatter(idxs, X):
         """Vectorized write of same-shape solutions into the flat output."""
@@ -95,11 +87,15 @@ def batched_solve(systems, rhs, backend="auto", skip=None):
                     for A, b in zip(Ast, Bst)])
             # singular/ill-conditioned local systems (pinched-topology
             # saddles) solve to garbage without raising — verify residuals
-            # and redo offenders with min-norm least squares
+            # and redo offenders with min-norm least squares (threshold
+            # scales with the working precision: f32 pipelines sit at a
+            # ~1e-4 residual floor)
+            rtol_v = max(1e-8, 1e3 * float(np.finfo(Ast.dtype).eps))
+            rc = 1e-12 if Ast.dtype == np.float64 else 1e-5
             res = np.abs(Ast @ X - Bst).max(axis=(1, 2))
             scale = np.maximum(np.abs(Bst).max(axis=(1, 2)), 1.0)
-            for j in np.where(res > 1e-8 * scale)[0]:
-                X[j] = np.linalg.lstsq(Ast[j], Bst[j], rcond=1e-12)[0]
+            for j in np.where(res > rtol_v * scale)[0]:
+                X[j] = np.linalg.lstsq(Ast[j], Bst[j], rcond=rc)[0]
             _scatter(idxs, X)
         return out
 
@@ -139,15 +135,8 @@ def solve_groups(As, Bs, backend="auto", skip=None):
     if skip is None:
         skip = (False,) * len(As)
     if backend == "auto":
-        backend = "host"
-        total = sum(B.shape[0] for B in Bs)
-        if total >= 64 and Bs and Bs[0].dtype == np.float32:
-            try:
-                import jax
-                if jax.default_backend() != "cpu":
-                    backend = "device"
-            except Exception:
-                pass
+        backend = "host"     # see batched_solve: remote-tunnel devices
+        #                      lose on transfers; device is opt-in
     out = []
     for A, B, sk in zip(As, Bs, skip):
         if sk or A.shape[1] == 0 or B.shape[2] == 0:
@@ -160,10 +149,13 @@ def solve_groups(As, Bs, backend="auto", skip=None):
                 X = np.stack([np.linalg.lstsq(a, b, rcond=None)[0]
                               for a, b in zip(A, B)])
             # redo ill-conditioned members with min-norm least squares
+            # (threshold scales with the working precision)
+            rtol_v = max(1e-8, 1e3 * float(np.finfo(A.dtype).eps))
+            rc = 1e-12 if A.dtype == np.float64 else 1e-5
             res = np.abs(A @ X - B).max(axis=(1, 2))
             scale = np.maximum(np.abs(B).max(axis=(1, 2)), 1.0)
-            for j in np.where(res > 1e-8 * scale)[0]:
-                X[j] = np.linalg.lstsq(A[j], B[j], rcond=1e-12)[0]
+            for j in np.where(res > rtol_v * scale)[0]:
+                X[j] = np.linalg.lstsq(A[j], B[j], rcond=rc)[0]
             out.append(X)
         else:
             out.append(_device_solve_refined(A, B))

@@ -300,10 +300,13 @@ def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
     nb = rsz.size
     out_off = np.zeros(nb + 1, np.int64)
     np.cumsum(rsz * csz, out=out_off[1:])
-    out_cat = np.zeros(int(out_off[-1]))
+    vdt = A.data.dtype if A.data.dtype in (np.dtype(np.float32),
+                                           np.dtype(np.float64)) \
+        else np.dtype(np.float64)
+    out_cat = np.zeros(int(out_off[-1]), dtype=vdt)
 
     from parelag_tpu.ops import native
-    if A.data.dtype == np.float64 and native.available():
+    if A.data.dtype == vdt and native.available():
         pos = _col_scratch(A.shape[1])
         row_off = np.asarray(row_off, np.int64)
         rows_cat = np.ascontiguousarray(
@@ -370,7 +373,10 @@ class _CooBuilder:
     def add_entries(self, rows, cols, vals):
         self.rows.append(np.asarray(rows))
         self.cols.append(np.asarray(cols))
-        self.vals.append(np.asarray(vals, dtype=np.float64))
+        v = np.asarray(vals)
+        if v.dtype != np.float32:     # preserve f32 setup pipelines
+            v = v.astype(np.float64, copy=False)
+        self.vals.append(v)
 
     def add_blocks_var(self, rows_cat, row_off, cols_cat, col_off, vals_cat):
         """Vectorized scatter of many dense blocks at once: block b covers
@@ -382,7 +388,10 @@ class _CooBuilder:
             np.asarray(cols_cat), np.asarray(col_off))
         self.rows.append(rows)
         self.cols.append(cols)
-        self.vals.append(np.asarray(vals_cat, dtype=np.float64))
+        v = np.asarray(vals_cat)
+        if v.dtype != np.float32:     # preserve f32 setup pipelines
+            v = v.astype(np.float64, copy=False)
+        self.vals.append(v)
 
     def tocsr(self, shape, sum_duplicates=False) -> sp.csr_matrix:
         """COO -> CSR. Duplicate (row, col) pairs are summed (standard COO

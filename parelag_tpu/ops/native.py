@@ -83,12 +83,22 @@ def _load():
     lib.csr_extract_dense_many_i32.argtypes = [
         i32p, i32p, f64p, i64p, i64p, i64p, i64p, i64p, f64p, i64p,
         ctypes.c_int64]
+    f32p = ctypes.POINTER(ctypes.c_float)
     lib.csr_extract_dense_many2.argtypes = [
         i64p, i64p, f64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
         f64p, i64p, i64p, ctypes.c_int64]
     lib.csr_extract_dense_many2_i32.argtypes = [
         i32p, i32p, f64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
         f64p, i64p, i64p, ctypes.c_int64]
+    lib.csr_extract_dense_many2_f32.argtypes = [
+        i64p, i64p, f32p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        f32p, i64p, i64p, ctypes.c_int64]
+    lib.csr_extract_dense_many2_i32_f32.argtypes = [
+        i32p, i32p, f32p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        f32p, i64p, i64p, ctypes.c_int64]
+    lib.assemble_agglomerate_blocks_var_f32.argtypes = [
+        i64p, i64p, i64p, i64p, f32p, i64p, i64p, i64p, i64p, f32p,
+        i64p, ctypes.c_int64]
     lib.assemble_agglomerate_block_many.argtypes = [
         i64p, i64p, i64p, f64p, ctypes.c_int64, i64p, i64p, i64p, f64p,
         i64p, ctypes.c_int64]
@@ -145,19 +155,29 @@ def csr_extract_dense_many(indptr, indices, data, rows_cat, row_off,
             _pf(out_cat), _p64(out_off), nb)
 
 
+def _pf32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
 def csr_extract_dense_many2(indptr, indices, data, rows_cat, row_beg,
                             row_end, cols_cat, col_beg, col_end, pos,
                             out_cat, out_beg, order):
     """Block extraction with explicit per-block ranges processed in
-    `order` (callers sort by first row for cache locality)."""
+    `order` (callers sort by first row for cache locality). Dispatches
+    on index dtype (i32/i64) and value dtype (f32/f64)."""
     lib = _load()
     nb = ctypes.c_int64(order.size)
-    fn = (lib.csr_extract_dense_many2_i32 if indptr.dtype == np.int32
+    i32 = indptr.dtype == np.int32
+    f32 = data.dtype == np.float32
+    fn = (lib.csr_extract_dense_many2_i32_f32 if i32 and f32
+          else lib.csr_extract_dense_many2_f32 if f32
+          else lib.csr_extract_dense_many2_i32 if i32
           else lib.csr_extract_dense_many2)
-    ip = _p32 if indptr.dtype == np.int32 else _p64
-    fn(ip(indptr), ip(indices), _pf(data), _p64(rows_cat), _p64(row_beg),
+    ip = _p32 if i32 else _p64
+    vp = _pf32 if f32 else _pf
+    fn(ip(indptr), ip(indices), vp(data), _p64(rows_cat), _p64(row_beg),
        _p64(row_end), _p64(cols_cat), _p64(col_beg), _p64(col_end),
-       _p64(pos), _pf(out_cat), _p64(out_beg), _p64(order), nb)
+       _p64(pos), vp(out_cat), _p64(out_beg), _p64(order), nb)
 
 
 def assemble_agglomerate_block_many(ents_cat, ent_off, dofs, blocks,
@@ -175,6 +195,13 @@ def assemble_agglomerate_blocks_var(ents_cat, ent_off, dof_cat, dof_off,
                                     blk_cat, blk_off, ae_dofs_cat, ae_off,
                                     pos, out_cat, out_off):
     lib = _load()
+    if blk_cat.dtype == np.float32:
+        lib.assemble_agglomerate_blocks_var_f32(
+            _p64(ents_cat), _p64(ent_off), _p64(dof_cat), _p64(dof_off),
+            _pf32(blk_cat), _p64(blk_off), _p64(ae_dofs_cat),
+            _p64(ae_off), _p64(pos), _pf32(out_cat), _p64(out_off),
+            ctypes.c_int64(ent_off.size - 1))
+        return
     lib.assemble_agglomerate_blocks_var(
         _p64(ents_cat), _p64(ent_off), _p64(dof_cat), _p64(dof_off),
         _pf(blk_cat), _p64(blk_off), _p64(ae_dofs_cat), _p64(ae_off),

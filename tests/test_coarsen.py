@@ -148,3 +148,38 @@ def test_order1_upscaling_targets():
     for j in range(4):
         assert coarse.dof[j].ndofs >= coarse0.dof[j].ndofs
     assert coarse.dof[3].ndofs > coarse0.dof[3].ndofs
+
+
+def test_f32_setup_pipeline_matches_f64():
+    """cast_setup(np.float32) runs the full coarsening engine in f32
+    (half the streamed bytes on the host-bound setup path); on a uniform
+    grid the coarse-space DIMENSIONS must match the f64 pipeline exactly
+    (precision-aware SVD thresholds) and P/D to f32 accuracy."""
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+
+    def build(dtype):
+        mesh = hex_grid_mesh(8, 8, 8)
+        topo = AgglomeratedTopology.from_mesh(mesh)
+        topo.coarsen_local_partitioning(
+            cartesian_partition((8, 8, 8), (2, 2, 2)))
+        seq = DeRhamSequenceFE(topo, mesh)
+        seq.set_upscaling_targets(0)
+        if dtype is not None:
+            seq.cast_setup(dtype)
+        seq.coarsen()
+        return seq
+
+    s64 = build(None)
+    s32 = build(np.float32)
+    for j in range(4):
+        assert s32.P[j].dtype == np.float32
+        assert s64.P[j].shape == s32.P[j].shape, j
+        d = abs(s64.P[j] - s32.P[j].astype(np.float64)).max()
+        assert d < 1e-5, (j, d)
+    for j in range(3):
+        d = abs(s64.coarser.D[j]
+                - s32.coarser.D[j].astype(np.float64)).max()
+        assert d < 1e-5, (j, d)
