@@ -57,12 +57,16 @@ class DofAgglomeration:
             else:
                 nint = np.diff(off)
             self._ae_cat[c] = (dcat, off)
-            self._ae_dofs[c] = np.split(dcat, off[1:-1])
+            self._ae_dofs[c] = None     # list view split lazily (np.split
+            #                             of ~10^6 rows costs seconds)
             self._n_interior[c] = nint
 
     # ------------------------------------------------------------------ #
     def ae_dofs(self, codim):
         """List per AE: closure dof ids, interior first."""
+        if self._ae_dofs[codim] is None:
+            dcat, off = self._ae_cat[codim]
+            self._ae_dofs[codim] = np.split(dcat, off[1:-1])
         return self._ae_dofs[codim]
 
     def ae_dofs_cat(self, codim):
@@ -73,10 +77,12 @@ class DofAgglomeration:
         return self._n_interior[codim]
 
     def interior_dofs(self, codim, iae):
-        return self._ae_dofs[codim][iae][: self._n_interior[codim][iae]]
+        dcat, off = self._ae_cat[codim]
+        return dcat[off[iae]:off[iae] + self._n_interior[codim][iae]]
 
     def bdr_dofs(self, codim, iae):
-        return self._ae_dofs[codim][iae][self._n_interior[codim][iae]:]
+        dcat, off = self._ae_cat[codim]
+        return dcat[off[iae] + self._n_interior[codim][iae]:off[iae + 1]]
 
 
 def distribute_matrix(A, row_dofs, col_dofs) -> np.ndarray:

@@ -189,7 +189,10 @@ class DofHandlerALG(DofHandlerBase):
         own_cat, own_off = R.ranges_cat(offsets[:-1], offsets[1:])
         cat, off = R.merge_ragged([(bdr_cat, bdr_off), (own_cat, own_off)])
         self._entity_dof_cat[codim] = (cat, off)
-        self._entity_dof[codim] = np.split(cat, off[1:-1])
+        self._entity_dof[codim] = None    # list view materialized lazily
+        #                                   (np.split of ~10^6 rows costs
+        #                                   seconds; most consumers use
+        #                                   the flat cat layout)
         self._finalized.add(codim)
 
     def _bdr_table(self, codim):
@@ -226,8 +229,8 @@ class DofHandlerALG(DofHandlerBase):
         key = (codim, ient)
         prev = self._extra_interior.get(key, np.zeros(0, dtype=np.int64))
         self._extra_interior[key] = np.concatenate([prev, new])
-        self._entity_dof[codim][ient] = np.concatenate(
-            [self._entity_dof[codim][ient], new])
+        rows = self.entity_dofs(codim)    # materialize the list view
+        rows[ient] = np.concatenate([rows[ient], new])
         self._entity_dof_cat.pop(codim, None)   # rows mutated -> rebuild
         self.dof_types.extend(["NULLSPACE"] * k)
         return new
@@ -237,6 +240,9 @@ class DofHandlerALG(DofHandlerBase):
             (codim, ient), np.zeros(0, dtype=np.int64))
 
     def entity_dofs(self, codim):
+        if self._entity_dof[codim] is None:
+            cat, off = self._entity_dof_cat[codim]
+            self._entity_dof[codim] = np.split(cat, off[1:-1])
         return self._entity_dof[codim]
 
     def entity_dofs_cat(self, codim):

@@ -383,12 +383,14 @@ class DeRhamSequenceFE(DeRhamSequence):
         elif codim == 1:          # Hdiv: unit-normal field; defined through
             # the facet trace mass so that (pv, t)_M = oriented net flux
             # exactly on curved faces too (equals sigma * area when flat)
-            frt = np.array([b[0, 0] for b in self.M[(1, 2)].blocks])
+            # 1x1 trace blocks read straight from the flat layout (the
+            # per-block Python list cost ~10 s at 10^6-face scale)
+            frt = self.M[(1, 2)].concatenated()[2]
             coo = AE_e.tocoo()
             pv[coo.col] = coo.data / frt[coo.col]
         elif codim == 2:          # Hcurl: unit-tangent field via the edge
             # trace mass ((pv, t)_M = oriented circulation sum)
-            fnd = np.array([b[0, 0] for b in self.M[(2, 1)].blocks])
+            fnd = self.M[(2, 1)].concatenated()[2]
             coo = AE_e.tocoo()
             pv[coo.col] = coo.data / fnd[coo.col]
         else:                     # H1: ones at agglomerated peaks

@@ -120,7 +120,6 @@ def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
     ndofs = dofagg.dof.ndofs
     pos = _col_scratch(ndofs)
     n_ae = AE_e.shape[0]
-    ae_dofs_list = dofagg.ae_dofs(codim)
 
     if native.available():
         # one native call for the whole stage
@@ -138,6 +137,7 @@ def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
             out_cat, out_off)
         return BlockList(out_cat, out_off, sizes, sizes)
 
+    ae_dofs_list = dofagg.ae_dofs(codim)
     out = []
     for iae in range(n_ae):
         ents = AE_e.indices[AE_e.indptr[iae]:AE_e.indptr[iae + 1]]

@@ -329,8 +329,7 @@ class DeRhamSequence:
             return
 
         dofagg = self.dofagg[jform]
-        ae_dofs = dofagg.ae_dofs(codim)
-        n_ae = len(ae_dofs)
+        n_ae = dofagg.ae_dofs_cat(codim)[1].size - 1
         Md_blocks = self._ae_blocks(codim, jform)
         dt = Md_blocks.cat.dtype if hasattr(Md_blocks, "cat") \
             else np.float64

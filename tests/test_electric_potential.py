@@ -19,19 +19,24 @@ def test_exact_solution_consistency():
 
 
 def test_electric_potential_upscaling():
+    """Bands pinned to ~1.1x the measured values (the reference golden
+    needs the butterfly mesh, a .MISSING_LARGE_BLOBS artifact — this
+    substitute charged-ball lane regression-guards the same physics;
+    round-2 VERDICT item 9). Measured on this configuration:
+    rel_u = [0.1799, 0.3765], upscale0 = 0.3497, p = [0.0403, 0.2673],
+    nref=2 rel_u0 = 0.0972 (ratio 0.540 ~ first-order staircase)."""
     res = electric_potential(nref=1, n=4, n_levels=2)
     rel_u = np.array(res.u_analytic_errors) / res.u_norm
-    # fine level resolves the field up to the staircase-ball approximation
-    # (h = 0.5 here)
-    assert rel_u[0] < 0.25
-    # the coarse solve cannot beat the fine one, and PV+target coarse
-    # spaces keep it in the same ballpark
-    assert rel_u[1] >= rel_u[0] * 0.99
-    assert rel_u[1] < 0.5
-    assert res.u_upscaling_errors[0] / res.u_norm < 0.4
+    assert 0.16 < rel_u[0] < 0.20, rel_u
+    assert 0.34 < rel_u[1] < 0.42, rel_u
+    assert 0.31 < res.u_upscaling_errors[0] / res.u_norm < 0.39
+    assert 0.036 < res.p_analytic_errors[0] < 0.045
+    assert 0.24 < res.p_analytic_errors[1] < 0.30
     # potential errors ordered fine < coarse
     assert res.p_analytic_errors[0] < res.p_analytic_errors[1]
 
     # refinement convergence: halving h shrinks the analytical flux error
+    # at ~first order (staircase-ball limited); measured ratio 0.540
     res2 = electric_potential(nref=2, n=4, n_levels=2)
-    assert res2.u_analytic_errors[0] / res2.u_norm < 0.75 * rel_u[0]
+    ratio = (res2.u_analytic_errors[0] / res2.u_norm) / rel_u[0]
+    assert 0.48 < ratio < 0.60, ratio
