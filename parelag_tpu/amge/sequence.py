@@ -811,37 +811,52 @@ class DeRhamSequence:
             return
 
         uagg = self.dofagg[jp]
-        ae_dofs = uagg.ae_dofs(0)
-        nu_ints = uagg.n_interior(0)
-        # fine (jform+1) dof -> owning agglomerate (interior dofs only)
+        # every fine (jform+1) dof is interior to exactly ONE entity at
+        # its separator codim (DofAgglomeration invariant) — residuals on
+        # agglomerate interiors enrich the AE (codim 0); residuals on
+        # separator entities (possible when a repair entity crosses a
+        # distributed patch fringe on unstructured partitions — round-2
+        # VERDICT item 6) enrich THAT facet/ridge entity instead, which
+        # is deterministic per entity and therefore identical on every
+        # patch that shares it
         n_fine = self.dof[jp].ndofs
+        max_c = min(uagg.max_codim, self.nforms - 1 - jp)
         owner = np.full(n_fine, -1, dtype=np.int64)
-        for iae in range(len(ae_dofs)):
-            ints = ae_dofs[iae][: int(nu_ints[iae])]
-            owner[ints] = iae
+        owner_codim = np.full(n_fine, -1, dtype=np.int64)
+        for c in range(max_c + 1):
+            cat, off = uagg.ae_dofs_cat(c)
+            nints = uagg.n_interior(c)
+            from parelag_tpu.ops import ragged as Rg
+            icat, ioff = Rg.ranges_cat(off[:-1], off[:-1] + nints)
+            ents = np.repeat(np.arange(ioff.size - 1, dtype=np.int64),
+                             np.diff(ioff))
+            dofs = cat[icat]
+            sel = owner[dofs] < 0
+            owner[dofs[sel]] = ents[sel]
+            owner_codim[dofs[sel]] = c
 
-        per_ae = {}
+        per_ent = {}
         for j in bad_cols:
             rows = R.indices[R.indptr[j]:R.indptr[j + 1]]
             vals = R.data[R.indptr[j]:R.indptr[j + 1]]
             keep = np.abs(vals) > 1e-12 * scale
             rows, vals = rows[keep], vals[keep]
-            aes = np.unique(owner[rows])
-            assert (aes >= 0).all(), \
-                "curl residual outside agglomerate interiors"
-            for iae in aes:
-                sel = owner[rows] == iae
-                per_ae.setdefault(int(iae), []).append(
-                    (int(j), rows[sel], vals[sel]))
+            assert (owner[rows] >= 0).all(), \
+                "curl residual on a dof interior to no entity"
+            keys = owner_codim[rows] * (n_fine + 1) + owner[rows]
+            for key in np.unique(keys):
+                sel = keys == key
+                per_ent.setdefault(
+                    (int(key // (n_fine + 1)), int(key % (n_fine + 1))),
+                    []).append((int(j), rows[sel], vals[sel]))
 
-        Md = self._ae_blocks(0, jp)
         cdof2 = self.coarser.dof[jp]
         P2 = P2.tolil()
         extra_cols = []
         d_rows, d_cols, d_vals = [], [], []
-        for iae, items in per_ae.items():
-            u_all = ae_dofs[iae]
-            nu_int = int(nu_ints[iae])
+        for (cent, iae), items in per_ent.items():
+            u_all = uagg.ae_dofs(cent)[iae]
+            nu_int = int(uagg.n_interior(cent)[iae])
             u_int = u_all[:nu_int]
             pos = {int(d): i for i, d in enumerate(u_int)}
             Bres = np.zeros((nu_int, len(items)))
@@ -850,16 +865,21 @@ class DeRhamSequence:
                 idx = np.array([pos[int(r)] for r in rows])
                 Bres[idx, k] = vals
                 cols_of.append(j)
-            Mloc = Md[iae]
+            Mloc = self._ae_blocks(cent, jp)[iae]
             M_ii = Mloc[:nu_int, :nu_int]
             U, s = _weighted_svd_on(M_ii, Bres)
             nkeep = int(np.sum(s > 1e-12 * max(float(s[0]), 1.0))) \
                 if s.size else 0
             if nkeep == 0:
                 continue
-            V = U[:, :nkeep]                       # M-orthonormal
+            V = U[:, :nkeep].copy()                # M-orthonormal
+            # deterministic sign: largest-|entry| component positive, so
+            # patches sharing the entity produce the identical basis
+            # (SVD sign ambiguity would otherwise flip it per patch)
+            piv = np.argmax(np.abs(V), axis=0)
+            V *= np.where(V[piv, np.arange(nkeep)] < 0, -1.0, 1.0)
             coeffs = V.T @ (M_ii @ Bres)           # (nkeep, n_items)
-            new_ids = cdof2.append_interior_dofs(0, iae, nkeep)
+            new_ids = cdof2.append_interior_dofs(cent, iae, nkeep)
             for t, nd in enumerate(new_ids):
                 for k, j in enumerate(cols_of):
                     if abs(coeffs[t, k]) > 1e-13:
@@ -867,9 +887,10 @@ class DeRhamSequence:
                         d_cols.append(j)
                         d_vals.append(coeffs[t, k])
             extra_cols.append((u_int, new_ids, V))
-            # extend the coarse mass block of this agglomerate: products of
-            # every existing coarse dof on the AE with the new functions
-            lm = self.coarser.M[(0, jp)]
+            # extend the coarse mass block of this entity: products of
+            # every existing coarse dof on its closure with the new
+            # functions
+            lm = self.coarser.M[(cent, jp)]
             old_dofs = lm.dofs[iae]
             basis_old = np.asarray(
                 P2[u_all.reshape(-1, 1), old_dofs.reshape(1, -1)].todense())
@@ -883,14 +904,14 @@ class DeRhamSequence:
             lm._cat = None          # flat layout is stale after enrichment
             # refresh the cochain functional with the enriched interior
             # basis [old interior columns | V]
-            int_cols = cdof2.interior_dofs(0, iae)
+            int_cols = cdof2.interior_dofs(cent, iae)
             L = np.zeros((nu_int, int_cols.size))
             L[:, : int_cols.size - nkeep] = np.asarray(
                 P2[u_int.reshape(-1, 1),
                    int_cols[: int_cols.size - nkeep].reshape(1, -1)]
                 .todense())
             L[:, int_cols.size - nkeep:] = V
-            self.Pi[jp].create_dof_functional(0, iae, L, M_ii)
+            self.Pi[jp].create_dof_functional(cent, iae, L, M_ii)
 
         if not extra_cols:
             return

@@ -226,13 +226,18 @@ def connected_components(partition, elem_elem, elem_attrib=None):
         (np.ones(same.sum()), (coo.row[same], coo.col[same])), shape=(n, n)
     )
     n_comp, labels = sp.csgraph.connected_components(G, directed=False)
-    # renumber components so that they are ordered by (partition, first elem).
-    order = np.full(n_comp, -1, dtype=np.int64)
-    nxt = 0
-    for i in range(n):
-        if order[labels[i]] < 0:
-            order[labels[i]] = nxt
-            nxt += 1
+    # renumber components ordered by (original partition id, first
+    # element). Ordering by partition id FIRST keeps the AE numbering
+    # aligned with ascending input ids even when those are not in
+    # first-touch order (unstructured partitions) — the rank-patch
+    # protocol's ae_gids/ae_rank tables assume exactly this alignment
+    # (parallel/patch.py; a first-touch-only order silently misassigned
+    # owners for such partitions).
+    comp_first = np.full(n_comp, n, dtype=np.int64)
+    np.minimum.at(comp_first, labels, np.arange(n, dtype=np.int64))
+    comp_part = partition.astype(np.int64)[comp_first]
+    order = np.empty(n_comp, dtype=np.int64)
+    order[np.lexsort((comp_first, comp_part))] = np.arange(n_comp)
     return order[labels], n_comp
 
 

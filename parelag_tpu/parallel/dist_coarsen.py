@@ -34,18 +34,25 @@ from parelag_tpu.parallel.patch import (
 
 
 def distributed_coarsen(mesh, rank_of_elem, partition, n_ranks,
-                        upscaling_order=0, svd_tol=1e-9, jform_start=0):
+                        upscaling_order=0, svd_tol=1e-9, jform_start=0,
+                        check_topology=False):
     """Run the distributed setup; returns (patches, global_ents).
 
     Each returned patch has .topo (patch topology, coarsened), .seq (patch
-    fine sequence, coarsened) and .coarse (patch coarse sequence)."""
+    fine sequence, coarsened) and .coarse (patch coarse sequence).
+    check_topology enables the Betti checker + pinch repair on every
+    patch topology (each patch carries the COMPLETE closure of its halo
+    agglomerates, so repair decisions — facet deagglomeration, curl-range
+    enrichment — are entity-local and identical on every patch sharing
+    the entity; reference protocol DeRhamSequence.cpp:283-424)."""
     patches = build_rank_patches(mesh, rank_of_elem, partition, n_ranks)
     global_ents = derive_entities(mesh)
     from parelag_tpu.topology.topology import AgglomeratedTopology
     from parelag_tpu.amge.fespace import DeRhamSequenceFE
     for p in patches:
         p.topo = AgglomeratedTopology.from_mesh(p.mesh)
-        p.topo.coarsen_local_partitioning(p.part_local)
+        p.topo.coarsen_local_partitioning(p.part_local,
+                                          check_topology=check_topology)
         p.seq = DeRhamSequenceFE(p.topo, p.mesh)
         p.seq.jform_start = jform_start
         p.seq.set_upscaling_targets(upscaling_order)
@@ -167,7 +174,11 @@ def global_coarse_numbering(patches, global_ents, form, dim=3):
             reps, mcnt, msum = coarse_entity_sigs(
                 p, global_ents, codim, dim)
             orank = coarse_owner_ranks(p, codim)
-            counts = (cdof.n_ranget[codim] + cdof.n_null[codim])
+            counts = (cdof.n_ranget[codim] + cdof.n_null[codim]).copy()
+            # curl-range enrichment extras count toward the entity
+            for (c, ient), v in cdof._extra_interior.items():
+                if c == codim:
+                    counts[ient] += v.size
             own = orank == p.rank
             for i in np.nonzero(own)[0]:
                 stage_entities.setdefault(codim, {})[
@@ -202,7 +213,11 @@ def global_coarse_numbering(patches, global_ents, form, dim=3):
                 if base is None or sig_of[key] != (int(mcnt[i]),
                                                    int(msum[i])):
                     continue              # fringe artifact: never used
-                out[o[i]:o[i + 1]] = base + np.arange(o[i + 1] - o[i])
+                cnt_reg = o[i + 1] - o[i]
+                out[o[i]:o[i + 1]] = base + np.arange(cnt_reg)
+                ex = cdof._extras(codim, i)     # enrichment extras map
+                out[ex] = base + cnt_reg + np.arange(ex.size)  # after the
+                #                                  entity's regular dofs
         loc2glob.append(out)
     return CoarseNumbering(pos, loc2glob,
                            np.asarray(owner_list, dtype=np.int64))
@@ -222,6 +237,7 @@ def rank_P_rows(patch, global_ents, numbering, form, n_fine, dim=3):
         own = np.nonzero(orank == patch.rank)[0]
         for i in own:
             owned_cols[o[i]:o[i + 1]] = True
+            owned_cols[cdof._extras(codim, i)] = True
     P = sp.csc_matrix(patch.seq.P[form])
     keep = np.nonzero(owned_cols)[0]
     Pk = P[:, keep].tocoo()
