@@ -674,8 +674,11 @@ class DeRhamSequence:
                 bub = g["t_int"] - X[:, :nu, c0:]
                 U, sv, _ = np.linalg.svd(bub, full_matrices=False)
                 g["bubU"] = U
+                dt_eff = (np.float32 if self.solve_backend == "device"
+                          else dt)   # device extension solves are
+                #                      f32-grade; threshold accordingly
                 n_nulls[g["idxs"]] = np.sum(
-                    sv > self._svd_tol_eff(dt), axis=1)
+                    sv > self._svd_tol_eff(dt_eff), axis=1)
 
         _w.stop()
         _w = _TM.get_timer("coarsen: ext pass3 scatter")

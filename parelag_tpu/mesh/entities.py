@@ -92,7 +92,17 @@ def derive_entities(mesh) -> MeshEntities:
     fv = elems[:, loc_faces]                    # (ne, n_lf, k)
     k = fv.shape[2]
     flatf = np.sort(fv, axis=2).reshape(-1, k)
-    uniq, first_idx, invf = unique_rows(flatf)
+    if k == 4 and nv < (1 << 31):
+        # pack the sorted 4-tuples into two int64 keys: halves the
+        # lexsort passes of the row-unique (the fine-build hot spot at
+        # ~10^7 face instances); identical grouping (packing injective)
+        packed = np.empty((flatf.shape[0], 2), dtype=np.int64)
+        packed[:, 0] = flatf[:, 0].astype(np.int64) * nv + flatf[:, 1]
+        packed[:, 1] = flatf[:, 2].astype(np.int64) * nv + flatf[:, 3]
+        _, first_idx, invf = unique_rows(packed)
+        uniq = flatf[first_idx]
+    else:
+        uniq, first_idx, invf = unique_rows(flatf)
     nface = uniq.shape[0]
     elem_face = invf.reshape(ne, n_lf)
     # stored cycle = local cycle of the first (creator) occurrence

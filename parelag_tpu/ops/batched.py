@@ -191,42 +191,69 @@ def _ns_inverse_batch(A32):
     return _NS_JIT(A32)
 
 
-def _device_solve_refined(A, B, max_refine=30, rtol=1e-12):
-    """Mixed-precision stacked solve: symmetric Jacobi equilibration, ONE
-    device call computing batched f32 Newton-Schulz inverses (MXU), then
-    f64 iterative refinement on host with the fetched inverse — the
-    TPU-native way to reach LAPACK-grade accuracy on the ill-conditioned
-    extension saddles without software-f64. Members whose refinement
-    stalls (cond beyond the f32 floor) fall back to host lstsq."""
+_NSSOLVE_JIT = None
+
+
+def _ns_solve_batch(A32, B32):
+    """One jitted device call per shape bucket: batched f32 Newton-Schulz
+    inverse (pure MXU matmuls — compiles in ms where batched LU takes
+    minutes on the axon stack), initial solve, and 4 f32 refinement
+    sweeps ON DEVICE. Transfer-minimal: only A/B go up and Y comes back
+    (the previous scheme downloaded the full inverses and ran up to 30
+    host-f64 refinement GEMMs, which cost as much as solving on host)."""
+    global _NSSOLVE_JIT
+    import jax
+    import jax.numpy as jnp
+    if _NSSOLVE_JIT is None:
+        def f(A, B):
+            n = A.shape[1]
+            a1 = jnp.abs(A).sum(axis=1).max(axis=1)
+            ainf = jnp.abs(A).sum(axis=2).max(axis=1)
+            c = jnp.maximum(a1 * ainf, 1e-30)
+            X = A.transpose(0, 2, 1) / c[:, None, None]
+            I2 = 2.0 * jnp.eye(n, dtype=A.dtype)[None]
+
+            def body(_, X):
+                return X @ (I2 - A @ X)
+            X = jax.lax.fori_loop(0, 96, body, X)
+            Y = X @ B
+
+            def rbody(_, Y):
+                return Y + X @ (B - A @ Y)
+            return jax.lax.fori_loop(0, 4, rbody, Y)
+        _NSSOLVE_JIT = jax.jit(f)
+    return _NSSOLVE_JIT(A32, B32)
+
+
+def _device_solve_refined(A, B, rtol=None):
+    """Mixed-precision stacked solve on the accelerator: symmetric Jacobi
+    equilibration on host, padded f32 batch shipped ONCE, Newton-Schulz
+    inverse + solve + refinement fully on device, solutions shipped back.
+    Accuracy is the f32 refinement floor (~1e-6 relative on
+    well-equilibrated systems); ONE host f64 residual check routes
+    genuinely failed members (cond beyond the f32 floor, pinched-saddle
+    singularities) to host lstsq."""
     m, n, k = B.shape
     nb = _round_bucket(n)
+    kb = _round_bucket(k)
     mb = _round_bucket(m)      # bucket batch AND size: every distinct
     #                            shape is a separate XLA compile
     # equilibrate: D A D with d_i = 1/sqrt(max_j |A_ij|)
     s = np.abs(A).max(axis=2)
     d = 1.0 / np.sqrt(np.where(s > 0, s, 1.0))
     Aeq = A * d[:, :, None] * d[:, None, :]
+    Beq = B * d[:, :, None]
     Ab = np.tile(np.eye(nb, dtype=np.float32), (mb, 1, 1))
     Ab[:m, :n, :n] = Aeq.astype(np.float32)
+    Bb = np.zeros((mb, nb, kb), dtype=np.float32)
+    Bb[:m, :n, :k] = Beq.astype(np.float32)
     import jax.numpy as jnp
-    Xinv = np.asarray(_ns_inverse_batch(jnp.asarray(Ab)),
-                      dtype=np.float64)[:m, :n, :n]
+    Y = np.asarray(_ns_solve_batch(jnp.asarray(Ab), jnp.asarray(Bb)),
+                   dtype=np.float64)[:m, :n, :k]
 
-    Beq = B * d[:, :, None]
-    Y = Xinv @ Beq
     scale = np.maximum(np.abs(Beq).max(axis=(1, 2)), 1.0)
-    prev = np.full(m, np.inf)
-    for _ in range(max_refine):
-        R = Beq - Aeq @ Y
-        res = np.abs(R).max(axis=(1, 2))
-        live = (res > rtol * scale) & (res < 0.7 * prev)
-        if not live.any():
-            break
-        prev = np.where(live, res, prev)
-        Y = Y + np.where(live[:, None, None], Xinv @ R, 0.0)
     res = np.abs(Beq - Aeq @ Y).max(axis=(1, 2))
-    bad = ~np.isfinite(res) | (res > 1e-8 * scale)   # NaN (NS divergence
-    # beyond the f32 floor) must also take the fallback
+    bad = ~np.isfinite(res) | (res > 2e-4 * scale)
     for j in np.where(bad)[0]:
         Y[j] = np.linalg.lstsq(Aeq[j], Beq[j], rcond=1e-12)[0]
     return Y * d[:, :, None]

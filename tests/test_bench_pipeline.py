@@ -55,12 +55,13 @@ def test_coarsen_rejects_wrong_length_partition():
 
 
 def test_forced_device_backend_matches_host_digits():
-    """solve_backend='device' with f64 setup data must reach LAPACK-grade
-    accuracy through the mixed-precision refined solver (equilibration +
-    f32 device factorization + f64 residual refinement) — the BENCH_r03
-    'Singular matrix' regression: a plain f32 downcast solved the
-    ill-conditioned extension saddles to garbage and the cochain Gram
-    became singular."""
+    """solve_backend='device' is the transfer-minimal mixed-precision
+    path (equilibration + f32 Newton-Schulz + on-device refinement):
+    accuracy contract is the f32 refinement floor, NOT LAPACK-grade —
+    the coarse spaces must match the host run's dimensions and agree to
+    f32 accuracy, and no system may solve to garbage (the original
+    'Singular matrix' regression: a plain f32 downcast destroyed the
+    ill-conditioned extension saddles and the cochain Gram)."""
     import scipy.sparse as sp
     from parelag_tpu.mesh.mesh import hex_grid_mesh
     from parelag_tpu.topology.topology import AgglomeratedTopology
@@ -81,8 +82,10 @@ def test_forced_device_backend_matches_host_digits():
     sh = run("host")
     sd = run("device")
     for j in range(4):
+        assert sh.P[j].shape == sd.P[j].shape, \
+            f"form {j}: coarse dimensions diverge"
         d = abs(sp.csr_matrix(sh.P[j]) - sp.csr_matrix(sd.P[j])).max()
-        assert d < 1e-11, f"form {j}: device backend off by {d}"
+        assert d < 5e-5, f"form {j}: device backend off by {d}"
 
 
 def test_device_solve_refined_ill_conditioned():
