@@ -5,13 +5,26 @@ Prints ONE JSON line (the flagship lane):
 plus extra lanes as JSON lines on stderr.
 
 Lanes:
-  h1_1m      — flagship: 1,030,301-dof H1 Poisson, 4-level AMGe V-cycle
+  h1         — flagship: 912,673-dof H1 Poisson, 4-level AMGe V-cycle
                PCG in f32 (DIA operator format: the lexicographic grid
-               numbering makes every level-0 SpMV gather-free).
+               numbering makes every level-0 SpMV gather-free); setup
+               runs the coherent f32 pipeline (cast_setup); roofline
+               fields report bytes/iter and achieved vs measured chip
+               streaming bandwidth.
   darcy_hyb  — hybridized Darcy (RT x L2, 32^3 cells): batched element
                elimination + device PCG on the multiplier system.
   h1_multirhs— 16 simultaneous right-hand sides (block PCG sweep), the
-               MXU-utilization lane.
+               MXU-utilization lane (+ flop model).
+  setup      — multi-level H1 AMGe setup dof/s, host vs device backend
+               (the device backend ships bucketed f32 saddle batches
+               over the axon link — expected to lose on this tunnel,
+               recorded for the locally-attached case).
+  maxwell    — Hcurl curl-curl+mass, Hiptmair-smoothed AMGe PCG.
+  spe10[/full] — heterogeneous Darcy, spectral coarse spaces,
+               hybridized multiplier solve device-vs-host on ONE built
+               hierarchy (full = the 60x220x85 north-star grid).
+  dist       — sharded L-level V-cycle step on an 8-virtual-device CPU
+               mesh (subprocess; collective-structure wall-clock).
 
 vs_baseline is MEASURED: the same operator, same V-cycle preconditioner
 and same tolerance solved on the host (scipy CSR matvecs + numpy
@@ -29,6 +42,10 @@ import sys
 import time
 
 import numpy as np
+
+from parelag_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
 
 SCALE = os.environ.get("BENCH_SCALE", "full")
 
@@ -359,20 +376,24 @@ def lane_setup(nx, backends=("host", "device")):
                levels=len(topos), topology_s=topo_s)
     ndofs = None
     for backend in backends:
-        t0 = time.time()
-        seq = DeRhamSequenceFE(topos[0], mesh)
-        seq.jform_start = 0
-        seq.set_upscaling_targets(0)
-        seq.solve_backend = backend
-        s = seq
-        for _ in range(len(topos) - 1):
-            s = s.coarsen()
-        dt = time.time() - t0
-        ndofs = seq.dof[0].ndofs
-        out[f"{backend}_setup_s"] = dt
-        out[f"{backend}_dof_per_s"] = ndofs / dt
-        print(f"[setup] backend={backend} {dt:.1f}s "
-              f"({ndofs / dt:.0f} dof/s)", file=sys.stderr)
+        try:
+            t0 = time.time()
+            seq = DeRhamSequenceFE(topos[0], mesh)
+            seq.jform_start = 0
+            seq.set_upscaling_targets(0)
+            seq.solve_backend = backend
+            s = seq
+            for _ in range(len(topos) - 1):
+                s = s.coarsen()
+            dt = time.time() - t0
+            ndofs = seq.dof[0].ndofs
+            out[f"{backend}_setup_s"] = dt
+            out[f"{backend}_dof_per_s"] = ndofs / dt
+            print(f"[setup] backend={backend} {dt:.1f}s "
+                  f"({ndofs / dt:.0f} dof/s)", file=sys.stderr)
+        except Exception as e:           # pragma: no cover
+            print(f"[setup] backend={backend} failed: {e}",
+                  file=sys.stderr)
     out["ndofs"] = ndofs
     # headline = the device backend when it ran (a device regression must
     # not hide behind the host number); the host figure stays alongside
@@ -535,27 +556,23 @@ def lane_dist(n_devices=8):
 
 def lane_spe10(cells=(30, 55, 21), spectral=True):
     """SPE10-class lane: heterogeneous Darcy with spectral coarse spaces,
-    hybridized multiplier solve on DEVICE vs the measured host anchor
-    (reference examples/MultigridTestSPE10.cpp:169-187)."""
+    hybridized multiplier solve on DEVICE vs the measured host anchor —
+    both solvers run on the SAME built hierarchy (reference
+    examples/MultigridTestSPE10.cpp:169-187)."""
     from parelag_tpu.models.spe10 import spe10_darcy, synthetic_spe10_field
 
     field = synthetic_spe10_field(cells, seed=0)
     t0 = time.time()
     out = spe10_darcy(field=field, cells=cells, n_levels=2,
                       coarsening_factor=64, spectral=spectral,
-                      mult_solver="device")
-    dev_s = time.time() - t0
-    t0 = time.time()
-    out_h = spe10_darcy(field=field, cells=cells, n_levels=2,
-                        coarsening_factor=64, spectral=spectral,
-                        mult_solver="cg")
-    host_s = time.time() - t0
+                      mult_solver=("device", "cg"))
+    total_s = time.time() - t0
     n = out["ndofs"][0]
-    dsolve = float(sum(out["solve_s"]))
-    hsolve = float(sum(out_h["solve_s"]))
+    dsolve = float(sum(out["solve_s_by"]["device"]))
+    hsolve = float(sum(out["solve_s_by"]["cg"]))
     return dict(metric="spe10_darcy_hybridized", cells=list(cells),
                 ndofs=n, u_l2_rel=out["u_l2_rel"],
-                device_total_s=dev_s, host_total_s=host_s,
+                total_s=total_s, setup_s=total_s - dsolve - hsolve,
                 device_solve_s=dsolve, host_solve_s=hsolve,
                 value=n / dsolve, unit="dof_per_s",
                 winner="device" if dsolve <= hsolve else "host")
@@ -593,6 +610,15 @@ def main():
         print(json.dumps({"lane": "spe10", **sp10}), file=sys.stderr)
     except Exception as e:               # pragma: no cover
         print(f"[spe10] lane failed: {e}", file=sys.stderr)
+    if SCALE == "full":
+        try:
+            # the 60x220x85 north star (BASELINE.md): full SPE10 grid,
+            # device multiplier solve vs host anchor on one hierarchy
+            sp10f = lane_spe10((60, 220, 85), spectral=True)
+            print(json.dumps({"lane": "spe10_full", **sp10f}),
+                  file=sys.stderr)
+        except Exception as e:           # pragma: no cover
+            print(f"[spe10_full] lane failed: {e}", file=sys.stderr)
     try:
         d8 = lane_dist(8)
         print(json.dumps(d8), file=sys.stderr)

@@ -226,15 +226,119 @@ class HybridHdivL2:
     # per-shape compile tax dwarfed the solve before bucketing)
     _DEV_SOLVE = None
 
+    @staticmethod
+    def _facet_blocks(Hcsr):
+        """Block-Jacobi structure over multiplier supervariables: rows
+        with identical sparsity patterns are the multiplier dofs of one
+        facet, and the spectral coarse multiplier systems are
+        near-singular under point Jacobi but well-conditioned under
+        per-facet blocks (75 vs >8000 PCG iterations at the SPE10
+        30x55x21 coarse level).
+
+        Grouping is by a vectorized multiset hash of each row's column
+        set; correctness does NOT depend on the grouping (any principal
+        submatrix of an SPD matrix is SPD, so the block-diagonal inverse
+        is SPD for every grouping).
+
+        Returns (perm, buckets): a row permutation putting same-size
+        blocks in contiguous segments (stable — all-singleton systems
+        yield the identity, preserving any banded structure), and
+        [(s, T)] buckets in segment order with T = (k,) inverse diagonal
+        for s == 1 or (k, s, s) dense block inverses.
+        """
+        n = Hcsr.shape[0]
+        indptr = Hcsr.indptr
+        indices = Hcsr.indices
+        rl = np.diff(indptr)
+        if n == 0:
+            return np.zeros(0, np.int64), []
+        rng = np.random.RandomState(0x5eed)
+        ch = (rng.randint(0, 2 ** 62, size=n).astype(np.uint64),
+              rng.randint(0, 2 ** 62, size=n).astype(np.uint64))
+        starts = np.minimum(indptr[:-1], max(len(indices) - 1, 0))
+        hs = []
+        for c in ch:
+            h = (np.add.reduceat(c[indices], starts)
+                 if len(indices) else np.zeros(n, np.uint64))
+            h[rl == 0] = 0
+            hs.append(h)
+        key = np.stack([rl.astype(np.uint64)] + hs, axis=1)
+        uk, first, grp = np.unique(key, axis=0, return_index=True,
+                                   return_inverse=True)
+        # renumber groups by first occurrence so the permutation stays
+        # close to the original (often banded) row order
+        rank = np.empty(uk.shape[0], np.int64)
+        rank[np.argsort(first, kind="stable")] = np.arange(uk.shape[0])
+        grp = rank[grp]
+        order = np.argsort(grp, kind="stable")
+        gsort = grp[order]          # group id per sorted position
+        firsts = np.r_[0, np.flatnonzero(np.diff(gsort)) + 1]
+        pos = np.arange(n) - np.repeat(firsts, np.diff(np.r_[firsts, n]))
+        gs = gsort * 64 + pos // 64  # split pathological groups past 64
+        _, gs = np.unique(gs, return_inverse=True)
+        sizes = np.bincount(gs)
+        s_of_pos = sizes[gs]        # block size per sorted position
+        # segment-contiguous permutation: blocks ascending by size,
+        # original order within each size class
+        seg = np.argsort(s_of_pos, kind="stable")
+        perm = order[seg]
+        buckets = []
+        for s in np.unique(sizes):
+            sel = order[s_of_pos == s]
+            k = sel.size // s
+            rf = sel.reshape(k, s)
+            if s == 1:
+                d = Hcsr.diagonal()[rf[:, 0]]
+                buckets.append((1, 1.0 / np.where(d != 0, d, 1.0)))
+                continue
+            flat = rf.ravel()
+            X = Hcsr[flat][:, flat].tocoo()   # block-diagonal + cross junk
+            keep = X.row // s == X.col // s   # keep the s x s diag blocks
+            B = np.zeros((k, s, s))
+            B[X.row[keep] // s, X.row[keep] % s, X.col[keep] % s] = \
+                X.data[keep]
+            buckets.append((int(s), np.linalg.inv(B)))
+        return perm, buckets
+
+    @staticmethod
+    def _facet_block_inverse(Hcsr):
+        """The _facet_blocks inverse assembled as a scipy CSR matrix in
+        the ORIGINAL row numbering (host PCG path and tests)."""
+        n = Hcsr.shape[0]
+        perm, buckets = HybridHdivL2._facet_blocks(Hcsr)
+        data, ri, ci = [], [], []
+        o = 0
+        for s, T in buckets:
+            k = T.shape[0]
+            rf = perm[o:o + k * s].reshape(k, s)
+            o += k * s
+            if s == 1:
+                data.append(T)
+                ri.append(rf[:, 0])
+                ci.append(rf[:, 0])
+            else:
+                data.append(T.ravel())
+                ri.append(np.repeat(rf, s, axis=1).ravel())
+                ci.append(np.tile(rf, (1, s)).ravel())
+        if not data:
+            return sp.identity(n, format="csr")
+        Binv = sp.csr_matrix(
+            (np.concatenate(data),
+             (np.concatenate(ri), np.concatenate(ci))), shape=(n, n))
+        Binv.sum_duplicates()
+        return Binv
+
     def _device_solve(self, Hcsr, gf, rtol):
-        """TPU multiplier solve: f32 l1-Jacobi PCG on the chip inside f64
-        host residual refinement (reliable-updates CG — the f32 device
-        loop stalls near its dtype floor on ill-conditioned multiplier
-        systems). Operators are jit ARGUMENTS; shapes are bucketed."""
+        """TPU multiplier solve: f32 facet-block-Jacobi PCG on the chip
+        inside f64 host residual refinement (reliable-updates CG — the
+        f32 device loop stalls near its dtype floor on ill-conditioned
+        multiplier systems). Operators are jit ARGUMENTS; shapes are
+        bucketed."""
         import jax
         import jax.numpy as jnp
-        from parelag_tpu.ops.device_sparse import from_scipy
-        from parelag_tpu.solvers.smoothers import make_l1_jacobi
+        from parelag_tpu.ops.device_sparse import (
+            from_scipy, to_bcsr, to_dia_ell, dia_ell_fill,
+            BlockDiagInverse)
         from parelag_tpu.solvers.cg import pcg
         n = Hcsr.shape[0]
         npad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 0)
@@ -246,14 +350,41 @@ class HybridHdivL2:
         # full f64 single sweep on CPU backends (tests, goldens)
         f32 = jax.default_backend() != "cpu"
         dtype = np.float32 if f32 else np.float64
-        Hd = from_scipy(Hp.astype(dtype), dtype=dtype, pad_to=4)
-        dinv = jnp.asarray(
-            np.asarray(make_l1_jacobi(Hp).dinv).astype(dtype))
+        # facet-block preconditioner + block-contiguous permutation: the
+        # solve runs in permuted coordinates so the block inverse applies
+        # with static slices + batched einsum — zero device gathers
+        perm, buckets = self._facet_blocks(Hp)
+        Hq = Hp[perm][:, perm].tocsr()
+        Bd = BlockDiagInverse(
+            [jnp.asarray(np.asarray(T).astype(dtype)) for _, T in buckets],
+            [s for s, _ in buckets])
+        kmax = int(np.diff(Hq.indptr).max()) if Hq.nnz else 1
+        if kmax > 48:
+            # wide rows (spectral coarse levels reach kmax ~ 250): the
+            # ELL element gather at that width compiles pathologically
+            # and can crash the remote TPU worker — block tiles gather
+            # 128-wide x blocks instead and contract on the MXU; kb is
+            # padded to a multiple of 8 so levels share compiles
+            Hd = to_bcsr(Hq.astype(dtype), dtype=dtype)
+            kb = Hd.col_blocks.shape[1]
+            kbp = -(-kb // 8) * 8
+            if kbp != kb:
+                Hd.col_blocks = jnp.pad(
+                    Hd.col_blocks, ((0, 0), (0, kbp - kb)))
+                Hd.tiles = jnp.pad(
+                    Hd.tiles, ((0, 0), (0, kbp - kb), (0, 0), (0, 0)))
+        elif dia_ell_fill(Hq) >= 0.5:
+            # structured-mesh multiplier systems put 95%+ of nnz on a few
+            # dozen diagonals: gather-free DIA majority + narrow ELL rest
+            # (TPU gathers run ~130M elem/s — they dominate pure ELL SpMV)
+            Hd = to_dia_ell(Hq.astype(dtype), dtype=dtype)
+        else:
+            Hd = from_scipy(Hq.astype(dtype), dtype=dtype, pad_to=4)
         if HybridHdivL2._DEV_SOLVE is None:
             @jax.jit
-            def _solve(Hdev, di, b, rt):
+            def _solve(Hdev, Bdev, b, rt):
                 return pcg(lambda v: Hdev @ v, b,
-                           precond=lambda r: di * r,
+                           precond=lambda r: Bdev @ r,
                            rtol=rt, atol=0.0, maxiter=2000)
             HybridHdivL2._DEV_SOLVE = _solve
         solve = HybridHdivL2._DEV_SOLVE
@@ -263,15 +394,18 @@ class HybridHdivL2:
         total_it = 0
         nrm = np.linalg.norm(gf)
         inner_rt = max(rtol, 1e-6) if f32 else rtol   # f32 floor/sweep
+        rfull = np.zeros(npad)
+        dxfull = np.zeros(npad)
         for _ in range(4 if f32 else 1):
             r = gf - H64 @ x
             if np.linalg.norm(r) <= rtol * max(nrm, 1e-300):
                 break
-            rp = np.zeros(npad, dtype)
-            rp[:n] = r.astype(dtype)
-            dx, info = solve(Hd, dinv, jnp.asarray(rp),
+            rfull[:n] = r
+            dx, info = solve(Hd, Bd,
+                             jnp.asarray(rfull[perm].astype(dtype)),
                              dtype(inner_rt))
-            x = x + np.asarray(dx, dtype=np.float64)[:n]
+            dxfull[perm] = np.asarray(dx, dtype=np.float64)
+            x = x + dxfull[:n]
             total_it += int(info[0])
         self.last_iterations = total_it
         return x
@@ -312,8 +446,8 @@ class HybridHdivL2:
         elif solver == "device":
             xf = self._device_solve(Hff.tocsr(), gf, rtol)
         else:
-            dinv = 1.0 / Hff.diagonal()
-            M = spla.LinearOperator(Hff.shape, matvec=lambda r: dinv * r)
+            Binv = self._facet_block_inverse(Hff.tocsr())
+            M = spla.LinearOperator(Hff.shape, matvec=lambda r: Binv @ r)
             it = [0]
             xf, info = spla.cg(Hff.tocsr(), gf, M=M, rtol=rtol,
                                atol=0.0, maxiter=2000,

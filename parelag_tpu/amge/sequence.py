@@ -674,11 +674,15 @@ class DeRhamSequence:
                 bub = g["t_int"] - X[:, :nu, c0:]
                 U, sv, _ = np.linalg.svd(bub, full_matrices=False)
                 g["bubU"] = U
-                dt_eff = (np.float32 if self.solve_backend == "device"
-                          else dt)   # device extension solves are
-                #                      f32-grade; threshold accordingly
-                n_nulls[g["idxs"]] = np.sum(
-                    sv > self._svd_tol_eff(dt_eff), axis=1)
+                # device extension solves are f32-grade with an
+                # iterative-refinement floor ~1e-4..1e-5 of the data
+                # scale — the null threshold must clear that noise or
+                # near-duplicate junk modes make the cochain Gram
+                # singular (seen at 110k-element bench scale)
+                tol_n = (max(self.svd_tol, 1e-3)
+                         if self.solve_backend == "device"
+                         else self._svd_tol_eff(dt))
+                n_nulls[g["idxs"]] = np.sum(sv > tol_n, axis=1)
 
         _w.stop()
         _w = _TM.get_timer("coarsen: ext pass3 scatter")

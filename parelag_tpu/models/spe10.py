@@ -165,26 +165,40 @@ def spe10_darcy(field: PermeabilityField = None, cells=(16, 16, 8),
         rhs_p.append(seqs[i].P[pform].T @ rhs_p[i])
 
     import time as _time
-    out = {"ndofs": [], "iters": [], "u": [], "p": [], "solve_s": []}
+    # mult_solver may be a tuple of solver names: every solver runs on
+    # the SAME built hierarchy per level (the bench's device-vs-host
+    # multiplier comparison without paying setup twice); the FIRST one
+    # provides the reported solution, solve_s_by records each timing
+    mult_solvers = ((mult_solver,) if isinstance(mult_solver, str)
+                    else tuple(mult_solver))
+    out = {"ndofs": [], "iters": [], "u": [], "p": [], "solve_s": [],
+           "solve_s_by": {ms: [] for ms in mult_solvers}}
     for k in range(n_levels):
         s = seqs[k]
-        _t0 = _time.time()
         if solver == "hybridization":
             hyb = HybridHdivL2(s)
             # mult_solver="auto" routes the multiplier PCG to the TPU when
             # one is attached (f32 device CG + f64 host refinement; shapes
             # padded to power-of-two buckets so every level and size share
             # ONE compiled solver) and to host scipy CG otherwise
-            u, p = hyb.solve(rhs_u[k], rhs_p[k], solver=mult_solver,
-                             rtol=1e-8, rescale=True)
+            u = p = None
+            for ms in mult_solvers:
+                _t0 = _time.time()
+                uu, pp = hyb.solve(rhs_u[k], rhs_p[k], solver=ms,
+                                   rtol=1e-8, rescale=True)
+                out["solve_s_by"][ms].append(_time.time() - _t0)
+                if u is None:
+                    u, p = uu, pp
             out["iters"].append(hyb.n_mult)
+            out["solve_s"].append(out["solve_s_by"][mult_solvers[0]][-1])
         else:
             B = (Wl[k] @ Dl[k]).tocsr()
             A = sp.bmat([[Ml[k], B.T], [B, None]], format="csc")
+            _t0 = _time.time()
             x = spla.spsolve(A, np.concatenate([rhs_u[k], rhs_p[k]]))
             u, p = x[: B.shape[1]], x[B.shape[1]:]
             out["iters"].append(0)
-        out["solve_s"].append(_time.time() - _t0)
+            out["solve_s"].append(_time.time() - _t0)
         out["u"].append(u)
         out["p"].append(p)
         out["ndofs"].append(s.dof[uform].ndofs + s.dof[pform].ndofs)

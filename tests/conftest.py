@@ -21,4 +21,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+from parelag_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache)
+
+enable_persistent_compile_cache()
+
 assert len(jax.devices()) == 8, jax.devices()

@@ -59,3 +59,41 @@ def test_hierarchy_dia_format_matches_bcsr():
     y1 = np.asarray(H1.apply(bj))
     y2 = np.asarray(H2.apply(bj))
     assert np.abs(y1 - y2).max() < 1e-12 * max(np.abs(y2).max(), 1)
+
+
+def test_coo_and_dia_ell_match_scipy():
+    """CooMatrix / DiaEllMatrix (hybrid split) reproduce scipy SpMV.
+    The split exists because TPU gathers cost per ELEMENT (~130M/s
+    measured), so high-occupancy diagonals ride gather-free DIA and the
+    straggler nnz a short padded COO."""
+    from parelag_tpu.ops.device_sparse import (
+        to_coo, to_dia_ell, dia_ell_fill)
+    rng = np.random.RandomState(3)
+    n = 400
+    # banded core + random stragglers, like a facet multiplier system
+    A = sp.diags([rng.randn(n - abs(o)) for o in (-7, -1, 0, 1, 7)],
+                 offsets=(-7, -1, 0, 1, 7), shape=(n, n)).tocsr()
+    A = (A + sp.random(n, n, density=0.002, random_state=rng)).tocsr()
+    x = rng.randn(n)
+    y = A @ x
+    C = to_coo(A, dtype=np.float64, pad_to=64)
+    assert np.allclose(np.asarray(C @ jnp.asarray(x)), y)
+    H = to_dia_ell(A, dtype=np.float64)
+    assert len(H.dia.offs) >= 5          # the 5 dense bands go DIA
+    assert np.allclose(np.asarray(H @ jnp.asarray(x)), y)
+    assert 0.8 < dia_ell_fill(A) <= 1.0
+
+
+def test_block_diag_inverse_apply():
+    """BlockDiagInverse: static-slice batched apply == dense blockdiag."""
+    from parelag_tpu.ops.device_sparse import BlockDiagInverse
+    rng = np.random.RandomState(5)
+    d = 1.0 / (1.0 + np.abs(rng.randn(6)))             # 6 singletons
+    B3 = rng.randn(4, 3, 3) + 3 * np.eye(3)            # 4 blocks of 3
+    B3i = np.linalg.inv(B3)
+    op = BlockDiagInverse([jnp.asarray(d), jnp.asarray(B3i)], [1, 3])
+    r = rng.randn(6 + 12)
+    got = np.asarray(op @ jnp.asarray(r))
+    want = np.concatenate(
+        [d * r[:6]] + [B3i[k] @ r[6 + 3 * k: 9 + 3 * k] for k in range(4)])
+    assert np.allclose(got, want)
