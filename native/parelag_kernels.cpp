@@ -9,8 +9,11 @@
 //
 // Build: ./native/build.sh  (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -302,6 +305,390 @@ void assemble_agglomerate_blocks_var(
     assemble_blocks_var_impl<double>(
         ents_cat, ent_off, dof_cat, dof_off, blk_cat, blk_off,
         ae_dofs_cat, ae_off, pos, out_cat, out_off, n_ae);
+}
+
+// ---------------------------------------------------------------------- //
+// Mesh entity derivation (the fine-topology build hot path; semantics
+// identical to the numpy reference in parelag_tpu/mesh/entities.py:
+// gids in ascending packed-key order, creator = first occurrence in
+// original order, creator-cycle orientation signs).
+// ---------------------------------------------------------------------- //
+
+namespace {
+
+struct KeyIdx {
+    int64_t k1, k2, idx;
+    bool operator<(const KeyIdx& o) const {
+        if (k1 != o.k1) return k1 < o.k1;
+        if (k2 != o.k2) return k2 < o.k2;
+        return idx < o.idx;
+    }
+};
+
+}  // namespace
+
+// Unique global edges from element corner lists.
+//   elems (ne, nvpe), loc_edges (n_le, 2) local corner pairs.
+// Outputs: elem_edge (ne, n_le) edge gids, elem_edge_sign (ne, n_le) +-1
+// (local direction vs global tail<head), edges (nedge, 2) tail<head rows in
+// ascending key order (caller allocates ne*n_le*2 worst case).
+// Returns nedge.
+int64_t derive_edges(const int64_t* elems, int64_t ne, int64_t nvpe,
+                     const int64_t* loc_edges, int64_t n_le, int64_t nv,
+                     int64_t* elem_edge, double* elem_edge_sign,
+                     int64_t* edges) {
+    const int64_t N = ne * n_le;
+    std::vector<KeyIdx> v(N);
+    for (int64_t e = 0; e < ne; ++e) {
+        const int64_t* verts = elems + e * nvpe;
+        for (int64_t l = 0; l < n_le; ++l) {
+            const int64_t a = verts[loc_edges[2 * l]];
+            const int64_t b = verts[loc_edges[2 * l + 1]];
+            const int64_t lo = a < b ? a : b;
+            const int64_t hi = a < b ? b : a;
+            const int64_t i = e * n_le + l;
+            v[i] = KeyIdx{lo * nv + hi, 0, i};
+            elem_edge_sign[i] = a < b ? 1.0 : -1.0;
+        }
+    }
+    std::sort(v.begin(), v.end());
+    int64_t gid = -1, prev = -1;
+    for (int64_t t = 0; t < N; ++t) {
+        if (v[t].k1 != prev) {
+            prev = v[t].k1;
+            ++gid;
+            edges[2 * gid] = prev / nv;
+            edges[2 * gid + 1] = prev % nv;
+        }
+        elem_edge[v[t].idx] = gid;
+    }
+    return gid + 1;
+}
+
+// Unique global faces (k-cycles, k <= 4) from element corner lists.
+// Outputs: elem_face (ne, n_lf) face gids, elem_face_sign (ne, n_lf) +-1,
+// face_verts (nface, k) creator cycles, face_sorted (nface, k) sorted keys
+// (both allocated ne*n_lf*k worst case by the caller). Returns nface, or
+// -1 if an occurrence is not a rotation of the creator cycle or its
+// reversal, or -2 on a non-manifold face (>2 occurrences).
+int64_t derive_faces(const int64_t* elems, int64_t ne, int64_t nvpe,
+                     const int64_t* loc_faces, int64_t n_lf, int64_t k,
+                     int64_t nv, int64_t* elem_face, double* elem_face_sign,
+                     int64_t* face_verts, int64_t* face_sorted) {
+    if (k < 3 || k > 4) return -3;
+    const int64_t N = ne * n_lf;
+    std::vector<KeyIdx> v(N);
+    for (int64_t e = 0; e < ne; ++e) {
+        const int64_t* verts = elems + e * nvpe;
+        for (int64_t l = 0; l < n_lf; ++l) {
+            int64_t c[4] = {0, 0, 0, 0};
+            for (int64_t j = 0; j < k; ++j) c[j] = verts[loc_faces[l * k + j]];
+            int64_t s[4];
+            for (int64_t j = 0; j < k; ++j) s[j] = c[j];
+            std::sort(s, s + k);
+            const int64_t i = e * n_lf + l;
+            v[i] = KeyIdx{s[0] * nv + s[1],
+                          k == 4 ? s[2] * nv + s[3] : s[2], i};
+        }
+    }
+    std::sort(v.begin(), v.end());
+    // pass 1: gids + creator cycles (first occurrence within each group)
+    int64_t gid = -1;
+    int64_t prev1 = -1, prev2 = -1;
+    int64_t count = 0;
+    for (int64_t t = 0; t < N; ++t) {
+        if (t == 0 || v[t].k1 != prev1 || v[t].k2 != prev2) {
+            prev1 = v[t].k1;
+            prev2 = v[t].k2;
+            ++gid;
+            count = 0;
+            const int64_t i = v[t].idx;
+            const int64_t e = i / n_lf, l = i % n_lf;
+            const int64_t* verts = elems + e * nvpe;
+            int64_t s[4];
+            for (int64_t j = 0; j < k; ++j) {
+                face_verts[gid * k + j] = verts[loc_faces[l * k + j]];
+                s[j] = face_verts[gid * k + j];
+            }
+            std::sort(s, s + k);
+            for (int64_t j = 0; j < k; ++j) face_sorted[gid * k + j] = s[j];
+        }
+        if (++count > 2) return -2;
+        elem_face[v[t].idx] = gid;
+    }
+    const int64_t nface = gid + 1;
+    // pass 2: orientation signs (fwd rotation of creator cycle -> +1,
+    // rotation of its reversal -> -1)
+    for (int64_t e = 0; e < ne; ++e) {
+        const int64_t* verts = elems + e * nvpe;
+        for (int64_t l = 0; l < n_lf; ++l) {
+            const int64_t i = e * n_lf + l;
+            const int64_t* st = face_verts + elem_face[i] * k;
+            int64_t c[4];
+            for (int64_t j = 0; j < k; ++j) c[j] = verts[loc_faces[l * k + j]];
+            int64_t j0 = -1;
+            for (int64_t j = 0; j < k; ++j)
+                if (st[j] == c[0]) { j0 = j; break; }
+            if (j0 < 0) return -1;
+            bool fwd = true, bwd = true;
+            for (int64_t t = 0; t < k; ++t) {
+                if (st[(j0 + t) % k] != c[t]) fwd = false;
+                if (st[(j0 - t + k) % k] != c[t]) bwd = false;
+            }
+            if (fwd) elem_face_sign[i] = 1.0;
+            else if (bwd) elem_face_sign[i] = -1.0;
+            else return -1;
+        }
+    }
+    return nface;
+}
+
+// Edge gids + traversal signs of every face cycle edge: face f edge j runs
+// face_verts[f,j] -> face_verts[f,(j+1)%k]; gid via binary search over the
+// ascending edge keys (edges rows are tail<head in ascending key order).
+void face_edges(const int64_t* face_verts, int64_t nface, int64_t k,
+                const int64_t* edges, int64_t nedge, int64_t nv,
+                int64_t* face_edge, double* face_edge_sign) {
+    for (int64_t f = 0; f < nface; ++f) {
+        const int64_t* c = face_verts + f * k;
+        for (int64_t j = 0; j < k; ++j) {
+            const int64_t a = c[j], b = c[(j + 1) % k];
+            const int64_t lo = a < b ? a : b, hi = a < b ? b : a;
+            const int64_t key = lo * nv + hi;
+            int64_t lb = 0, ub = nedge;
+            while (lb < ub) {
+                const int64_t mid = (lb + ub) / 2;
+                const int64_t mk = edges[2 * mid] * nv + edges[2 * mid + 1];
+                if (mk < key) lb = mid + 1; else ub = mid;
+            }
+            face_edge[f * k + j] = lb;
+            face_edge_sign[f * k + j] = a < b ? 1.0 : -1.0;
+        }
+    }
+}
+
+namespace {
+
+int64_t uf_find(int64_t* parent, int64_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];  // path halving
+        x = parent[x];
+    }
+    return x;
+}
+
+}  // namespace
+
+// Connected components of "fine entities sharing a sub-entity AND the same
+// coarse label" (the _split_disconnected graph) WITHOUT forming B B^T:
+// one pass over the B CSR rows with a last-seen-parent table per
+// sub-entity; transitive union-find chains equal a clique union.
+// comp ids are numbered by ascending smallest member (matching
+// scipy.csgraph.connected_components' scan order). Returns n_comp.
+// scratch last_label/last_ent: size n_sub, caller-filled with -2/-1.
+int64_t split_components(const int64_t* indptr, const int64_t* indices,
+                         int64_t n_ent, const int64_t* label,
+                         int64_t* last_label, int64_t* last_ent,
+                         int64_t* parent, int64_t* comp) {
+    for (int64_t e = 0; e < n_ent; ++e) parent[e] = e;
+    for (int64_t e = 0; e < n_ent; ++e) {
+        const int64_t l = label[e];
+        if (l < 0) continue;
+        for (int64_t k = indptr[e]; k < indptr[e + 1]; ++k) {
+            const int64_t s = indices[k];
+            if (last_label[s] == l) {
+                const int64_t ra = uf_find(parent, e);
+                const int64_t rb = uf_find(parent, last_ent[s]);
+                if (ra != rb) parent[rb < ra ? ra : rb] = rb < ra ? rb : ra;
+            }
+            last_label[s] = l;
+            last_ent[s] = e;
+        }
+    }
+    int64_t n_comp = 0;
+    for (int64_t e = 0; e < n_ent; ++e) {
+        if (uf_find(parent, e) == e) comp[e] = n_comp++;
+    }
+    for (int64_t e = 0; e < n_ent; ++e) comp[e] = comp[uf_find(parent, e)];
+    return n_comp;
+}
+
+// ---------------------------------------------------------------------- //
+// Q1 hex local mass matrices, all four de Rham forms in ONE pass over the
+// elements (DeRhamSequenceFE::assembleLocalMass role). Constant reference
+// tables arrive from Python so the conventions stay defined in ONE place
+// (parelag_tpu/amge/hexfe.py): dsh (nq,8,3) Q1 gradients, sh (nq,8) Q1
+// shapes, ndE (nq,12,3) ND0 shapes, rtF (nq,6,3) RT0 shapes, qw (nq).
+// coeffX: optional (ne, nq) coefficient values (null -> 1).
+// Outputs: M0 (ne,8,8), M1 (ne,12,12) edge-sign folded, M2 (ne,6,6)
+// face-sign folded, M3 (ne,1), vols (ne).
+void hex_masses(const double* coords, int64_t ne, const double* dsh,
+                const double* sh, const double* ndE, const double* rtF,
+                const double* qw, int64_t nq, const double* es,
+                const double* fs, const double* c0, const double* c1,
+                const double* c2, const double* c3, double* M0, double* M1,
+                double* M2, double* M3, double* vols) {
+    for (int64_t e = 0; e < ne; ++e) {
+        const double* X = coords + e * 24;  // (8,3)
+        double m0[64] = {0}, m1[144] = {0}, m2[36] = {0};
+        double m3 = 0.0, vol = 0.0;
+        for (int64_t q = 0; q < nq; ++q) {
+            const double* d = dsh + q * 24;  // (8,3)
+            double J[3][3] = {{0}};
+            for (int64_t i = 0; i < 8; ++i) {
+                const double x = X[3 * i], y = X[3 * i + 1],
+                             z = X[3 * i + 2];
+                for (int64_t b = 0; b < 3; ++b) {
+                    const double db = d[3 * i + b];
+                    J[0][b] += x * db;
+                    J[1][b] += y * db;
+                    J[2][b] += z * db;
+                }
+            }
+            double adj[3][3];
+            adj[0][0] = J[1][1] * J[2][2] - J[1][2] * J[2][1];
+            adj[0][1] = J[0][2] * J[2][1] - J[0][1] * J[2][2];
+            adj[0][2] = J[0][1] * J[1][2] - J[0][2] * J[1][1];
+            adj[1][0] = J[1][2] * J[2][0] - J[1][0] * J[2][2];
+            adj[1][1] = J[0][0] * J[2][2] - J[0][2] * J[2][0];
+            adj[1][2] = J[0][2] * J[1][0] - J[0][0] * J[1][2];
+            adj[2][0] = J[1][0] * J[2][1] - J[1][1] * J[2][0];
+            adj[2][1] = J[0][1] * J[2][0] - J[0][0] * J[2][1];
+            adj[2][2] = J[0][0] * J[1][1] - J[0][1] * J[1][0];
+            const double det = J[0][0] * adj[0][0] + J[0][1] * adj[1][0]
+                             + J[0][2] * adj[2][0];
+            const double adet = std::fabs(det);
+            const double w = qw[q] * adet;
+            vol += w;
+            // H1: M0 += w c0 N outer N
+            {
+                const double wq = c0 ? w * c0[e * nq + q] : w;
+                const double* N = sh + q * 8;
+                for (int64_t i = 0; i < 8; ++i) {
+                    const double wi = wq * N[i];
+                    for (int64_t j = 0; j <= i; ++j)
+                        m0[i * 8 + j] += wi * N[j];
+                }
+            }
+            // ND0 (covariant): V_i = E_i @ Jinv, M1 += w c1 V V^T
+            {
+                const double wq = (c1 ? w * c1[e * nq + q] : w)
+                                / (det * det);
+                const double* E = ndE + q * 36;
+                double V[12][3];
+                for (int64_t i = 0; i < 12; ++i)
+                    for (int64_t a = 0; a < 3; ++a)
+                        V[i][a] = E[3 * i] * adj[0][a]
+                                + E[3 * i + 1] * adj[1][a]
+                                + E[3 * i + 2] * adj[2][a];
+                for (int64_t i = 0; i < 12; ++i)
+                    for (int64_t j = 0; j <= i; ++j)
+                        m1[i * 12 + j] += wq * (V[i][0] * V[j][0]
+                                                + V[i][1] * V[j][1]
+                                                + V[i][2] * V[j][2]);
+            }
+            // RT0 (contravariant Piola): V_i = J @ F_i, weight w c2 / det^2
+            {
+                const double wq = (c2 ? w * c2[e * nq + q] : w)
+                                / (det * det);
+                const double* F = rtF + q * 18;
+                double V[6][3];
+                for (int64_t i = 0; i < 6; ++i)
+                    for (int64_t a = 0; a < 3; ++a)
+                        V[i][a] = J[a][0] * F[3 * i] + J[a][1] * F[3 * i + 1]
+                                + J[a][2] * F[3 * i + 2];
+                for (int64_t i = 0; i < 6; ++i)
+                    for (int64_t j = 0; j <= i; ++j)
+                        m2[i * 6 + j] += wq * (V[i][0] * V[j][0]
+                                               + V[i][1] * V[j][1]
+                                               + V[i][2] * V[j][2]);
+            }
+            m3 += c3 ? w * c3[e * nq + q] : w;
+        }
+        // symmetrize + fold orientation signs
+        double* o0 = M0 + e * 64;
+        for (int64_t i = 0; i < 8; ++i)
+            for (int64_t j = 0; j <= i; ++j)
+                o0[i * 8 + j] = o0[j * 8 + i] = m0[i * 8 + j];
+        double* o1 = M1 + e * 144;
+        const double* esig = es + e * 12;
+        for (int64_t i = 0; i < 12; ++i)
+            for (int64_t j = 0; j <= i; ++j) {
+                const double val = m1[i * 12 + j] * esig[i] * esig[j];
+                o1[i * 12 + j] = o1[j * 12 + i] = val;
+            }
+        double* o2 = M2 + e * 36;
+        const double* fsig = fs + e * 6;
+        for (int64_t i = 0; i < 6; ++i)
+            for (int64_t j = 0; j <= i; ++j) {
+                const double val = m2[i * 6 + j] * fsig[i] * fsig[j];
+                o2[i * 6 + j] = o2[j * 6 + i] = val;
+            }
+        M3[e] = m3;
+        vols[e] = vol;
+    }
+}
+
+// Quad-face trace masses, all three in one pass (bilinIntegrators role):
+// fh1 (nf,4,4) Q1 surface mass, fnd (nf,4,4) tangential ND trace mass
+// (edge-sign folded), frt (nf,1) integral of 1/W. Tables: fsh (nq,4) quad
+// shapes, fE (nq,4,2) 2D ND0 shapes, q2 (nq,2) points, qw2 (nq).
+void face_masses(const double* coords4, int64_t nf, const double* fsh,
+                 const double* fE, const double* q2, const double* qw2,
+                 int64_t nq, const double* es, double* fh1, double* fnd,
+                 double* frt) {
+    for (int64_t f = 0; f < nf; ++f) {
+        const double* X = coords4 + f * 12;  // (4,3)
+        double h1[16] = {0}, nd[16] = {0};
+        double rt = 0.0;
+        for (int64_t q = 0; q < nq; ++q) {
+            const double s = q2[2 * q], t = q2[2 * q + 1];
+            double F[3][2];
+            for (int64_t a = 0; a < 3; ++a) {
+                const double v0 = X[a], v1 = X[3 + a], v2 = X[6 + a],
+                             v3 = X[9 + a];
+                F[a][0] = -(1 - t) * v0 + (1 - t) * v1 + t * v2 - t * v3;
+                F[a][1] = -(1 - s) * v0 - s * v1 + s * v2 + (1 - s) * v3;
+            }
+            double G[2][2] = {{0}};
+            for (int64_t a = 0; a < 3; ++a) {
+                G[0][0] += F[a][0] * F[a][0];
+                G[0][1] += F[a][0] * F[a][1];
+                G[1][1] += F[a][1] * F[a][1];
+            }
+            G[1][0] = G[0][1];
+            const double detG = G[0][0] * G[1][1] - G[0][1] * G[1][0];
+            const double W = std::sqrt(detG);
+            const double w = qw2[q] * W;
+            const double* N = fsh + q * 4;
+            for (int64_t i = 0; i < 4; ++i)
+                for (int64_t j = 0; j <= i; ++j)
+                    h1[i * 4 + j] += w * N[i] * N[j];
+            // ND trace: M += w * E Ginv E^T; Ginv = [[G11,-G01],[-G01,G00]]/detG
+            const double* E = fE + q * 8;
+            const double wg = w / detG;
+            for (int64_t i = 0; i < 4; ++i) {
+                const double a0 = E[2 * i], a1 = E[2 * i + 1];
+                const double b0 = G[1][1] * a0 - G[0][1] * a1;
+                const double b1 = -G[1][0] * a0 + G[0][0] * a1;
+                for (int64_t j = 0; j <= i; ++j)
+                    nd[i * 4 + j] += wg * (E[2 * j] * b0 + E[2 * j + 1] * b1);
+            }
+            rt += qw2[q] / W;
+        }
+        double* oh = fh1 + f * 16;
+        for (int64_t i = 0; i < 4; ++i)
+            for (int64_t j = 0; j <= i; ++j)
+                oh[i * 4 + j] = oh[j * 4 + i] = h1[i * 4 + j];
+        double* on = fnd + f * 16;
+        const double* esig = es + f * 4;
+        for (int64_t i = 0; i < 4; ++i)
+            for (int64_t j = 0; j <= i; ++j) {
+                const double val = nd[i * 4 + j] * esig[i] * esig[j];
+                on[i * 4 + j] = on[j * 4 + i] = val;
+            }
+        frt[f] = rt;
+    }
 }
 
 void assemble_agglomerate_blocks_var_f32(

@@ -33,8 +33,10 @@ class DeRhamSequenceFE(DeRhamSequence):
             self.dof[j] = DofHandlerFE(j, mesh, self.ents)
 
         self._geom_cache = {}
-        self._build_derivatives()
+        # masses first: the native single-pass kernel computes element
+        # volumes alongside, which _build_derivatives consumes for D2
         self._assemble_local_mass()
+        self._build_derivatives()
 
         # representation of the constant 1 in L2 (cell-value dofs)
         self.L2_const_rep = np.ones(self.dof[3].ndofs)
@@ -80,9 +82,13 @@ class DeRhamSequenceFE(DeRhamSequence):
         self.D[2] = (sp.diags(1.0 / vols) @ e.B0).tocsr()  # div cell-average
 
     def element_volumes(self):
+        if "vols" in self._geom_cache:
+            return self._geom_cache["vols"]
         ec = self._elem_coords()
-        return (hexfe.hex_volumes(ec) if self.kind == "hex"
+        vols = (hexfe.hex_volumes(ec) if self.kind == "hex"
                 else tetfe.tet_volumes(ec))
+        self._geom_cache["vols"] = vols
+        return vols
 
     def facet_areas(self):
         fc = self._face_coords()
@@ -111,7 +117,27 @@ class DeRhamSequenceFE(DeRhamSequence):
         # hundreds of MB each and the build becomes allocator/bandwidth
         # bound; ~64k-element chunks keep them cache-sized at identical
         # results (every kernel is elementwise in the batch dimension)
-        if self.kind == "hex":
+        from parelag_tpu.ops import native
+        use_native = self.kind == "hex" and native.available()
+        if use_native:
+            # ONE C++ pass over the elements for all four forms + volumes
+            # (the chunked numpy pipeline below is the fallback; identical
+            # quadrature, ~6x slower at ~10^6 elements)
+            blocks = {}
+            (blocks[0], blocks[1], blocks[2], blocks[3],
+             vols) = native.hex_masses(
+                ec, hexfe._q1_dshapes(hexfe._Q3),
+                hexfe._q1_shapes(hexfe._Q3),
+                hexfe._nd0_ref_shapes(hexfe._Q3),
+                hexfe._rt0_ref_shapes(hexfe._Q3), hexfe._QW3,
+                e.elem_edge_sign, e.elem_face_sign, coeff)
+            self._geom_cache["vols"] = vols
+            self.M[(0, 0)] = LocalMass.from_uniform(m.elements, blocks[0])
+            self.M[(0, 1)] = LocalMass.from_uniform(e.elem_edge, blocks[1])
+            self.M[(0, 2)] = LocalMass.from_uniform(e.elem_face, blocks[2])
+            self.M[(0, 3)] = LocalMass.from_uniform(
+                np.arange(ne)[:, None], blocks[3])
+        elif self.kind == "hex":
             blocks = {0: np.empty((ne, 8, 8)), 1: np.empty((ne, 12, 12)),
                       2: np.empty((ne, 6, 6)), 3: np.empty((ne, 1, 1))}
 
@@ -149,7 +175,18 @@ class DeRhamSequenceFE(DeRhamSequence):
                     ec, coeff.get(3)))
 
         # ---- codim 1 (facet) trace masses ---- #
-        if self.kind == "hex":
+        if use_native:
+            s, t = hexfe._Q2[:, 0], hexfe._Q2[:, 1]
+            fsh = np.stack([(1 - s) * (1 - t), s * (1 - t), s * t,
+                            (1 - s) * t], axis=1)
+            fE = np.zeros((s.size, 4, 2))
+            fE[:, 0, 0] = 1 - t
+            fE[:, 1, 1] = s
+            fE[:, 2, 0] = -t
+            fE[:, 3, 1] = -(1 - s)
+            fh1, fnd, frt = native.face_masses(
+                fc, fsh, fE, hexfe._Q2, hexfe._QW2, e.face_edge_sign)
+        elif self.kind == "hex":
             nf_tot = fc.shape[0]
             fh1 = np.empty((nf_tot, 4, 4))
             fnd = np.empty((nf_tot, 4, 4))

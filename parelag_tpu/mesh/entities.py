@@ -78,6 +78,27 @@ def derive_entities(mesh) -> MeshEntities:
     n_lf = loc_faces.shape[0]
     nv = mesh.num_vertices
 
+    from parelag_tpu.ops import native
+    if native.available() and nv < (1 << 31):
+        # single-pass C++ derivation (identical ordering/sign semantics;
+        # the numpy pipeline below was the fine-topology hot spot at
+        # ~10^7 entity instances)
+        edges, elem_edge, elem_edge_sign = native.derive_edges(
+            elems, loc_edges, nv)
+        face_verts, face_sorted, elem_face, elem_face_sign = \
+            native.derive_faces(elems, loc_faces, nv)
+        face_edge, face_edge_sign = native.face_edges(face_verts, edges, nv)
+        nface, k = face_verts.shape
+        B0, B1, B2 = _boundary_operators(
+            ne, nface, edges, elem_face, elem_face_sign, face_edge,
+            face_edge_sign, nv)
+        return MeshEntities(
+            num_vertices=nv, edges=edges, face_verts=face_verts,
+            face_sorted=face_sorted, elem_edge=elem_edge,
+            elem_edge_sign=elem_edge_sign, elem_face=elem_face,
+            elem_face_sign=elem_face_sign, face_edge=face_edge,
+            face_edge_sign=face_edge_sign, B0=B0, B1=B1, B2=B2)
+
     # ----- edges: unique sorted vertex pairs (packed-key unique) ------- #
     ev = elems[:, loc_edges]                    # (ne, n_le, 2) local dir
     lo = np.minimum(ev[:, :, 0], ev[:, :, 1]).astype(np.int64)
@@ -137,20 +158,9 @@ def derive_entities(mesh) -> MeshEntities:
     face_edge_sign = np.where(a < b, 1.0, -1.0)
 
     # ----- boundary operators ------------------------------------------ #
-    B0 = sp.csr_matrix(
-        (elem_face_sign.ravel(),
-         (np.repeat(np.arange(ne), n_lf), elem_face.ravel())),
-        shape=(ne, nface))
-    B1 = sp.csr_matrix(
-        (face_edge_sign.ravel(),
-         (np.repeat(np.arange(nface), k), face_edge.ravel())),
-        shape=(nface, edges.shape[0]))
-    nedge = edges.shape[0]
-    B2 = sp.csr_matrix(
-        (np.concatenate([np.ones(nedge), -np.ones(nedge)]),
-         (np.concatenate([np.arange(nedge), np.arange(nedge)]),
-          np.concatenate([edges[:, 1], edges[:, 0]]))),
-        shape=(nedge, mesh.num_vertices))
+    B0, B1, B2 = _boundary_operators(
+        ne, nface, edges, elem_face, elem_face_sign, face_edge,
+        face_edge_sign, mesh.num_vertices)
 
     return MeshEntities(
         num_vertices=mesh.num_vertices,
@@ -165,6 +175,36 @@ def derive_entities(mesh) -> MeshEntities:
         face_edge_sign=face_edge_sign,
         B0=B0, B1=B1, B2=B2,
     )
+
+
+def _boundary_operators(ne, nface, edges, elem_face, elem_face_sign,
+                        face_edge, face_edge_sign, nv):
+    """Direct CSR construction of B0/B1/B2 (uniform row arity: indptr is an
+    arange and per-row column sorting is one axis-1 argsort — skips the
+    COO->CSR global sort that dominated the operator build at ~10^7 nnz)."""
+    def _uniform_csr(cols, vals, n_cols):
+        n, k = cols.shape
+        order = np.argsort(cols, axis=1, kind="stable")
+        indices = np.take_along_axis(cols, order, axis=1).ravel()
+        data = np.take_along_axis(vals, order, axis=1).ravel()
+        indptr = np.arange(n + 1, dtype=np.int64) * k
+        return sp.csr_matrix((data, indices, indptr), shape=(n, n_cols))
+
+    B0 = _uniform_csr(elem_face, elem_face_sign, nface)
+    B1 = _uniform_csr(face_edge, face_edge_sign, edges.shape[0])
+    nedge = edges.shape[0]
+    # edge rows: (tail, head) with tail < head -> columns already sorted
+    icols = np.empty((nedge, 2), dtype=np.int64)
+    icols[:, 0] = edges[:, 0]
+    icols[:, 1] = edges[:, 1]
+    idata = np.empty((nedge, 2))
+    idata[:, 0] = -1.0
+    idata[:, 1] = 1.0
+    B2 = sp.csr_matrix(
+        (idata.ravel(), icols.ravel(),
+         np.arange(nedge + 1, dtype=np.int64) * 2),
+        shape=(nedge, nv))
+    return B0, B1, B2
 
 
 def lookup_rows(table, queries):

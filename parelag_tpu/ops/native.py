@@ -50,6 +50,9 @@ def _load():
             stale = f.read().strip() != srchash
     if stale:
         try:
+            # plain -O3: -march=native MISCOMPILES on this virtualized
+            # host (face_masses symmetrize loop produced a wrong entry;
+            # reproduced deterministically, gone at -O3)
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
                 check=True, capture_output=True)
@@ -105,6 +108,27 @@ def _load():
     lib.assemble_agglomerate_blocks_var.argtypes = [
         i64p, i64p, i64p, i64p, f64p, i64p, i64p, i64p, i64p, f64p,
         i64p, ctypes.c_int64]
+    lib.derive_edges.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int64, i64p, f64p, i64p]
+    lib.derive_edges.restype = ctypes.c_int64
+    lib.derive_faces.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i64p, f64p, i64p, i64p]
+    lib.derive_faces.restype = ctypes.c_int64
+    lib.face_edges.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int64, i64p, f64p]
+    lib.hex_masses.argtypes = [
+        f64p, ctypes.c_int64, f64p, f64p, f64p, f64p, f64p,
+        ctypes.c_int64, f64p, f64p, f64p, f64p, f64p, f64p,
+        f64p, f64p, f64p, f64p, f64p]
+    lib.face_masses.argtypes = [
+        f64p, ctypes.c_int64, f64p, f64p, f64p, f64p, ctypes.c_int64,
+        f64p, f64p, f64p, f64p]
+    lib.split_components.argtypes = [
+        i64p, i64p, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
+    lib.split_components.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -207,6 +231,139 @@ def assemble_agglomerate_blocks_var(ents_cat, ent_off, dof_cat, dof_off,
         _pf(blk_cat), _p64(blk_off), _p64(ae_dofs_cat), _p64(ae_off),
         _p64(pos), _pf(out_cat), _p64(out_off),
         ctypes.c_int64(ent_off.size - 1))
+
+
+def derive_edges(elems, loc_edges, nv):
+    """Unique global edges + per-element edge gids/signs (the numpy
+    reference path is parelag_tpu/mesh/entities.py:derive_entities).
+    Returns (edges (nedge,2), elem_edge (ne,n_le), elem_edge_sign)."""
+    lib = _load()
+    ne, nvpe = elems.shape
+    n_le = loc_edges.shape[0]
+    elems = np.ascontiguousarray(elems, dtype=np.int64)
+    loc_edges = np.ascontiguousarray(loc_edges, dtype=np.int64)
+    elem_edge = np.empty((ne, n_le), dtype=np.int64)
+    sign = np.empty((ne, n_le), dtype=np.float64)
+    edges = np.empty((ne * n_le, 2), dtype=np.int64)
+    nedge = lib.derive_edges(
+        _p64(elems), ctypes.c_int64(ne), ctypes.c_int64(nvpe),
+        _p64(loc_edges), ctypes.c_int64(n_le), ctypes.c_int64(nv),
+        _p64(elem_edge), _pf(sign), _p64(edges))
+    return edges[:nedge].copy(), elem_edge, sign
+
+
+def derive_faces(elems, loc_faces, nv):
+    """Unique global faces + creator cycles/signs. Returns
+    (face_verts (nface,k), face_sorted, elem_face (ne,n_lf), sign)."""
+    lib = _load()
+    ne, nvpe = elems.shape
+    n_lf, k = loc_faces.shape
+    elems = np.ascontiguousarray(elems, dtype=np.int64)
+    loc_faces = np.ascontiguousarray(loc_faces, dtype=np.int64)
+    elem_face = np.empty((ne, n_lf), dtype=np.int64)
+    sign = np.empty((ne, n_lf), dtype=np.float64)
+    face_verts = np.empty((ne * n_lf, k), dtype=np.int64)
+    face_sorted = np.empty((ne * n_lf, k), dtype=np.int64)
+    nface = lib.derive_faces(
+        _p64(elems), ctypes.c_int64(ne), ctypes.c_int64(nvpe),
+        _p64(loc_faces), ctypes.c_int64(n_lf), ctypes.c_int64(k),
+        ctypes.c_int64(nv), _p64(elem_face), _pf(sign), _p64(face_verts),
+        _p64(face_sorted))
+    if nface == -1:
+        raise ValueError("faces share vertices but not as a cycle")
+    if nface == -2:
+        raise ValueError("non-manifold mesh")
+    assert nface >= 0
+    return (face_verts[:nface].copy(), face_sorted[:nface].copy(),
+            elem_face, sign)
+
+
+def face_edges(face_verts, edges, nv):
+    """Edge gids + traversal signs of each face-cycle edge."""
+    lib = _load()
+    nface, k = face_verts.shape
+    face_verts = np.ascontiguousarray(face_verts, dtype=np.int64)
+    edges = np.ascontiguousarray(edges, dtype=np.int64)
+    face_edge = np.empty((nface, k), dtype=np.int64)
+    sign = np.empty((nface, k), dtype=np.float64)
+    lib.face_edges(
+        _p64(face_verts), ctypes.c_int64(nface), ctypes.c_int64(k),
+        _p64(edges), ctypes.c_int64(edges.shape[0]), ctypes.c_int64(nv),
+        _p64(face_edge), _pf(sign))
+    return face_edge, sign
+
+
+def split_components(B_csr, label):
+    """Component ids of 'same coarse label + shared sub-entity' adjacency
+    over the rows of B (fine entity x sub-entity CSR), without forming
+    B @ B.T. Returns (n_comp, comp) with ids ascending by smallest member
+    (scipy.csgraph.connected_components order)."""
+    lib = _load()
+    n_ent, n_sub = B_csr.shape
+    indptr = np.ascontiguousarray(B_csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(B_csr.indices, dtype=np.int64)
+    label = np.ascontiguousarray(label, dtype=np.int64)
+    last_label = np.full(n_sub, -2, dtype=np.int64)
+    last_ent = np.full(n_sub, -1, dtype=np.int64)
+    parent = np.empty(n_ent, dtype=np.int64)
+    comp = np.empty(n_ent, dtype=np.int64)
+    n_comp = lib.split_components(
+        _p64(indptr), _p64(indices), ctypes.c_int64(n_ent), _p64(label),
+        _p64(last_label), _p64(last_ent), _p64(parent), _p64(comp))
+    return int(n_comp), comp
+
+
+def _opt(c):
+    return _pf(c) if c is not None else ctypes.POINTER(ctypes.c_double)()
+
+
+def hex_masses(coords, dsh, sh, ndE, rtF, qw, edge_signs, face_signs,
+               coeffs=None):
+    """All four Q1 hex local mass families + volumes in one native pass.
+    coeffs: optional dict form -> (ne, nq) quadrature-point coefficients.
+    Returns (M0 (ne,8,8), M1 (ne,12,12), M2 (ne,6,6), M3 (ne,1,1), vols)."""
+    lib = _load()
+    ne = coords.shape[0]
+    nq = qw.shape[0]
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    es = np.ascontiguousarray(edge_signs, dtype=np.float64)
+    fs = np.ascontiguousarray(face_signs, dtype=np.float64)
+    cs = [None] * 4
+    if coeffs:
+        for j in range(4):
+            if coeffs.get(j) is not None:
+                cs[j] = np.ascontiguousarray(coeffs[j], dtype=np.float64)
+    M0 = np.empty((ne, 8, 8))
+    M1 = np.empty((ne, 12, 12))
+    M2 = np.empty((ne, 6, 6))
+    M3 = np.empty((ne, 1, 1))
+    vols = np.empty(ne)
+    lib.hex_masses(
+        _pf(coords), ctypes.c_int64(ne),
+        _pf(np.ascontiguousarray(dsh)), _pf(np.ascontiguousarray(sh)),
+        _pf(np.ascontiguousarray(ndE)), _pf(np.ascontiguousarray(rtF)),
+        _pf(np.ascontiguousarray(qw)), ctypes.c_int64(nq), _pf(es),
+        _pf(fs), _opt(cs[0]), _opt(cs[1]), _opt(cs[2]), _opt(cs[3]),
+        _pf(M0), _pf(M1), _pf(M2), _pf(M3), _pf(vols))
+    return M0, M1, M2, M3, vols
+
+
+def face_masses(coords4, fsh, fE, q2, qw2, edge_signs):
+    """Quad-face H1/ND-trace/RT-trace masses in one native pass."""
+    lib = _load()
+    nf = coords4.shape[0]
+    nq = qw2.shape[0]
+    coords4 = np.ascontiguousarray(coords4, dtype=np.float64)
+    es = np.ascontiguousarray(edge_signs, dtype=np.float64)
+    fh1 = np.empty((nf, 4, 4))
+    fnd = np.empty((nf, 4, 4))
+    frt = np.empty((nf, 1, 1))
+    lib.face_masses(
+        _pf(coords4), ctypes.c_int64(nf),
+        _pf(np.ascontiguousarray(fsh)), _pf(np.ascontiguousarray(fE)),
+        _pf(np.ascontiguousarray(q2)), _pf(np.ascontiguousarray(qw2)),
+        ctypes.c_int64(nq), _pf(es), _pf(fh1), _pf(fnd), _pf(frt))
+    return fh1, fnd, frt
 
 
 def assemble_agglomerate_block(ents, dofs, blocks, ae_dofs, pos, out):

@@ -314,13 +314,21 @@ class AgglomeratedTopology:
 
         # one global pass: adjacency through shared sub-entities, masked to
         # same-coarse-entity pairs, then a single connected-components sweep
-        B = C.pattern(self.B[codim])          # fine ent x sub-entity
-        G = (B @ B.T).tocoo()
-        keep = (label[G.row] >= 0) & (label[G.row] == label[G.col])
-        Gm = sp.csr_matrix(
-            (np.ones(int(keep.sum())), (G.row[keep], G.col[keep])),
-            shape=(n_ent, n_ent))
-        ncomp, comp = sp.csgraph.connected_components(Gm, directed=False)
+        from parelag_tpu.ops import native
+        if native.available():
+            # union-find over shared sub-entities (no B @ B.T product;
+            # identical component numbering — ascending smallest member)
+            ncomp, comp = native.split_components(self.B[codim].tocsr(),
+                                                  label)
+        else:
+            B = C.pattern(self.B[codim])          # fine ent x sub-entity
+            G = (B @ B.T).tocoo()
+            keep = (label[G.row] >= 0) & (label[G.row] == label[G.col])
+            Gm = sp.csr_matrix(
+                (np.ones(int(keep.sum())), (G.row[keep], G.col[keep])),
+                shape=(n_ent, n_ent))
+            ncomp, comp = sp.csgraph.connected_components(Gm,
+                                                          directed=False)
 
         sel = label >= 0
         keys = label[sel] * np.int64(ncomp) + comp[sel]

@@ -1,0 +1,114 @@
+"""Native (C++) vs numpy parity for the fine-build kernels: entity
+derivation, single-pass hex/face mass assembly, and the split-components
+union-find (reference roles: MFEM incidence assembly for Topology.cpp
+B-operators, DeRhamSequenceFE::assembleLocalMass DeRhamSequenceFE.cpp:97-310,
+and the _split_disconnected fixup)."""
+
+import numpy as np
+import pytest
+
+from parelag_tpu.ops import native
+from parelag_tpu.mesh.mesh import hex_grid_mesh, read_mesh
+from parelag_tpu.mesh import entities as E
+from parelag_tpu.topology.topology import AgglomeratedTopology
+from parelag_tpu.amge.fespace import DeRhamSequenceFE
+from parelag_tpu.partitioning.partitioners import (
+    cartesian_partition, graph_partition)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native kernels unavailable")
+
+CUBE456 = "/root/reference/meshes/cube456.mesh"
+
+
+def _numpy_path(fn, *args, **kw):
+    """Run fn with the native library masked off (numpy fallback)."""
+    avail = native.available
+    native.available = lambda: False
+    try:
+        return fn(*args, **kw)
+    finally:
+        native.available = avail
+
+
+def _deformed_hex(nx, seed=0):
+    mesh = hex_grid_mesh(nx, nx, nx)
+    rng = np.random.default_rng(seed)
+    v = mesh.vertices.copy()
+    interior = np.all((v > 1e-9) & (v < 1 - 1e-9), axis=1)
+    v[interior] += 0.04 * rng.standard_normal(v[interior].shape)
+    mesh.vertices = v
+    return mesh
+
+
+@pytest.mark.parametrize("mesh_fn", [
+    lambda: hex_grid_mesh(6, 5, 4),
+    lambda: _deformed_hex(5),
+    lambda: read_mesh(CUBE456),
+])
+def test_derive_entities_parity(mesh_fn):
+    mesh = mesh_fn()
+    en = E.derive_entities(mesh)
+    ep = _numpy_path(E.derive_entities, mesh)
+    for name in ("edges", "elem_edge", "elem_edge_sign", "face_verts",
+                 "face_sorted", "elem_face", "elem_face_sign", "face_edge",
+                 "face_edge_sign"):
+        assert np.array_equal(getattr(en, name), getattr(ep, name)), name
+    for a, b in ((en.B0, ep.B0), (en.B1, ep.B1), (en.B2, ep.B2)):
+        assert (a != b).nnz == 0
+    assert abs(en.B0 @ en.B1).nnz == 0
+    assert abs(en.B1 @ en.B2).nnz == 0
+
+
+def test_hex_masses_parity():
+    mesh = _deformed_hex(5, seed=3)
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    seq_n = DeRhamSequenceFE(topo, mesh)
+    seq_p = _numpy_path(
+        DeRhamSequenceFE, AgglomeratedTopology.from_mesh(mesh), mesh)
+    for key in seq_p.M:
+        dn, on, bn, _ = seq_n.M[key]._cat
+        dp, op, bp, _ = seq_p.M[key]._cat
+        assert np.array_equal(dn, dp) and np.array_equal(on, op)
+        scale = max(1.0, np.abs(bp).max())
+        assert np.abs(bn - bp).max() < 1e-13 * scale, key
+    assert np.abs(seq_n.element_volumes()
+                  - seq_p.element_volumes()).max() < 1e-13
+    assert abs(seq_n.D[2] - seq_p.D[2]).max() < 1e-12
+
+
+def test_hex_masses_coefficient_parity():
+    mesh = _deformed_hex(4, seed=5)
+
+    def build():
+        topo = AgglomeratedTopology.from_mesh(mesh)
+        s = DeRhamSequenceFE(topo, mesh)
+        s.replace_mass_integrator(
+            2, lambda p: 1.0 + p[..., 0] * p[..., 1])
+        s.replace_mass_integrator(3, lambda p: 2.0 + p[..., 2])
+        return s
+
+    seq_n = build()
+    seq_p = _numpy_path(build)
+    for key in ((0, 0), (0, 2), (0, 3)):
+        bn = seq_n.M[key]._cat[2]
+        bp = seq_p.M[key]._cat[2]
+        assert np.abs(bn - bp).max() < 1e-13 * max(1.0, np.abs(bp).max())
+
+
+@pytest.mark.parametrize("structured", [True, False])
+def test_coarsening_parity_with_native_split(structured):
+    nx = 8
+    mesh = hex_grid_mesh(nx, nx, nx)
+    topo_n = AgglomeratedTopology.from_mesh(mesh)
+    part = (cartesian_partition((nx, nx, nx), (2, 2, 2)) if structured
+            else graph_partition(topo_n.local_element_element(), 24))
+    c_n = topo_n.coarsen_local_partitioning(part)
+
+    topo_p = AgglomeratedTopology.from_mesh(mesh)
+    c_p = _numpy_path(topo_p.coarsen_local_partitioning, part)
+    for i in range(3):
+        assert (c_n.B[i] != c_p.B[i]).nnz == 0
+    for i in range(4):
+        assert (topo_n.AEntity_entity[i]
+                != topo_p.AEntity_entity[i]).nnz == 0
