@@ -513,6 +513,88 @@ int64_t split_components(const int64_t* indptr, const int64_t* indices,
     return n_comp;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------- //
+// Batched dense solve for the per-agglomerate saddle systems (extension
+// pass 2; reference ParELAG_SaddlePointSolver.cpp LDL role). LAPACK
+// per-call overhead dominates at these sizes (n ~ 5-50, m ~ 10^4-10^5
+// systems per shape group); one C++ pass with f64 internal accumulation
+// is both faster and removes the f32 noise floor that triggered
+// per-item lstsq fallbacks. Partial-pivot LU; bad[i]=1 flags a zero
+// pivot (caller re-solves those items with lstsq).
+template <typename T>
+static void batched_solve_impl(const T* A, const T* B, T* X, int64_t m,
+                               int64_t n, int64_t k, double* a, double* b,
+                               uint8_t* bad) {
+    for (int64_t it = 0; it < m; ++it) {
+        const T* As = A + it * n * n;
+        const T* Bs = B + it * n * k;
+        T* Xs = X + it * n * k;
+        for (int64_t i = 0; i < n * n; ++i) a[i] = (double)As[i];
+        for (int64_t i = 0; i < n * k; ++i) b[i] = (double)Bs[i];
+        bad[it] = 0;
+        for (int64_t c = 0; c < n; ++c) {
+            // pivot search in column c
+            int64_t p = c;
+            double best = std::fabs(a[c * n + c]);
+            for (int64_t r = c + 1; r < n; ++r) {
+                const double v = std::fabs(a[r * n + c]);
+                if (v > best) { best = v; p = r; }
+            }
+            if (best == 0.0) { bad[it] = 1; break; }
+            if (p != c) {
+                for (int64_t j = c; j < n; ++j)
+                    std::swap(a[c * n + j], a[p * n + j]);
+                for (int64_t j = 0; j < k; ++j)
+                    std::swap(b[c * k + j], b[p * k + j]);
+            }
+            const double inv = 1.0 / a[c * n + c];
+            for (int64_t r = c + 1; r < n; ++r) {
+                const double f = a[r * n + c] * inv;
+                if (f == 0.0) continue;
+                a[r * n + c] = 0.0;
+                for (int64_t j = c + 1; j < n; ++j)
+                    a[r * n + j] -= f * a[c * n + j];
+                for (int64_t j = 0; j < k; ++j)
+                    b[r * k + j] -= f * b[c * k + j];
+            }
+        }
+        if (bad[it]) {
+            for (int64_t i = 0; i < n * k; ++i) Xs[i] = (T)0;
+            continue;
+        }
+        for (int64_t c = n - 1; c >= 0; --c) {
+            const double inv = 1.0 / a[c * n + c];
+            for (int64_t j = 0; j < k; ++j) {
+                double acc = b[c * k + j];
+                for (int64_t r = c + 1; r < n; ++r)
+                    acc -= a[c * n + r] * b[r * k + j];
+                b[c * k + j] = acc * inv;
+            }
+        }
+        for (int64_t i = 0; i < n * k; ++i) Xs[i] = (T)b[i];
+    }
+}
+
+extern "C" {
+
+void batched_solve_f64(const double* A, const double* B, double* X,
+                       int64_t m, int64_t n, int64_t k, double* a,
+                       double* b, uint8_t* bad) {
+    batched_solve_impl<double>(A, B, X, m, n, k, a, b, bad);
+}
+
+void batched_solve_f32(const float* A, const float* B, float* X,
+                       int64_t m, int64_t n, int64_t k, double* a,
+                       double* b, uint8_t* bad) {
+    batched_solve_impl<float>(A, B, X, m, n, k, a, b, bad);
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // ---------------------------------------------------------------------- //
 // Q1 hex local mass matrices, all four de Rham forms in ONE pass over the
 // elements (DeRhamSequenceFE::assembleLocalMass role). Constant reference

@@ -79,24 +79,7 @@ def batched_solve(systems, rhs, backend="auto", skip=None):
         for (n, k), idxs in groups.items():
             Ast = np.stack([systems[i] for i in idxs])
             Bst = np.stack([rhs[i] for i in idxs])
-            try:
-                X = np.linalg.solve(Ast, Bst)
-            except np.linalg.LinAlgError:
-                X = np.stack([
-                    np.linalg.lstsq(A, b, rcond=None)[0]
-                    for A, b in zip(Ast, Bst)])
-            # singular/ill-conditioned local systems (pinched-topology
-            # saddles) solve to garbage without raising — verify residuals
-            # and redo offenders with min-norm least squares (threshold
-            # scales with the working precision: f32 pipelines sit at a
-            # ~1e-4 residual floor)
-            rtol_v = max(1e-8, 1e3 * float(np.finfo(Ast.dtype).eps))
-            rc = 1e-12 if Ast.dtype == np.float64 else 1e-5
-            res = np.abs(Ast @ X - Bst).max(axis=(1, 2))
-            scale = np.maximum(np.abs(Bst).max(axis=(1, 2)), 1.0)
-            for j in np.where(res > rtol_v * scale)[0]:
-                X[j] = np.linalg.lstsq(Ast[j], Bst[j], rcond=rc)[0]
-            _scatter(idxs, X)
+            _scatter(idxs, _host_solve_stack(Ast, Bst))
         return out
 
     import jax
@@ -143,23 +126,41 @@ def solve_groups(As, Bs, backend="auto", skip=None):
             out.append(B)
             continue
         if backend == "host":
-            try:
-                X = np.linalg.solve(A, B)
-            except np.linalg.LinAlgError:
-                X = np.stack([np.linalg.lstsq(a, b, rcond=None)[0]
-                              for a, b in zip(A, B)])
-            # redo ill-conditioned members with min-norm least squares
-            # (threshold scales with the working precision)
-            rtol_v = max(1e-8, 1e3 * float(np.finfo(A.dtype).eps))
-            rc = 1e-12 if A.dtype == np.float64 else 1e-5
-            res = np.abs(A @ X - B).max(axis=(1, 2))
-            scale = np.maximum(np.abs(B).max(axis=(1, 2)), 1.0)
-            for j in np.where(res > rtol_v * scale)[0]:
-                X[j] = np.linalg.lstsq(A[j], B[j], rcond=rc)[0]
-            out.append(X)
+            out.append(_host_solve_stack(A, B))
         else:
             out.append(_device_solve_refined(A, B))
     return out
+
+
+def _host_solve_stack(A, B):
+    """Stacked host solve with min-norm-lstsq repair of (near-)singular
+    members. Routes through the native batched LU (f64 accumulation —
+    LAPACK per-call overhead dominates at per-AE sizes and the f32 LAPACK
+    path needed frequent lstsq redo passes) with np.linalg.solve as the
+    fallback."""
+    from parelag_tpu.ops import native
+    if native.available():
+        X, hard_bad = native.batched_solve(A, B)
+        # f64-accurate solves: only genuinely ill-conditioned systems can
+        # still miss the residual tolerance
+        rtol_v = max(1e-8, 1e3 * float(np.finfo(A.dtype).eps))
+    else:
+        hard_bad = None
+        try:
+            X = np.linalg.solve(A, B)
+        except np.linalg.LinAlgError:
+            X = np.stack([np.linalg.lstsq(a, b, rcond=None)[0]
+                          for a, b in zip(A, B)])
+        rtol_v = max(1e-8, 1e3 * float(np.finfo(A.dtype).eps))
+    rc = 1e-12 if A.dtype == np.float64 else 1e-5
+    res = np.abs(A @ X - B).max(axis=(1, 2))
+    scale = np.maximum(np.abs(B).max(axis=(1, 2)), 1.0)
+    bad = res > rtol_v * scale
+    if hard_bad is not None:
+        bad |= hard_bad
+    for j in np.where(bad)[0]:
+        X[j] = np.linalg.lstsq(A[j], B[j], rcond=rc)[0]
+    return X
 
 
 _NS_JIT = None

@@ -129,6 +129,13 @@ def _load():
     lib.split_components.argtypes = [
         i64p, i64p, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
     lib.split_components.restype = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.batched_solve_f64.argtypes = [
+        f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f64p, f64p, u8p]
+    lib.batched_solve_f32.argtypes = [
+        f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f64p, f64p, u8p]
     _LIB = lib
     return _LIB
 
@@ -291,6 +298,31 @@ def face_edges(face_verts, edges, nv):
         _p64(edges), ctypes.c_int64(edges.shape[0]), ctypes.c_int64(nv),
         _p64(face_edge), _pf(sign))
     return face_edge, sign
+
+
+def batched_solve(A, B):
+    """Stacked dense solve A[i] @ X[i] = B[i] with f64 internal
+    accumulation and partial pivoting (one C pass; LAPACK per-call
+    overhead dominates at per-agglomerate sizes). Returns (X, bad) where
+    bad[i] marks a hard-singular item (X[i] zeroed; caller re-solves)."""
+    lib = _load()
+    A = np.ascontiguousarray(A)
+    B = np.ascontiguousarray(B)
+    m, n, k = B.shape
+    X = np.empty_like(B)
+    a = np.empty(n * n, dtype=np.float64)
+    b = np.empty(max(n * k, 1), dtype=np.float64)
+    bad = np.zeros(m, dtype=np.uint8)
+    bp = bad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if A.dtype == np.float32:
+        lib.batched_solve_f32(
+            _pf32(A), _pf32(B), _pf32(X), ctypes.c_int64(m),
+            ctypes.c_int64(n), ctypes.c_int64(k), _pf(a), _pf(b), bp)
+    else:
+        lib.batched_solve_f64(
+            _pf(A), _pf(B), _pf(X), ctypes.c_int64(m),
+            ctypes.c_int64(n), ctypes.c_int64(k), _pf(a), _pf(b), bp)
+    return X, bad.astype(bool)
 
 
 def split_components(B_csr, label):

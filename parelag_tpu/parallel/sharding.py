@@ -254,6 +254,25 @@ def shard_blocks(mesh: Mesh, blocks):
         blocks.shape, sh, lambda idx: blocks[idx])
 
 
+def replicate_array(mesh: Mesh, x):
+    """Fully-replicated global array over the mesh (multi-process safe:
+    every process holds a full copy of its addressable shard)."""
+    from jax.sharding import NamedSharding
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, P(*([None] * x.ndim)))
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def gather_global(x) -> np.ndarray:
+    """Host copy of a global sharded array; multi-process safe (uses
+    process_allgather when shards live on other processes)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def distributed_pcg_step(mesh: Mesh):
     """One preconditioned-CG iteration under shard_map — the distributed
     'training step' of the solve phase. State = (x, r, z, d, rz); all blocks
@@ -491,21 +510,37 @@ class DistributedHierarchy:
     coarse_inv: np.ndarray       # replicated dense inverse of level L
     owners: list                 # dof owner per level
 
-    def device_args(self):
+    def device_args(self, mesh: "Mesh" = None):
+        """Device-resident level arrays. With `mesh` given, every
+        (ndev, ...) block is placed as a GLOBAL dd-sharded array via
+        shard_blocks (jax.make_array_from_callback) and the replicated
+        pieces via replicate_array — the multi-process-safe path (each
+        process materializes only its addressable shards; plain
+        jnp.asarray host arrays cannot cross process boundaries).
+        Without `mesh`, single-process jnp.asarray placement."""
         import jax.numpy as jnp
+        if mesh is None:
+            put = jnp.asarray
+            rep = jnp.asarray
+        else:
+            def put(x):
+                return shard_blocks(mesh, x)
+
+            def rep(x):
+                return replicate_array(mesh, x)
         lv = []
         for s, p, (Pi, Pv) in zip(self.systems, self.plans, self.P_rows):
             lv.append(dict(
-                values=jnp.asarray(s.values),
-                idx_ext=jnp.asarray(p.indices_ext),
-                mask=jnp.asarray(s.row_mask),
-                dinv=jnp.asarray(s.dinv),
-                sends=tuple(jnp.asarray(t) for t in p.send_slots),
-                Pi=jnp.asarray(Pi), Pv=jnp.asarray(Pv)))
+                values=put(s.values),
+                idx_ext=put(p.indices_ext),
+                mask=put(s.row_mask),
+                dinv=put(s.dinv),
+                sends=tuple(put(t) for t in p.send_slots),
+                Pi=put(Pi), Pv=put(Pv)))
         # virtual index of each global coarsest dof (for the replicated
         # dense solve: virtual layout interleaves per-device padding)
-        g2v = jnp.asarray(self.systems[-1].virt.astype(np.int32))
-        return lv, jnp.asarray(self.coarse_inv), g2v
+        g2v = rep(self.systems[-1].virt.astype(np.int32))
+        return lv, rep(self.coarse_inv), g2v
 
 
 def coarse_owner_from_P(P, fine_owner):
@@ -635,12 +670,18 @@ def distributed_mg_l_step(mesh: Mesh, hierarchy: DistributedHierarchy,
 
 def distributed_mg_l_pcg(hier: DistributedHierarchy, b_global, mesh: Mesh,
                          iters=20, dtype=np.float64, nu=2, omega=0.7):
-    """Distributed L-level MG-PCG driver; returns the global solution."""
-    levels_args, cinv, g2v = hier.device_args()
+    """Distributed L-level MG-PCG driver; returns the global solution.
+    Multi-process safe: level blocks and state ride
+    make_array_from_callback global arrays and the result is
+    process-allgathered (the reference's analog is hypre's ParCSR V-cycle
+    over an arbitrary MPI world, ParELAG_Hierarchy.cpp:109-253)."""
+    multi = jax.process_count() > 1
+    levels_args, cinv, g2v = hier.device_args(mesh if multi else None)
     step = jax.jit(distributed_mg_l_step(mesh, hier, nu=nu,
                                          omega=omega)(levels_args))
     s0 = hier.systems[0]
-    b = jnp.asarray(s0.to_local(np.asarray(b_global, dtype=dtype)))
+    b_blocks = s0.to_local(np.asarray(b_global, dtype=dtype))
+    b = shard_blocks(mesh, b_blocks) if multi else jnp.asarray(b_blocks)
     x = jnp.zeros_like(b)
     r = b
     z = b
@@ -649,7 +690,7 @@ def distributed_mg_l_pcg(hier: DistributedHierarchy, b_global, mesh: Mesh,
     x, r, z, d = step(levels_args, cinv, g2v, x, r, z, d)
     for _ in range(iters):
         x, r, z, d = step(levels_args, cinv, g2v, x, r, z, d)
-    return s0.to_global(np.asarray(x))
+    return s0.to_global(gather_global(x))
 
 
 def distributed_pcg(system: DistributedSystem, b_global, mesh: Mesh,

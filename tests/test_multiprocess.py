@@ -1,0 +1,60 @@
+"""Simulated 2-process (multi-host) distributed solve: two JAX processes,
+4 virtual CPU devices each, one 8-device dd mesh across both — the
+3-level distributed V-cycle PCG must match the serial direct solve on
+every process (reference analog: the mpirun -np 2 CTest lanes,
+cmake/modules/ParELAGCMakeUtilities.cmake:422-436; the multi-process
+plumbing replaces src/utilities/mpiUtils.hpp:22-76)."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_mg_pcg():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    digests = []
+    for out in outs:
+        m = re.search(r"MPOK pid=\d+ err=(\S+) digest=(\S+)", out)
+        assert m, out[-3000:]
+        assert float(m.group(1)) < 1e-10
+        digests.append(m.group(2))
+    # both processes reconstructed the same global solution
+    assert digests[0] == digests[1]
