@@ -113,3 +113,65 @@ def test_2d_shared_vertex_pinch():
     seq.coarsen(svd_tol=1e-9)
     errs, bad = seq.check_invariants(tol=1e-8)
     assert not bad, (bad, errs)
+
+
+def _adversarial_2d(nx, assign, force_repair_hook=False):
+    from parelag_tpu.mesh.mesh import quad_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace2d import DeRhamSequence2DFE
+
+    m = quad_grid_mesh(nx, nx)
+    ctr = m.vertices[m.elements].mean(axis=1)
+    ix = (ctr[:, 0] * nx).astype(int)
+    iy = (ctr[:, 1] * nx).astype(int)
+    cid = {(ix[e], iy[e]): e for e in range(m.num_elements)}
+    part = np.zeros(m.num_elements, dtype=np.int64)
+    for key, ae in assign.items():
+        part[cid[key]] = ae
+    topo = AgglomeratedTopology.from_mesh(m)
+    topo.coarsen_local_partitioning(part, check_topology=True)
+    if force_repair_hook:
+        topo.had_pinch_repair = True
+    seq = DeRhamSequence2DFE(topo, m)
+    seq.set_upscaling_targets(0)
+    seq.coarsen(svd_tol=1e-9)
+    return topo, seq
+
+
+@pytest.mark.parametrize("assign", [
+    {(1, 1): 1, (2, 2): 2},                          # diagonal cells
+    {(0, 0): 1, (1, 0): 1, (1, 1): 1,
+     (2, 2): 2, (2, 3): 2, (3, 2): 2},               # two L's at a vertex
+    {(0, 0): 1, (0, 1): 1, (1, 1): 1,
+     (2, 2): 1, (3, 2): 1, (3, 3): 1},               # split bowtie
+])
+def test_2d_adversarial_partitions_never_pinch(assign):
+    """In 2D the ELAG-19 pinch is unreachable: a vertex on the closure of
+    two coarse facets gets the signature {A, B} and the minimal-
+    intersection-set grouping promotes it to its own coarse ridge, so no
+    entity is ever interiorly claimed by two coarse facets (in 3D the
+    pinch lives at the edge/vertex codims BELOW the MIS'd facets). The
+    adversarial partitions here coarsen with exact invariants and never
+    fire the repair."""
+    topo, seq = _adversarial_2d(4, assign)
+    assert not getattr(topo, "had_pinch_repair", False)
+    errs, bad = seq.check_invariants(tol=1e-8)
+    assert not bad, (bad, errs)
+
+
+def test_2d_curl_range_hook_runs():
+    """The curl-range enrichment hook (sequence.coarsen, jform =
+    nforms-3 = 0 in 2D) is wired for 2D sequences: with the pinch-repair
+    flag forced on a clean topology the repair pass runs through the 2D
+    Hdiv(rot) machinery, finds a zero commuting gap, adds no dofs, and
+    the invariants stay exact (ROADMAP round-4 item: 2D lane for the
+    _repair_curl_range hook)."""
+    topo, seq = _adversarial_2d(
+        4, {(0, 0): 1, (1, 0): 1, (1, 1): 1,
+            (2, 2): 2, (2, 3): 2, (3, 2): 2}, force_repair_hook=True)
+    cs = seq.coarser
+    # zero commuting gap -> no enrichment dofs appended
+    R = seq.D[0] @ seq.P[0] - seq.P[1] @ cs.D[0]
+    assert abs(R).max() < 1e-10
+    errs, bad = seq.check_invariants(tol=1e-8)
+    assert not bad, (bad, errs)
