@@ -172,7 +172,9 @@ def _build_h1(nx, min_coarse=256, setup_dtype=np.float32):
         part = cartesian_partition(shape, (2, 2, 2))
         topos.append(topos[-1].coarsen_local_partitioning(part))
         shape = tuple(s // 2 for s in shape)
-    seq0 = DeRhamSequenceFE(topos[0], mesh)
+    seq0 = DeRhamSequenceFE(
+        topos[0], mesh,
+        dtype=setup_dtype if setup_dtype is not None else np.float64)
     seq0.set_upscaling_targets(0)
     if setup_dtype is not None:
         # the flagship solve runs f32/bf16 — the coherent setup pipeline

@@ -593,8 +593,6 @@ void batched_solve_f32(const float* A, const float* B, float* X,
 
 }  // extern "C"
 
-extern "C" {
-
 // ---------------------------------------------------------------------- //
 // Q1 hex local mass matrices, all four de Rham forms in ONE pass over the
 // elements (DeRhamSequenceFE::assembleLocalMass role). Constant reference
@@ -603,13 +601,17 @@ extern "C" {
 // shapes, ndE (nq,12,3) ND0 shapes, rtF (nq,6,3) RT0 shapes, qw (nq).
 // coeffX: optional (ne, nq) coefficient values (null -> 1).
 // Outputs: M0 (ne,8,8), M1 (ne,12,12) edge-sign folded, M2 (ne,6,6)
-// face-sign folded, M3 (ne,1), vols (ne).
-void hex_masses(const double* coords, int64_t ne, const double* dsh,
+// face-sign folded, M3 (ne,1), vols (ne). Accumulation is always f64; OT
+// selects the storage precision (f32 for a cast_setup(np.float32)
+// pipeline — halves the stored bytes and skips the post-build re-cast).
+template <typename OT>
+static void hex_masses_impl(
+                const double* coords, int64_t ne, const double* dsh,
                 const double* sh, const double* ndE, const double* rtF,
                 const double* qw, int64_t nq, const double* es,
                 const double* fs, const double* c0, const double* c1,
-                const double* c2, const double* c3, double* M0, double* M1,
-                double* M2, double* M3, double* vols) {
+                const double* c2, const double* c3, OT* M0, OT* M1,
+                OT* M2, OT* M3, double* vols) {
     for (int64_t e = 0; e < ne; ++e) {
         const double* X = coords + e * 24;  // (8,3)
         double m0[64] = {0}, m1[144] = {0}, m2[36] = {0};
@@ -688,37 +690,64 @@ void hex_masses(const double* coords, int64_t ne, const double* dsh,
             m3 += c3 ? w * c3[e * nq + q] : w;
         }
         // symmetrize + fold orientation signs
-        double* o0 = M0 + e * 64;
+        OT* o0 = M0 + e * 64;
         for (int64_t i = 0; i < 8; ++i)
             for (int64_t j = 0; j <= i; ++j)
-                o0[i * 8 + j] = o0[j * 8 + i] = m0[i * 8 + j];
-        double* o1 = M1 + e * 144;
+                o0[i * 8 + j] = o0[j * 8 + i] = OT(m0[i * 8 + j]);
+        OT* o1 = M1 + e * 144;
         const double* esig = es + e * 12;
         for (int64_t i = 0; i < 12; ++i)
             for (int64_t j = 0; j <= i; ++j) {
-                const double val = m1[i * 12 + j] * esig[i] * esig[j];
+                const OT val = OT(m1[i * 12 + j] * esig[i] * esig[j]);
                 o1[i * 12 + j] = o1[j * 12 + i] = val;
             }
-        double* o2 = M2 + e * 36;
+        OT* o2 = M2 + e * 36;
         const double* fsig = fs + e * 6;
         for (int64_t i = 0; i < 6; ++i)
             for (int64_t j = 0; j <= i; ++j) {
-                const double val = m2[i * 6 + j] * fsig[i] * fsig[j];
+                const OT val = OT(m2[i * 6 + j] * fsig[i] * fsig[j]);
                 o2[i * 6 + j] = o2[j * 6 + i] = val;
             }
-        M3[e] = m3;
+        M3[e] = OT(m3);
         vols[e] = vol;
     }
 }
+
+extern "C" {
+
+void hex_masses(const double* coords, int64_t ne, const double* dsh,
+                const double* sh, const double* ndE, const double* rtF,
+                const double* qw, int64_t nq, const double* es,
+                const double* fs, const double* c0, const double* c1,
+                const double* c2, const double* c3, double* M0, double* M1,
+                double* M2, double* M3, double* vols) {
+    hex_masses_impl<double>(coords, ne, dsh, sh, ndE, rtF, qw, nq, es, fs,
+                            c0, c1, c2, c3, M0, M1, M2, M3, vols);
+}
+
+void hex_masses_f32(const double* coords, int64_t ne, const double* dsh,
+                    const double* sh, const double* ndE, const double* rtF,
+                    const double* qw, int64_t nq, const double* es,
+                    const double* fs, const double* c0, const double* c1,
+                    const double* c2, const double* c3, float* M0,
+                    float* M1, float* M2, float* M3, double* vols) {
+    hex_masses_impl<float>(coords, ne, dsh, sh, ndE, rtF, qw, nq, es, fs,
+                           c0, c1, c2, c3, M0, M1, M2, M3, vols);
+}
+
+}  // extern "C"
 
 // Quad-face trace masses, all three in one pass (bilinIntegrators role):
 // fh1 (nf,4,4) Q1 surface mass, fnd (nf,4,4) tangential ND trace mass
 // (edge-sign folded), frt (nf,1) integral of 1/W. Tables: fsh (nq,4) quad
 // shapes, fE (nq,4,2) 2D ND0 shapes, q2 (nq,2) points, qw2 (nq).
-void face_masses(const double* coords4, int64_t nf, const double* fsh,
+// f64 accumulation, OT storage (see hex_masses_impl).
+template <typename OT>
+static void face_masses_impl(
+                 const double* coords4, int64_t nf, const double* fsh,
                  const double* fE, const double* q2, const double* qw2,
-                 int64_t nq, const double* es, double* fh1, double* fnd,
-                 double* frt) {
+                 int64_t nq, const double* es, OT* fh1, OT* fnd,
+                 OT* frt) {
     for (int64_t f = 0; f < nf; ++f) {
         const double* X = coords4 + f * 12;  // (4,3)
         double h1[16] = {0}, nd[16] = {0};
@@ -758,19 +787,37 @@ void face_masses(const double* coords4, int64_t nf, const double* fsh,
             }
             rt += qw2[q] / W;
         }
-        double* oh = fh1 + f * 16;
+        OT* oh = fh1 + f * 16;
         for (int64_t i = 0; i < 4; ++i)
             for (int64_t j = 0; j <= i; ++j)
-                oh[i * 4 + j] = oh[j * 4 + i] = h1[i * 4 + j];
-        double* on = fnd + f * 16;
+                oh[i * 4 + j] = oh[j * 4 + i] = OT(h1[i * 4 + j]);
+        OT* on = fnd + f * 16;
         const double* esig = es + f * 4;
         for (int64_t i = 0; i < 4; ++i)
             for (int64_t j = 0; j <= i; ++j) {
-                const double val = nd[i * 4 + j] * esig[i] * esig[j];
+                const OT val = OT(nd[i * 4 + j] * esig[i] * esig[j]);
                 on[i * 4 + j] = on[j * 4 + i] = val;
             }
-        frt[f] = rt;
+        frt[f] = OT(rt);
     }
+}
+
+extern "C" {
+
+void face_masses(const double* coords4, int64_t nf, const double* fsh,
+                 const double* fE, const double* q2, const double* qw2,
+                 int64_t nq, const double* es, double* fh1, double* fnd,
+                 double* frt) {
+    face_masses_impl<double>(coords4, nf, fsh, fE, q2, qw2, nq, es,
+                             fh1, fnd, frt);
+}
+
+void face_masses_f32(const double* coords4, int64_t nf, const double* fsh,
+                     const double* fE, const double* q2, const double* qw2,
+                     int64_t nq, const double* es, float* fh1, float* fnd,
+                     float* frt) {
+    face_masses_impl<float>(coords4, nf, fsh, fE, q2, qw2, nq, es,
+                            fh1, fnd, frt);
 }
 
 void assemble_agglomerate_blocks_var_f32(

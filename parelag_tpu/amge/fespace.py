@@ -22,10 +22,15 @@ from parelag_tpu.mesh.entities import derive_entities
 
 
 class DeRhamSequenceFE(DeRhamSequence):
-    def __init__(self, topo, mesh):
+    def __init__(self, topo, mesh, dtype=np.float64):
+        """dtype: storage precision of the local mass blocks. Passing
+        np.float32 assembles the masses directly in f32 (the native
+        kernels still accumulate in f64), so a cast_setup(np.float32)
+        pipeline skips the multi-GB post-build re-cast entirely."""
         super().__init__(topo, mesh.dim + 1)
         self.kind = mesh.kind
         self.mesh = mesh
+        self._mass_dtype = np.dtype(dtype)
         self.ents = topo.entities if hasattr(topo, "entities") else \
             derive_entities(mesh)
 
@@ -130,7 +135,8 @@ class DeRhamSequenceFE(DeRhamSequence):
                 hexfe._q1_shapes(hexfe._Q3),
                 hexfe._nd0_ref_shapes(hexfe._Q3),
                 hexfe._rt0_ref_shapes(hexfe._Q3), hexfe._QW3,
-                e.elem_edge_sign, e.elem_face_sign, coeff)
+                e.elem_edge_sign, e.elem_face_sign, coeff,
+                dtype=self._mass_dtype)
             self._geom_cache["vols"] = vols
             self.M[(0, 0)] = LocalMass.from_uniform(m.elements, blocks[0])
             self.M[(0, 1)] = LocalMass.from_uniform(e.elem_edge, blocks[1])
@@ -138,8 +144,11 @@ class DeRhamSequenceFE(DeRhamSequence):
             self.M[(0, 3)] = LocalMass.from_uniform(
                 np.arange(ne)[:, None], blocks[3])
         elif self.kind == "hex":
-            blocks = {0: np.empty((ne, 8, 8)), 1: np.empty((ne, 12, 12)),
-                      2: np.empty((ne, 6, 6)), 3: np.empty((ne, 1, 1))}
+            dt = self._mass_dtype
+            blocks = {0: np.empty((ne, 8, 8), dt),
+                      1: np.empty((ne, 12, 12), dt),
+                      2: np.empty((ne, 6, 6), dt),
+                      3: np.empty((ne, 1, 1), dt)}
 
             def _c(j, sl):
                 cj = coeff.get(j)
@@ -162,17 +171,21 @@ class DeRhamSequenceFE(DeRhamSequence):
             self.M[(0, 3)] = LocalMass.from_uniform(
                 np.arange(ne)[:, None], blocks[3])
         else:
+            dt = self._mass_dtype
             self.M[(0, 0)] = LocalMass.from_uniform(
-                m.elements, tetfe.tet_h1_mass(ec, coeff.get(0)))
+                m.elements, tetfe.tet_h1_mass(
+                    ec, coeff.get(0)).astype(dt, copy=False))
             self.M[(0, 1)] = LocalMass.from_uniform(
                 e.elem_edge, tetfe.tet_nd_mass(
-                    ec, e.elem_edge_sign, coeff.get(1)))
+                    ec, e.elem_edge_sign,
+                    coeff.get(1)).astype(dt, copy=False))
             self.M[(0, 2)] = LocalMass.from_uniform(
                 e.elem_face, tetfe.tet_rt_mass(
-                    ec, e.elem_face_sign, coeff.get(2)))
+                    ec, e.elem_face_sign,
+                    coeff.get(2)).astype(dt, copy=False))
             self.M[(0, 3)] = LocalMass.from_uniform(
                 np.arange(ne)[:, None], tetfe.tet_l2_mass(
-                    ec, coeff.get(3)))
+                    ec, coeff.get(3)).astype(dt, copy=False))
 
         # ---- codim 1 (facet) trace masses ---- #
         if use_native:
@@ -185,12 +198,14 @@ class DeRhamSequenceFE(DeRhamSequence):
             fE[:, 2, 0] = -t
             fE[:, 3, 1] = -(1 - s)
             fh1, fnd, frt = native.face_masses(
-                fc, fsh, fE, hexfe._Q2, hexfe._QW2, e.face_edge_sign)
+                fc, fsh, fE, hexfe._Q2, hexfe._QW2, e.face_edge_sign,
+                dtype=self._mass_dtype)
         elif self.kind == "hex":
             nf_tot = fc.shape[0]
-            fh1 = np.empty((nf_tot, 4, 4))
-            fnd = np.empty((nf_tot, 4, 4))
-            frt = np.empty((nf_tot, 1, 1))
+            dt = self._mass_dtype
+            fh1 = np.empty((nf_tot, 4, 4), dt)
+            fnd = np.empty((nf_tot, 4, 4), dt)
+            frt = np.empty((nf_tot, 1, 1), dt)
             CH = 131072
             for s0 in range(0, max(nf_tot, 1), CH):
                 sl = slice(s0, min(s0 + CH, nf_tot))
@@ -200,9 +215,11 @@ class DeRhamSequenceFE(DeRhamSequence):
                     fc[sl], e.face_edge_sign[sl], F=F)
                 frt[sl] = hexfe.face_rt_trace_mass(fc[sl], F=F)
         else:
-            fh1 = tetfe.tri_h1_mass(fc)
-            fnd = tetfe.tri_nd_mass(fc, e.face_edge_sign)
-            frt = tetfe.tri_rt_trace_mass(fc)
+            dt = self._mass_dtype
+            fh1 = tetfe.tri_h1_mass(fc).astype(dt, copy=False)
+            fnd = tetfe.tri_nd_mass(
+                fc, e.face_edge_sign).astype(dt, copy=False)
+            frt = tetfe.tri_rt_trace_mass(fc).astype(dt, copy=False)
         self.M[(1, 0)] = LocalMass.from_uniform(
             np.asarray(e.face_verts), fh1)
         self.M[(1, 1)] = LocalMass.from_uniform(e.face_edge, fnd)
@@ -210,16 +227,17 @@ class DeRhamSequenceFE(DeRhamSequence):
             np.arange(e.num_faces)[:, None], frt)
 
         # ---- codim 2 (ridge) ---- #
+        dt = self._mass_dtype
         self.M[(2, 0)] = LocalMass.from_uniform(
-            e.edges, hexfe.edge_h1_mass(rc))
+            e.edges, hexfe.edge_h1_mass(rc).astype(dt, copy=False))
         self.M[(2, 1)] = LocalMass.from_uniform(
             np.arange(e.num_edges)[:, None],
-            hexfe.edge_nd_trace_mass(rc))
+            hexfe.edge_nd_trace_mass(rc).astype(dt, copy=False))
 
         # ---- codim 3 (peak) ---- #
         nv = m.num_vertices
         self.M[(3, 0)] = LocalMass.from_uniform(
-            np.arange(nv)[:, None], np.ones((nv, 1, 1)))
+            np.arange(nv)[:, None], np.ones((nv, 1, 1), dt))
 
     def replace_mass_integrator(self, form, coeff_fn):
         """Replace the codim-0 mass coefficient of `form` and reassemble

@@ -126,6 +126,13 @@ def _load():
     lib.face_masses.argtypes = [
         f64p, ctypes.c_int64, f64p, f64p, f64p, f64p, ctypes.c_int64,
         f64p, f64p, f64p, f64p]
+    lib.hex_masses_f32.argtypes = [
+        f64p, ctypes.c_int64, f64p, f64p, f64p, f64p, f64p,
+        ctypes.c_int64, f64p, f64p, f64p, f64p, f64p, f64p,
+        f32p, f32p, f32p, f32p, f64p]
+    lib.face_masses_f32.argtypes = [
+        f64p, ctypes.c_int64, f64p, f64p, f64p, f64p, ctypes.c_int64,
+        f64p, f32p, f32p, f32p]
     lib.split_components.argtypes = [
         i64p, i64p, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
     lib.split_components.restype = ctypes.c_int64
@@ -350,9 +357,12 @@ def _opt(c):
 
 
 def hex_masses(coords, dsh, sh, ndE, rtF, qw, edge_signs, face_signs,
-               coeffs=None):
+               coeffs=None, dtype=np.float64):
     """All four Q1 hex local mass families + volumes in one native pass.
     coeffs: optional dict form -> (ne, nq) quadrature-point coefficients.
+    dtype: storage precision of the mass blocks (accumulation is always
+    f64 in the kernel; f32 storage halves the written bytes and lets an
+    f32 setup pipeline skip the post-build cast). vols stays f64.
     Returns (M0 (ne,8,8), M1 (ne,12,12), M2 (ne,6,6), M3 (ne,1,1), vols)."""
     lib = _load()
     ne = coords.shape[0]
@@ -365,36 +375,42 @@ def hex_masses(coords, dsh, sh, ndE, rtF, qw, edge_signs, face_signs,
         for j in range(4):
             if coeffs.get(j) is not None:
                 cs[j] = np.ascontiguousarray(coeffs[j], dtype=np.float64)
-    M0 = np.empty((ne, 8, 8))
-    M1 = np.empty((ne, 12, 12))
-    M2 = np.empty((ne, 6, 6))
-    M3 = np.empty((ne, 1, 1))
+    dtype = np.dtype(dtype)
+    f32 = dtype == np.float32
+    vp = _pf32 if f32 else _pf
+    M0 = np.empty((ne, 8, 8), dtype)
+    M1 = np.empty((ne, 12, 12), dtype)
+    M2 = np.empty((ne, 6, 6), dtype)
+    M3 = np.empty((ne, 1, 1), dtype)
     vols = np.empty(ne)
-    lib.hex_masses(
+    (lib.hex_masses_f32 if f32 else lib.hex_masses)(
         _pf(coords), ctypes.c_int64(ne),
         _pf(np.ascontiguousarray(dsh)), _pf(np.ascontiguousarray(sh)),
         _pf(np.ascontiguousarray(ndE)), _pf(np.ascontiguousarray(rtF)),
         _pf(np.ascontiguousarray(qw)), ctypes.c_int64(nq), _pf(es),
         _pf(fs), _opt(cs[0]), _opt(cs[1]), _opt(cs[2]), _opt(cs[3]),
-        _pf(M0), _pf(M1), _pf(M2), _pf(M3), _pf(vols))
+        vp(M0), vp(M1), vp(M2), vp(M3), _pf(vols))
     return M0, M1, M2, M3, vols
 
 
-def face_masses(coords4, fsh, fE, q2, qw2, edge_signs):
+def face_masses(coords4, fsh, fE, q2, qw2, edge_signs, dtype=np.float64):
     """Quad-face H1/ND-trace/RT-trace masses in one native pass."""
     lib = _load()
     nf = coords4.shape[0]
     nq = qw2.shape[0]
     coords4 = np.ascontiguousarray(coords4, dtype=np.float64)
     es = np.ascontiguousarray(edge_signs, dtype=np.float64)
-    fh1 = np.empty((nf, 4, 4))
-    fnd = np.empty((nf, 4, 4))
-    frt = np.empty((nf, 1, 1))
-    lib.face_masses(
+    dtype = np.dtype(dtype)
+    f32 = dtype == np.float32
+    vp = _pf32 if f32 else _pf
+    fh1 = np.empty((nf, 4, 4), dtype)
+    fnd = np.empty((nf, 4, 4), dtype)
+    frt = np.empty((nf, 1, 1), dtype)
+    (lib.face_masses_f32 if f32 else lib.face_masses)(
         _pf(coords4), ctypes.c_int64(nf),
         _pf(np.ascontiguousarray(fsh)), _pf(np.ascontiguousarray(fE)),
         _pf(np.ascontiguousarray(q2)), _pf(np.ascontiguousarray(qw2)),
-        ctypes.c_int64(nq), _pf(es), _pf(fh1), _pf(fnd), _pf(frt))
+        ctypes.c_int64(nq), _pf(es), vp(fh1), vp(fnd), vp(frt))
     return fh1, fnd, frt
 
 

@@ -112,3 +112,31 @@ def test_coarsening_parity_with_native_split(structured):
     for i in range(4):
         assert (topo_n.AEntity_entity[i]
                 != topo_p.AEntity_entity[i]).nnz == 0
+
+
+def test_f32_direct_masses():
+    """DeRhamSequenceFE(dtype=np.float32) stores every mass slot in f32,
+    matching the f64 build to f32 roundoff (native kernels accumulate in
+    f64 and cast only at store; the fallback numpy path downcasts on
+    assignment). vols/derivatives stay f64."""
+    mesh = _deformed_hex(4, seed=7)
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    s64 = DeRhamSequenceFE(topo, mesh)
+    s32 = DeRhamSequenceFE(AgglomeratedTopology.from_mesh(mesh), mesh,
+                           dtype=np.float32)
+    p32 = _numpy_path(DeRhamSequenceFE,
+                      AgglomeratedTopology.from_mesh(mesh), mesh,
+                      dtype=np.float32)
+    for key in s64.M:
+        b64 = s64.M[key]._cat[2]
+        for s in (s32, p32):
+            b32 = s.M[key]._cat[2]
+            assert b32.dtype == np.float32, key
+            scale = max(1.0, np.abs(b64).max())
+            assert np.abs(b64 - b32).max() < 2e-7 * scale, key
+    assert s32.element_volumes().dtype == np.float64
+    # cast_setup(np.float32) on an f32-direct build is then a cheap no-op
+    # for the mass slots (dtype already matches)
+    ids = [id(s32.M[k]._cat[2]) for k in s32.M]
+    s32.cast_setup(np.float32)
+    assert [id(s32.M[k]._cat[2]) for k in s32.M] == ids
