@@ -536,6 +536,100 @@ def lane_maxwell(nx):
                 value=n * niter / dt, unit="dof_iter_per_s")
 
 
+def lane_ho(nx, p=2):
+    """Arbitrary-order lane: order-p 3D hex H1 de Rham sequence
+    (amge/fespace3d_ho signed-permutation build), one AMGe coarsening,
+    V(2,2)-cycle PCG on device — the reference's --feorder surface
+    (DeRhamSequenceFE arbitrary order, DeRhamSequenceFE.hpp:58) at p>1
+    scale. Reports setup and solve throughput like lane_h1."""
+    import jax
+    import jax.numpy as jnp
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace3d_ho import DeRhamSequence3DFE_HO
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+    from parelag_tpu.models.upscaling import (
+        mark_dofs_on_bndr, eliminate_rowcols)
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    from parelag_tpu.solvers.cg import pcg
+
+    t0 = time.time()
+    mesh = hex_grid_mesh(nx, nx, nx)
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    topo.coarsen_local_partitioning(
+        cartesian_partition((nx, nx, nx), (2, 2, 2)))
+    seq = DeRhamSequence3DFE_HO(topo, mesh, p)
+    seq.set_upscaling_targets(0)
+    seqs = [seq, seq.coarsen()]
+    M = seq.compute_mass_operator(0)
+    W = seq.compute_mass_operator(1)
+    D = seq.D[0]
+    A = (M + D.T @ W @ D).tocsr()
+    rng = np.random.RandomState(0)
+    b = rng.randn(A.shape[0])
+    marker = mark_dofs_on_bndr(seq, 0, {1, 2, 3, 4, 5, 6})
+    A, b = eliminate_rowcols(A, b, marker, np.zeros(A.shape[0]))
+    dtype = np.float32
+    H, A_levels, P_levels = build_amge_hierarchy(
+        seqs, 0, A.astype(dtype), smoother="l1jacobi", sweeps=2,
+        dtype=dtype, matrix_format="dia")
+    setup_s = time.time() - t0
+    bj = jnp.asarray(b.astype(dtype))
+    Hb = H.cast(jnp.bfloat16)
+
+    @jax.jit
+    def solve(Harg, Hbarg, bb):
+        def precond(r):
+            return Hbarg.apply(r.astype(jnp.bfloat16)).astype(jnp.float32)
+        return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=precond,
+                   rtol=1e-5, atol=0.0, maxiter=200)
+
+    x, (it, nom) = solve(H, Hb, bj)
+    niter = int(it)
+    res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
+    dt = _slope_time(lambda: solve(H, Hb, bj)[0])
+    n = A.shape[0]
+    return dict(metric=f"ho_p{p}_h1_amge_vcycle_pcg", ndofs=n, p=p,
+                iters=niter,
+                rel_res=res / max(float(np.linalg.norm(b)), 1e-30),
+                setup_s=setup_s, solve_s=dt,
+                value=n * niter / dt, unit="dof_iter_per_s")
+
+
+def lane_autotune(nx):
+    """Cycle-shape autotune lane: measure the default V/W-cycle x smoother
+    grid (solvers/autotune.py) on the H1 AMGe hierarchy and report the
+    winning configuration's throughput (the reference leaves cycle/
+    relaxation choice to hand-written XML; here it is measured)."""
+    from parelag_tpu.solvers.autotune import tune_cycle
+
+    t0 = time.time()
+    # min_coarse=64: keep >= 2 levels even at the quick scale (a 1-level
+    # hierarchy is a direct solve and the grid rows all tie at 1 iter)
+    seqs, A, b = _build_h1(nx, min_coarse=64)
+    from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
+    _, A_levels, P_levels = build_amge_hierarchy(
+        seqs, 0, A.astype(np.float32), dtype=np.float32,
+        matrix_format="dia")
+    setup_s = time.time() - t0
+    t0 = time.time()
+    best, table = tune_cycle(A_levels, P_levels, b, rtol=1e-5,
+                             dtype=np.float32, matrix_format="dia")
+    tune_s = time.time() - t0
+    n = A.shape[0]
+    rows = [dict(cfg=r["cfg"], iters=r.get("iters"),
+                 solve_s=r.get("solve_s"), converged=r.get("converged"))
+            for r in table]
+    out = dict(metric="h1_amge_cycle_autotune", ndofs=n,
+               setup_s=setup_s, tune_s=tune_s, grid=rows)
+    if best:
+        out.update(best_cfg=best["cfg"], iters=best["iters"],
+                   solve_s=best["solve_s"],
+                   value=n * best["iters"] / best["solve_s"],
+                   unit="dof_iter_per_s")
+    return out
+
+
 def lane_dist(n_devices=8):
     """Distributed-solve lane: the sharded L-level V-cycle step timed on
     an n-virtual-device CPU mesh in a subprocess (the axon TPU is a
@@ -608,6 +702,11 @@ def main():
     except Exception as e:               # pragma: no cover
         print(f"[maxwell] lane failed: {e}", file=sys.stderr)
     try:
+        ho = lane_ho(16 if SCALE == "full" else 6, p=2)
+        print(json.dumps({"lane": "ho_p2", **ho}), file=sys.stderr)
+    except Exception as e:               # pragma: no cover
+        print(f"[ho] lane failed: {e}", file=sys.stderr)
+    try:
         sp10 = lane_spe10((30, 55, 21) if SCALE == "full" else (8, 8, 4))
         print(json.dumps({"lane": "spe10", **sp10}), file=sys.stderr)
     except Exception as e:               # pragma: no cover
@@ -621,6 +720,11 @@ def main():
                   file=sys.stderr)
         except Exception as e:           # pragma: no cover
             print(f"[spe10_full] lane failed: {e}", file=sys.stderr)
+    try:
+        at = lane_autotune(32 if SCALE == "full" else 10)
+        print(json.dumps({"lane": "autotune", **at}), file=sys.stderr)
+    except Exception as e:               # pragma: no cover
+        print(f"[autotune] lane failed: {e}", file=sys.stderr)
     try:
         d8 = lane_dist(8)
         print(json.dumps(d8), file=sys.stderr)
