@@ -84,7 +84,7 @@ def _op_bytes(A):
     """Device bytes read per SpMV for a device sparse operator (stored
     values + indices; vector traffic is counted by the caller)."""
     from parelag_tpu.ops.device_sparse import (
-        EllMatrix, BcsrMatrix, DiaMatrix)
+        EllMatrix, BcsrMatrix, DiaMatrix, TileCooMatrix)
     if A is None:
         return 0
     if isinstance(A, DiaMatrix):
@@ -92,6 +92,9 @@ def _op_bytes(A):
     if isinstance(A, BcsrMatrix):
         return (A.tiles.size * A.tiles.dtype.itemsize
                 + A.col_blocks.size * 4)
+    if isinstance(A, TileCooMatrix):
+        return (A.tiles.size * A.tiles.dtype.itemsize
+                + A.row_blocks.size * 8)
     if isinstance(A, EllMatrix):
         return (A.values.size * A.values.dtype.itemsize
                 + A.indices.size * 4)
@@ -263,7 +266,7 @@ def lane_h1(nx, n_rhs=None):
     dtype = np.float32
     H, A_levels, P_levels = build_amge_hierarchy(
         seqs, 0, A.astype(dtype), smoother="l1jacobi", sweeps=2,
-        dtype=dtype, matrix_format="dia")
+        dtype=dtype, matrix_format="dia", transfer_dtype=jnp.bfloat16)
     setup_s = time.time() - t0
     print(f"[h1] setup {setup_s:.1f}s ndofs={ndofs} "
           f"levels={len(H.levels)} "
@@ -572,7 +575,7 @@ def lane_ho(nx, p=2):
     dtype = np.float32
     H, A_levels, P_levels = build_amge_hierarchy(
         seqs, 0, A.astype(dtype), smoother="l1jacobi", sweeps=2,
-        dtype=dtype, matrix_format="dia")
+        dtype=dtype, matrix_format="dia", transfer_dtype=jnp.bfloat16)
     setup_s = time.time() - t0
     bj = jnp.asarray(b.astype(dtype))
     Hb = H.cast(jnp.bfloat16)

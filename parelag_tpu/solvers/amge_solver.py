@@ -19,7 +19,7 @@ from parelag_tpu.solvers import smoothers as sm
 def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
                          sweeps=2, mu=1, dtype=np.float64,
                          cheby_degree=3, matrix_format="auto",
-                         reorder=None):
+                         reorder=None, transfer_dtype=None):
     """seqs: list of DeRhamSequence levels (finest first); A_fine: assembled
     + BC-eliminated fine operator. Returns (Hierarchy, A_levels, P_levels).
 
@@ -48,7 +48,8 @@ def build_amge_hierarchy(seqs, form, A_fine, smoother="l1jacobi",
         raise ValueError(smoother)
 
     H = build_hierarchy(A_levels, P_levels, factory, mu=mu, dtype=dtype,
-                        matrix_format=matrix_format, reorder=reorder)
+                        matrix_format=matrix_format, reorder=reorder,
+                        transfer_dtype=transfer_dtype)
     return H, A_levels, P_levels
 
 

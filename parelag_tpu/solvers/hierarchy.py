@@ -113,7 +113,8 @@ def _cycle(levels, l, b, x, mu, x_is_zero=False):
 
 def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
                     mu=1, dtype=np.float64,
-                    matrix_format="auto", reorder=None) -> Hierarchy:
+                    matrix_format="auto", reorder=None,
+                    transfer_dtype=None) -> Hierarchy:
     """Assemble a device Hierarchy from host sparse matrices.
 
     A_scipy_levels: [A_0, ..., A_L] (A_{l+1} = P_l^T A_l P_l, already built —
@@ -129,8 +130,35 @@ def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
     perm/iperm for level 0; solve in permuted space (b[perm] in,
     x[iperm] out) — amge_pcg_solve does this automatically.
     """
-    from parelag_tpu.ops.device_sparse import to_bcsr
+    from parelag_tpu.ops.device_sparse import (
+        to_bcsr, to_tilecoo, bcsr_stats)
     import jax as _jax
+
+    def to_dev_transfer(M):
+        """Device format for P/R. Transfer operators are thin (~2-8 nnz
+        per row) and agglomerate-spread, so the A-format heuristics
+        misfire: DIA needs square shifts, and the BCSR guards tuned for
+        operators reject P at scale, falling back to element-gather ELL —
+        measured 0.8 GB/s vs 200+ GB/s for the VPU BCSR matvec (the L0
+        P/R applications were 90 of the 86ms flagship V-cycle). Pick by
+        host-side structure stats: BCSR when its kb-padding stays within
+        4x of the nonempty-tile bytes (dense writes beat segment-sum
+        scatter), TileCoo when padding explodes but the tile count is
+        sane, ELL only as the last resort."""
+        M = sp.csr_matrix(M)
+        tdt = transfer_dtype if transfer_dtype is not None else dtype
+        if matrix_format == "ell" or _jax.default_backend() == "cpu":
+            return from_scipy(M, dtype=tdt)
+        itemsize = np.dtype(tdt).itemsize
+        nbr, kb, ntiles = bcsr_stats(M)
+        bcsr_b = nbr * kb * 1024 * itemsize
+        coo_b = ntiles * 1024 * itemsize
+        cap = 1.5e9
+        if bcsr_b <= min(max(4 * coo_b, 64e6), cap):
+            return to_bcsr(M, dtype=tdt)
+        if coo_b <= cap:
+            return to_tilecoo(M, dtype=tdt)
+        return from_scipy(M, dtype=tdt)
 
     def to_dev(M):
         M = sp.csr_matrix(M)
@@ -196,8 +224,8 @@ def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
             sm = smoother_factory(A, l)
             levels.append(Level(
                 A=to_dev(A),
-                P=to_dev(P),
-                R=to_dev(P.T.tocsr()),
+                P=to_dev_transfer(P),
+                R=to_dev_transfer(P.T.tocsr()),
                 pre=sm, post=sm, coarse_inv=None))
     return Hierarchy(levels, mu, perm0, iperm0)
 

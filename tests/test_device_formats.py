@@ -97,3 +97,45 @@ def test_block_diag_inverse_apply():
     want = np.concatenate(
         [d * r[:6]] + [B3i[k] @ r[6 + 3 * k: 9 + 3 * k] for k in range(4)])
     assert np.allclose(got, want)
+
+
+@pytest.mark.parametrize("shape", [(300, 300), (200, 300), (300, 200)])
+def test_tilecoo_matches_scipy(shape):
+    from parelag_tpu.ops.device_sparse import to_tilecoo, bcsr_stats
+    rng = np.random.RandomState(1)
+    A = sp.random(*shape, density=0.03, random_state=rng).tocsr()
+    x = rng.randn(shape[1])
+    X = rng.randn(shape[1], 5)
+    T = to_tilecoo(A, dtype=np.float64)
+    assert np.allclose(np.asarray(T @ jnp.asarray(x)), A @ x)
+    assert np.allclose(np.asarray(T @ jnp.asarray(X)), A @ X)
+    nbr, kb, ntiles = bcsr_stats(A)
+    # stats describe the layouts: BCSR pads to nbr*kb tiles, TileCoo
+    # stores exactly the nonempty ones
+    assert T.tiles.shape[0] == max(ntiles, 1)
+    assert ntiles <= nbr * kb
+    B = to_bcsr(A, dtype=np.float64)
+    assert B.col_blocks.shape == (nbr, kb)
+
+
+def test_transfer_format_selection_and_dtype():
+    """build_hierarchy picks device formats for P/R from structure stats
+    and honors transfer_dtype (the solve-phase fix for the ELL-fallback
+    transfers that dominated the flagship V-cycle)."""
+    import jax
+    from parelag_tpu.solvers.hierarchy import build_hierarchy
+    from parelag_tpu.solvers import smoothers as sm
+    rng = np.random.RandomState(2)
+    n, nc = 400, 60
+    A = sp.random(n, n, density=0.02, random_state=rng)
+    A = (A + A.T + 20 * sp.identity(n)).tocsr()
+    P = sp.random(n, nc, density=0.05, random_state=rng).tocsr()
+    Ac = (P.T @ A @ P).tocsr()
+    H = build_hierarchy([A, Ac], [P],
+                        lambda M, l: sm.make_l1_jacobi(M, sweeps=1),
+                        dtype=np.float32, transfer_dtype=jnp.bfloat16)
+    assert H.levels[0].P.dtype == jnp.bfloat16
+    assert H.levels[0].R.dtype == jnp.bfloat16
+    b = rng.randn(n).astype(np.float32)
+    y = np.asarray(H.apply(jnp.asarray(b)), np.float64)
+    assert np.isfinite(y).all() and np.linalg.norm(y) > 0
