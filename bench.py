@@ -80,6 +80,24 @@ def _slope_time(run_once, warm=5, n1=10, n2=30, attempts=2):
     return max(est)
 
 
+def _first_call_pallas_guard(make_jitted, *args, lane=""):
+    """First invocation of a freshly-jitted solve triggers the per-shape
+    Mosaic kernel compiles; the axon remote-compile service intermittently
+    returns HTTP 500 for kernels that compiled fine minutes earlier. On
+    failure, disable the pallas fast paths and re-trace — the fallback
+    lowering is pure XLA and compiles locally."""
+    fn = make_jitted()
+    try:
+        return fn, fn(*args)
+    except Exception as e:
+        from parelag_tpu.ops.pallas_kernels import disable_pallas
+        print(f"[{lane}] pallas compile failed ({type(e).__name__}); "
+              f"retrying with the XLA fallback", file=sys.stderr)
+        disable_pallas()
+        fn = make_jitted()
+        return fn, fn(*args)
+
+
 def _op_bytes(A):
     """Device bytes read per SpMV for a device sparse operator (stored
     values + indices; vector traffic is counted by the caller)."""
@@ -127,16 +145,22 @@ _CHIP_BW = None
 
 
 def _chip_bw():
-    """Measured achievable HBM bandwidth: slope-timed fused saxpy over a
-    64 MB operand (bytes = 3 passes: two reads + one write)."""
+    """Measured achievable HBM bandwidth: the MAX over stream probes
+    (fused saxpy 3-pass, read-only reduction) — the honest denominator
+    for bw_frac is the best rate this chip has demonstrated. A single
+    probe kind is not enough: through the axon tunnel the same saxpy has
+    measured anywhere from 5 to 180 GB/s across windows while a read
+    reduction hit 600 GB/s in the same minute."""
     global _CHIP_BW
     if _CHIP_BW is not None:
         return _CHIP_BW
     import jax
     import jax.numpy as jnp
+
+    best = 0.0
     n = 1 << 24
-    x = jnp.asarray(np.random.rand(n).astype(np.float32))
-    y = jnp.asarray(np.random.rand(n).astype(np.float32))
+    x = jnp.arange(n, dtype=jnp.float32) * 1e-9
+    y = x + 1.0
 
     @jax.jit
     def saxpy(a, b):
@@ -151,8 +175,16 @@ def _chip_bw():
         return time.time() - t0
     batch(5)
     t1, t2 = batch(10), batch(30)
-    dt = max((t2 - t1) / 20, t2 / 30 if t2 > 0 else 1e-9)
-    _CHIP_BW = 3 * n * 4 / dt
+    dt = max((t2 - t1) / 20, 1e-9)
+    best = max(best, 3 * n * 4 / dt)
+
+    m = 1 << 26                        # 256 MB read-only stream
+    z = jnp.arange(m, dtype=jnp.float32) * 1e-9
+    red = jax.jit(lambda a: a.sum())
+    dt = _slope_time(lambda: red(z), warm=3, n1=5, n2=15, attempts=2)
+    best = max(best, m * 4 / dt)
+
+    _CHIP_BW = best
     return _CHIP_BW
 
 
@@ -280,14 +312,18 @@ def lane_h1(nx, n_rhs=None):
 
     Hb = H.cast(jnp.bfloat16)
 
-    @jax.jit
-    def solve(Harg, Hbarg, bb):
-        def precond(r):
-            return Hbarg.apply(r.astype(jnp.bfloat16)).astype(jnp.float32)
-        return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=precond,
-                   rtol=1e-5, atol=0.0, maxiter=100)
+    def make_solve():
+        @jax.jit
+        def solve(Harg, Hbarg, bb):
+            def precond(r):
+                return Hbarg.apply(
+                    r.astype(jnp.bfloat16)).astype(jnp.float32)
+            return pcg(lambda v: Harg.levels[0].A @ v, bb,
+                       precond=precond, rtol=1e-5, atol=0.0, maxiter=100)
+        return solve
 
-    x, (it, nom) = solve(H, Hb, bj)
+    solve, (x, (it, nom)) = _first_call_pallas_guard(
+        make_solve, H, Hb, bj, lane="h1")
     niter = int(it)
     res = float(np.linalg.norm(
         b - A @ np.asarray(x, dtype=np.float64)))
@@ -580,14 +616,18 @@ def lane_ho(nx, p=2):
     bj = jnp.asarray(b.astype(dtype))
     Hb = H.cast(jnp.bfloat16)
 
-    @jax.jit
-    def solve(Harg, Hbarg, bb):
-        def precond(r):
-            return Hbarg.apply(r.astype(jnp.bfloat16)).astype(jnp.float32)
-        return pcg(lambda v: Harg.levels[0].A @ v, bb, precond=precond,
-                   rtol=1e-5, atol=0.0, maxiter=200)
+    def make_solve():
+        @jax.jit
+        def solve(Harg, Hbarg, bb):
+            def precond(r):
+                return Hbarg.apply(
+                    r.astype(jnp.bfloat16)).astype(jnp.float32)
+            return pcg(lambda v: Harg.levels[0].A @ v, bb,
+                       precond=precond, rtol=1e-5, atol=0.0, maxiter=200)
+        return solve
 
-    x, (it, nom) = solve(H, Hb, bj)
+    solve, (x, (it, nom)) = _first_call_pallas_guard(
+        make_solve, H, Hb, bj, lane="ho")
     niter = int(it)
     res = float(np.linalg.norm(b - A @ np.asarray(x, dtype=np.float64)))
     dt = _slope_time(lambda: solve(H, Hb, bj)[0])

@@ -233,9 +233,27 @@ def dia_spmv_pallas(data, offs, xpad, lo, n, tile=8192,
     )(xpad, data)
 
 
+_FORCE_DISABLED = False
+
+
+def disable_pallas():
+    """Disable the pallas fast paths for the rest of the process.
+
+    The axon remote-compile service intermittently returns HTTP 500 for
+    Mosaic kernels that compiled fine minutes earlier; a mid-run failure
+    surfaces as an exception from the enclosing jit. Callers that must
+    not die (bench lanes, drivers) catch, call this, and re-jit — the
+    re-trace takes the XLA fallback paths."""
+    global _FORCE_DISABLED
+    _FORCE_DISABLED = True
+    pallas_dia_supported.cache_clear()
+
+
 @functools.lru_cache(maxsize=1)
 def pallas_dia_supported() -> bool:
     """Probe the DIA kernel lowering on the current default backend."""
+    if _FORCE_DISABLED:
+        return False
     try:
         data = jnp.ones((3, 8192), jnp.float32)
         xpad = jnp.ones(8192 + 16, jnp.float32)
