@@ -526,7 +526,8 @@ int64_t split_components(const int64_t* indptr, const int64_t* indices,
 template <typename T>
 static void batched_solve_impl(const T* A, const T* B, T* X, int64_t m,
                                int64_t n, int64_t k, double* a, double* b,
-                               uint8_t* bad) {
+                               uint8_t* bad, double* res = nullptr,
+                               double* bmax = nullptr) {
     for (int64_t it = 0; it < m; ++it) {
         const T* As = A + it * n * n;
         const T* Bs = B + it * n * k;
@@ -574,6 +575,26 @@ static void batched_solve_impl(const T* A, const T* B, T* X, int64_t m,
             }
         }
         for (int64_t i = 0; i < n * k; ++i) Xs[i] = (T)b[i];
+        if (res) {
+            // residual check while A/B/X are cache-hot: the numpy
+            // equivalent (np.abs(A @ X - B).max) costs a full extra
+            // batched-matmul pass over the group
+            double r = 0.0, bm = 0.0;
+            for (int64_t row = 0; row < n; ++row) {
+                for (int64_t j = 0; j < k; ++j) {
+                    double acc = -(double)Bs[row * k + j];
+                    const double babs = std::fabs((double)Bs[row * k + j]);
+                    if (babs > bm) bm = babs;
+                    for (int64_t l = 0; l < n; ++l)
+                        acc += (double)As[row * n + l]
+                             * (double)Xs[l * k + j];
+                    const double v = std::fabs(acc);
+                    if (v > r) r = v;
+                }
+            }
+            res[it] = r;
+            if (bmax) bmax[it] = bm;
+        }
     }
 }
 
@@ -589,6 +610,20 @@ void batched_solve_f32(const float* A, const float* B, float* X,
                        int64_t m, int64_t n, int64_t k, double* a,
                        double* b, uint8_t* bad) {
     batched_solve_impl<float>(A, B, X, m, n, k, a, b, bad);
+}
+
+void batched_solve_res_f64(const double* A, const double* B, double* X,
+                           int64_t m, int64_t n, int64_t k, double* a,
+                           double* b, uint8_t* bad, double* res,
+                           double* bmax) {
+    batched_solve_impl<double>(A, B, X, m, n, k, a, b, bad, res, bmax);
+}
+
+void batched_solve_res_f32(const float* A, const float* B, float* X,
+                           int64_t m, int64_t n, int64_t k, double* a,
+                           double* b, uint8_t* bad, double* res,
+                           double* bmax) {
+    batched_solve_impl<float>(A, B, X, m, n, k, a, b, bad, res, bmax);
 }
 
 }  // extern "C"
@@ -829,6 +864,78 @@ void assemble_agglomerate_blocks_var_f32(
     assemble_blocks_var_impl<float>(
         ents_cat, ent_off, dof_cat, dof_off, blk_cat, blk_off,
         ae_dofs_cat, ae_off, pos, out_cat, out_off, n_ae);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------- //
+// Chunked COO -> CSR (the _CooBuilder.tocsr hot path). The builder holds
+// many (rows, cols, vals) chunks appended stage by stage; scipy's
+// coo_matrix(...).tocsr() first concatenates them, then validates/copies
+// the index arrays, then sorts and de-duplicates — all O(nnz) passes the
+// setup pays per P-snapshot refresh. Here: one counting pass per chunk,
+// one scatter pass per chunk (no concatenation), then an in-place
+// per-row insertion sort by column (rows are short and arrive mostly
+// ordered, so the sort is near-linear). Duplicates are a caller bug by
+// builder contract (checked under PARELAG_DEBUG in Python).
+
+template <typename T>
+static void coo_fill_impl(const int64_t* r, const int64_t* c, const T* v,
+                          int64_t nnz, int64_t* cursor, int64_t* indices,
+                          T* vals) {
+    for (int64_t i = 0; i < nnz; ++i) {
+        const int64_t p = cursor[r[i]]++;
+        indices[p] = c[i];
+        vals[p] = v[i];
+    }
+}
+
+template <typename T>
+static void csr_sortrows_impl(int64_t nrows, const int64_t* indptr,
+                              int64_t* indices, T* vals) {
+    for (int64_t row = 0; row < nrows; ++row) {
+        const int64_t b = indptr[row], e = indptr[row + 1];
+        for (int64_t i = b + 1; i < e; ++i) {
+            const int64_t ci = indices[i];
+            const T vi = vals[i];
+            int64_t j = i - 1;
+            while (j >= b && indices[j] > ci) {
+                indices[j + 1] = indices[j];
+                vals[j + 1] = vals[j];
+                --j;
+            }
+            indices[j + 1] = ci;
+            vals[j + 1] = vi;
+        }
+    }
+}
+
+extern "C" {
+
+void coo_count(const int64_t* r, int64_t nnz, int64_t* counts) {
+    for (int64_t i = 0; i < nnz; ++i) counts[r[i]]++;
+}
+
+void coo_fill_f64(const int64_t* r, const int64_t* c, const double* v,
+                  int64_t nnz, int64_t* cursor, int64_t* indices,
+                  double* vals) {
+    coo_fill_impl<double>(r, c, v, nnz, cursor, indices, vals);
+}
+
+void coo_fill_f32(const int64_t* r, const int64_t* c, const float* v,
+                  int64_t nnz, int64_t* cursor, int64_t* indices,
+                  float* vals) {
+    coo_fill_impl<float>(r, c, v, nnz, cursor, indices, vals);
+}
+
+void csr_sortrows_f64(int64_t nrows, const int64_t* indptr,
+                      int64_t* indices, double* vals) {
+    csr_sortrows_impl<double>(nrows, indptr, indices, vals);
+}
+
+void csr_sortrows_f32(int64_t nrows, const int64_t* indptr,
+                      int64_t* indices, float* vals) {
+    csr_sortrows_impl<float>(nrows, indptr, indices, vals);
 }
 
 }  // extern "C"

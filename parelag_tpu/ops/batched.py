@@ -139,11 +139,13 @@ def _host_solve_stack(A, B):
     path needed frequent lstsq redo passes) with np.linalg.solve as the
     fallback."""
     from parelag_tpu.ops import native
+    rtol_v = max(1e-8, 1e3 * float(np.finfo(A.dtype).eps))
+    rc = 1e-12 if A.dtype == np.float64 else 1e-5
     if native.available():
-        X, hard_bad = native.batched_solve(A, B)
-        # f64-accurate solves: only genuinely ill-conditioned systems can
-        # still miss the residual tolerance
-        rtol_v = max(1e-8, 1e3 * float(np.finfo(A.dtype).eps))
+        # fused solve + residual: the residual is computed in-kernel while
+        # each system is cache-hot, saving the numpy batched-matmul pass
+        X, hard_bad, res, bmax = native.batched_solve_res(A, B)
+        scale = np.maximum(bmax, 1.0)
     else:
         hard_bad = None
         try:
@@ -151,10 +153,8 @@ def _host_solve_stack(A, B):
         except np.linalg.LinAlgError:
             X = np.stack([np.linalg.lstsq(a, b, rcond=None)[0]
                           for a, b in zip(A, B)])
-        rtol_v = max(1e-8, 1e3 * float(np.finfo(A.dtype).eps))
-    rc = 1e-12 if A.dtype == np.float64 else 1e-5
-    res = np.abs(A @ X - B).max(axis=(1, 2))
-    scale = np.maximum(np.abs(B).max(axis=(1, 2)), 1.0)
+        res = np.abs(A @ X - B).max(axis=(1, 2))
+        scale = np.maximum(np.abs(B).max(axis=(1, 2)), 1.0)
     bad = res > rtol_v * scale
     if hard_bad is not None:
         bad |= hard_bad

@@ -406,17 +406,26 @@ class _CooBuilder:
         multi-10M-nnz snapshots every stage)."""
         if not self.rows:
             return sp.csr_matrix(shape)
-        r = np.concatenate(self.rows)
-        c = np.concatenate(self.cols)
-        v = np.concatenate(self.vals)
         if not sum_duplicates:
             from parelag_tpu.utils.errors import _debug_enabled
             if _debug_enabled():
+                r = np.concatenate(self.rows)
+                c = np.concatenate(self.cols)
                 keys = r.astype(np.int64) * shape[1] + c
                 if np.unique(keys).size != keys.size:
                     raise ValueError(
                         "duplicate (row, col) entries in COO builder; pass "
                         "sum_duplicates=True to accumulate them")
+            from parelag_tpu.ops import native
+            if native.available():
+                # native chunked conversion: no concatenation, no scipy
+                # validation copies, no de-dup pass (duplicate-free by
+                # builder contract, checked above under PARELAG_DEBUG)
+                return native.coo_chunks_tocsr(
+                    self.rows, self.cols, self.vals, shape)
+        r = np.concatenate(self.rows)
+        c = np.concatenate(self.cols)
+        v = np.concatenate(self.vals)
         return sp.coo_matrix((v, (r, c)), shape=shape).tocsr()
 
 

@@ -143,6 +143,19 @@ def _load():
     lib.batched_solve_f32.argtypes = [
         f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         f64p, f64p, u8p]
+    lib.batched_solve_res_f64.argtypes = [
+        f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f64p, f64p, u8p, f64p, f64p]
+    lib.batched_solve_res_f32.argtypes = [
+        f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f64p, f64p, u8p, f64p, f64p]
+    lib.coo_count.argtypes = [i64p, ctypes.c_int64, i64p]
+    lib.coo_fill_f64.argtypes = [
+        i64p, i64p, f64p, ctypes.c_int64, i64p, i64p, f64p]
+    lib.coo_fill_f32.argtypes = [
+        i64p, i64p, f32p, ctypes.c_int64, i64p, i64p, f32p]
+    lib.csr_sortrows_f64.argtypes = [ctypes.c_int64, i64p, i64p, f64p]
+    lib.csr_sortrows_f32.argtypes = [ctypes.c_int64, i64p, i64p, f32p]
     _LIB = lib
     return _LIB
 
@@ -330,6 +343,71 @@ def batched_solve(A, B):
             _pf(A), _pf(B), _pf(X), ctypes.c_int64(m),
             ctypes.c_int64(n), ctypes.c_int64(k), _pf(a), _pf(b), bp)
     return X, bad.astype(bool)
+
+
+def batched_solve_res(A, B):
+    """batched_solve plus a fused residual check computed while each
+    system's A/B/X are still cache-hot (the numpy equivalent
+    np.abs(A @ X - B).max(axis=(1,2)) costs a second full batched-matmul
+    pass over the group). Returns (X, bad, res, bmax) with
+    res[i] = max|A X - B| and bmax[i] = max|B| per item."""
+    lib = _load()
+    A = np.ascontiguousarray(A)
+    B = np.ascontiguousarray(B)
+    m, n, k = B.shape
+    X = np.empty_like(B)
+    a = np.empty(n * n, dtype=np.float64)
+    b = np.empty(max(n * k, 1), dtype=np.float64)
+    bad = np.zeros(m, dtype=np.uint8)
+    res = np.empty(m, dtype=np.float64)
+    bmax = np.empty(m, dtype=np.float64)
+    bp = bad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    fn = (lib.batched_solve_res_f32 if A.dtype == np.float32
+          else lib.batched_solve_res_f64)
+    vp = _pf32 if A.dtype == np.float32 else _pf
+    fn(vp(A), vp(B), vp(X), ctypes.c_int64(m), ctypes.c_int64(n),
+       ctypes.c_int64(k), _pf(a), _pf(b), bp, _pf(res), _pf(bmax))
+    return X, bad.astype(bool), res, bmax
+
+
+def coo_chunks_tocsr(rows_list, cols_list, vals_list, shape):
+    """COO chunk lists -> canonical CSR without concatenation or scipy's
+    validation copies: one native counting pass + one scatter pass per
+    chunk, then an in-place per-row column sort. Duplicate (row, col)
+    pairs are NOT summed (builder contract — callers check under
+    PARELAG_DEBUG). Returns a scipy csr_matrix with int64 indices."""
+    import scipy.sparse as sp
+    lib = _load()
+    nrows = int(shape[0])
+    vdt = np.result_type(*[v.dtype for v in vals_list])
+    if vdt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        vdt = np.dtype(np.float64)
+    f32 = vdt == np.dtype(np.float32)
+    counts = np.zeros(nrows, dtype=np.int64)
+    chunks = []
+    for r, c, v in zip(rows_list, cols_list, vals_list):
+        r = np.ascontiguousarray(r, dtype=np.int64)
+        c = np.ascontiguousarray(c, dtype=np.int64)
+        v = np.ascontiguousarray(v, dtype=vdt)
+        chunks.append((r, c, v))
+        lib.coo_count(_p64(r), ctypes.c_int64(r.size), _p64(counts))
+    indptr = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    indices = np.empty(nnz, dtype=np.int64)
+    vals = np.empty(nnz, dtype=vdt)
+    cursor = indptr[:-1].copy()
+    vp = _pf32 if f32 else _pf
+    fill = lib.coo_fill_f32 if f32 else lib.coo_fill_f64
+    for r, c, v in chunks:
+        fill(_p64(r), _p64(c), vp(v), ctypes.c_int64(r.size),
+             _p64(cursor), _p64(indices), vp(vals))
+    srt = lib.csr_sortrows_f32 if f32 else lib.csr_sortrows_f64
+    srt(ctypes.c_int64(nrows), _p64(indptr), _p64(indices), vp(vals))
+    A = sp.csr_matrix((vals, indices, indptr), shape=shape, copy=False)
+    A.has_sorted_indices = True
+    A.has_canonical_format = True
+    return A
 
 
 def split_components(B_csr, label):
