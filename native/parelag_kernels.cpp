@@ -939,3 +939,111 @@ void csr_sortrows_f32(int64_t nrows, const int64_t* indptr,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------- //
+// Block-lazy COO chunks. add_blocks_var used to EXPAND every dense block
+// into per-entry (row, col) arrays with numpy repeat/tile — at flagship
+// scale that expansion alone costs seconds per coarsening stage. These
+// kernels consume the block structure directly: block b covers
+// rows_cat[row_beg[b]:row_end[b]] x cols_cat[col_beg[b]:col_end[b]] with
+// row-major values, so counting and scattering read each index exactly
+// once and the expanded COO arrays are never materialized.
+
+template <typename T>
+static void coo_fill_blocks_impl(const int64_t* rows_cat,
+                                 const int64_t* row_beg,
+                                 const int64_t* row_end,
+                                 const int64_t* cols_cat,
+                                 const int64_t* col_beg,
+                                 const int64_t* col_end, const T* v,
+                                 int64_t nb, int64_t* cursor,
+                                 int64_t* indices, T* vals) {
+    int64_t voff = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        const int64_t cb = col_beg[b], clen = col_end[b] - cb;
+        for (int64_t i = row_beg[b]; i < row_end[b]; ++i) {
+            const int64_t r = rows_cat[i];
+            int64_t p = cursor[r];
+            cursor[r] = p + clen;
+            for (int64_t j = 0; j < clen; ++j) {
+                indices[p + j] = cols_cat[cb + j];
+                vals[p + j] = v[voff + j];
+            }
+            voff += clen;
+        }
+    }
+}
+
+// Row-wise merge of two sorted CSRs with the same row count (the
+// incremental P-snapshot refresh: `a` is the cached snapshot, `b` the
+// delta built from the chunks appended since). Two-pointer merge keeps
+// every output row sorted whether or not the inputs' rows are disjoint;
+// duplicate (row, col) pairs are a caller bug by builder contract.
+template <typename T>
+static void csr_merge_rows_impl(int64_t nrows, const int64_t* ap,
+                                const int64_t* ai, const T* av,
+                                const int64_t* bp, const int64_t* bi,
+                                const T* bv, const int64_t* cp,
+                                int64_t* ci, T* cv) {
+    for (int64_t r = 0; r < nrows; ++r) {
+        int64_t i = ap[r], j = bp[r], o = cp[r];
+        const int64_t ie = ap[r + 1], je = bp[r + 1];
+        while (i < ie && j < je) {
+            if (ai[i] <= bi[j]) {
+                ci[o] = ai[i]; cv[o++] = av[i++];
+            } else {
+                ci[o] = bi[j]; cv[o++] = bv[j++];
+            }
+        }
+        for (; i < ie; ++i, ++o) { ci[o] = ai[i]; cv[o] = av[i]; }
+        for (; j < je; ++j, ++o) { ci[o] = bi[j]; cv[o] = bv[j]; }
+    }
+}
+
+extern "C" {
+
+void coo_count_blocks(const int64_t* rows_cat, const int64_t* row_beg,
+                      const int64_t* row_end, const int64_t* col_beg,
+                      const int64_t* col_end, int64_t nb, int64_t* counts) {
+    for (int64_t b = 0; b < nb; ++b) {
+        const int64_t clen = col_end[b] - col_beg[b];
+        for (int64_t i = row_beg[b]; i < row_end[b]; ++i)
+            counts[rows_cat[i]] += clen;
+    }
+}
+
+void coo_fill_blocks_f64(const int64_t* rows_cat, const int64_t* row_beg,
+                         const int64_t* row_end, const int64_t* cols_cat,
+                         const int64_t* col_beg, const int64_t* col_end,
+                         const double* v, int64_t nb, int64_t* cursor,
+                         int64_t* indices, double* vals) {
+    coo_fill_blocks_impl<double>(rows_cat, row_beg, row_end, cols_cat,
+                                 col_beg, col_end, v, nb, cursor, indices,
+                                 vals);
+}
+
+void coo_fill_blocks_f32(const int64_t* rows_cat, const int64_t* row_beg,
+                         const int64_t* row_end, const int64_t* cols_cat,
+                         const int64_t* col_beg, const int64_t* col_end,
+                         const float* v, int64_t nb, int64_t* cursor,
+                         int64_t* indices, float* vals) {
+    coo_fill_blocks_impl<float>(rows_cat, row_beg, row_end, cols_cat,
+                                col_beg, col_end, v, nb, cursor, indices,
+                                vals);
+}
+
+void csr_merge_rows_f64(int64_t nrows, const int64_t* ap, const int64_t* ai,
+                        const double* av, const int64_t* bp,
+                        const int64_t* bi, const double* bv,
+                        const int64_t* cp, int64_t* ci, double* cv) {
+    csr_merge_rows_impl<double>(nrows, ap, ai, av, bp, bi, bv, cp, ci, cv);
+}
+
+void csr_merge_rows_f32(int64_t nrows, const int64_t* ap, const int64_t* ai,
+                        const float* av, const int64_t* bp,
+                        const int64_t* bi, const float* bv,
+                        const int64_t* cp, int64_t* ci, float* cv) {
+    csr_merge_rows_impl<float>(nrows, ap, ai, av, bp, bi, bv, cp, ci, cv);
+}
+
+}  // extern "C"

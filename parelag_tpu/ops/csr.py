@@ -361,42 +361,65 @@ def coo_builder():
 
 
 class _CooBuilder:
+    """Incremental COO accumulator. Dense-block contributions are stored
+    LAZILY as block families (never expanded to per-entry row/col arrays
+    — the numpy repeat/tile expansion used to cost seconds per coarsening
+    stage at flagship scale); the native tocsr scatters straight from the
+    block structure. Repeated tocsr calls over a growing builder (the
+    per-stage P-snapshot refresh) are incremental: only chunks appended
+    since the previous call are converted, then row-merged into the
+    cached matrix. Callers must treat returned matrices as frozen."""
+
     def __init__(self):
-        self.rows, self.cols, self.vals = [], [], []
+        self.chunks = []        # ('coo', r, c, v) | ('blk', rc, ro, cc, co, v)
+        self._cache = None      # (csr, n_chunks_consumed, vdt)
 
-    def add_block(self, rows, cols, block):
-        """Scatter dense block (len(rows) x len(cols))."""
-        rows = np.asarray(rows)
-        cols = np.asarray(cols)
-        block = np.asarray(block)
-        if rows.size == 0 or cols.size == 0:
-            return
-        self.rows.append(np.repeat(rows, cols.size))
-        self.cols.append(np.tile(cols, rows.size))
-        self.vals.append(block.reshape(-1))
-
-    def add_entries(self, rows, cols, vals):
-        self.rows.append(np.asarray(rows))
-        self.cols.append(np.asarray(cols))
+    @staticmethod
+    def _val(vals):
         v = np.asarray(vals)
         if v.dtype != np.float32:     # preserve f32 setup pipelines
             v = v.astype(np.float64, copy=False)
-        self.vals.append(v)
+        return v
+
+    def add_block(self, rows, cols, block):
+        """Scatter dense block (len(rows) x len(cols))."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        block = np.asarray(block)
+        if rows.size == 0 or cols.size == 0:
+            return
+        self.chunks.append(
+            ("blk", rows, np.array([0, rows.size], dtype=np.int64),
+             cols, np.array([0, cols.size], dtype=np.int64),
+             self._val(block.reshape(-1))))
+
+    def add_entries(self, rows, cols, vals):
+        self.chunks.append(("coo", np.asarray(rows), np.asarray(cols),
+                            self._val(vals)))
 
     def add_blocks_var(self, rows_cat, row_off, cols_cat, col_off, vals_cat):
         """Vectorized scatter of many dense blocks at once: block b covers
         rows_cat[row_off[b]:row_off[b+1]] x cols_cat[col_off[b]:col_off[b+1]]
         with row-major values vals_cat (concatenated block.ravel()s)."""
+        self.chunks.append(("blk", np.asarray(rows_cat),
+                            np.asarray(row_off), np.asarray(cols_cat),
+                            np.asarray(col_off), self._val(vals_cat)))
+
+    def _expanded(self):
+        """Per-entry (rows, cols, vals) concatenated over all chunks
+        (fallback / sum_duplicates / debug paths only)."""
         from parelag_tpu.ops import ragged as R
-        rows, cols = R.expand_blocks(
-            np.asarray(rows_cat), np.asarray(row_off),
-            np.asarray(cols_cat), np.asarray(col_off))
-        self.rows.append(rows)
-        self.cols.append(cols)
-        v = np.asarray(vals_cat)
-        if v.dtype != np.float32:     # preserve f32 setup pipelines
-            v = v.astype(np.float64, copy=False)
-        self.vals.append(v)
+        rs, cs, vs = [], [], []
+        for ch in self.chunks:
+            if ch[0] == "coo":
+                rs.append(ch[1]); cs.append(ch[2]); vs.append(ch[3])
+            else:
+                rows, cols = R.expand_blocks(
+                    np.asarray(ch[1], dtype=np.int64), np.asarray(ch[2]),
+                    np.asarray(ch[3], dtype=np.int64), np.asarray(ch[4]))
+                rs.append(rows); cs.append(cols); vs.append(ch[5])
+        return (np.concatenate(rs), np.concatenate(cs),
+                np.concatenate(vs))
 
     def tocsr(self, shape, sum_duplicates=False) -> sp.csr_matrix:
         """COO -> CSR. Duplicate (row, col) pairs are summed (standard COO
@@ -404,13 +427,12 @@ class _CooBuilder:
         caller bug — checked only under PARELAG_DEBUG=1 (the full-sort
         uniqueness scan is O(nnz log nnz) and the setup phase rebuilds
         multi-10M-nnz snapshots every stage)."""
-        if not self.rows:
+        if not self.chunks:
             return sp.csr_matrix(shape)
         if not sum_duplicates:
             from parelag_tpu.utils.errors import _debug_enabled
             if _debug_enabled():
-                r = np.concatenate(self.rows)
-                c = np.concatenate(self.cols)
+                r, c, _ = self._expanded()
                 keys = r.astype(np.int64) * shape[1] + c
                 if np.unique(keys).size != keys.size:
                     raise ValueError(
@@ -420,12 +442,36 @@ class _CooBuilder:
             if native.available():
                 # native chunked conversion: no concatenation, no scipy
                 # validation copies, no de-dup pass (duplicate-free by
-                # builder contract, checked above under PARELAG_DEBUG)
-                return native.coo_chunks_tocsr(
-                    self.rows, self.cols, self.vals, shape)
-        r = np.concatenate(self.rows)
-        c = np.concatenate(self.cols)
-        v = np.concatenate(self.vals)
+                # builder contract, checked above under PARELAG_DEBUG).
+                # Incremental: when the builder only grew since the last
+                # call (the P-snapshot refresh pattern — new chunks, and
+                # possibly new columns), convert just the new chunks and
+                # row-merge them into the cached previous result.
+                vdt = np.result_type(
+                    *[ch[-1].dtype for ch in self.chunks])
+                cache = self._cache
+                if (cache is not None and cache[2] == vdt
+                        and cache[1] <= len(self.chunks)
+                        and cache[0].shape[0] == shape[0]
+                        and cache[0].shape[1] <= shape[1]):
+                    if cache[1] == len(self.chunks):
+                        # no new chunks: reuse the cached arrays (the
+                        # shape may still have gained columns)
+                        old = cache[0]
+                        A = (old if old.shape == tuple(shape)
+                             else sp.csr_matrix(
+                                 (old.data, old.indices, old.indptr),
+                                 shape=shape, copy=False))
+                        self._cache = (A, len(self.chunks), vdt)
+                        return A
+                    delta = native.chunks_tocsr(
+                        self.chunks[cache[1]:], shape)
+                    A = native.csr_merge_rows(cache[0], delta, shape)
+                else:
+                    A = native.chunks_tocsr(self.chunks, shape)
+                self._cache = (A, len(self.chunks), vdt)
+                return A
+        r, c, v = self._expanded()
         return sp.coo_matrix((v, (r, c)), shape=shape).tocsr()
 
 

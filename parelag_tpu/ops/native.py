@@ -156,6 +156,20 @@ def _load():
         i64p, i64p, f32p, ctypes.c_int64, i64p, i64p, f32p]
     lib.csr_sortrows_f64.argtypes = [ctypes.c_int64, i64p, i64p, f64p]
     lib.csr_sortrows_f32.argtypes = [ctypes.c_int64, i64p, i64p, f32p]
+    lib.coo_count_blocks.argtypes = [
+        i64p, i64p, i64p, i64p, i64p, ctypes.c_int64, i64p]
+    lib.coo_fill_blocks_f64.argtypes = [
+        i64p, i64p, i64p, i64p, i64p, i64p, f64p, ctypes.c_int64,
+        i64p, i64p, f64p]
+    lib.coo_fill_blocks_f32.argtypes = [
+        i64p, i64p, i64p, i64p, i64p, i64p, f32p, ctypes.c_int64,
+        i64p, i64p, f32p]
+    lib.csr_merge_rows_f64.argtypes = [
+        ctypes.c_int64, i64p, i64p, f64p, i64p, i64p, f64p,
+        i64p, i64p, f64p]
+    lib.csr_merge_rows_f32.argtypes = [
+        ctypes.c_int64, i64p, i64p, f32p, i64p, i64p, f32p,
+        i64p, i64p, f32p]
     _LIB = lib
     return _LIB
 
@@ -370,44 +384,107 @@ def batched_solve_res(A, B):
     return X, bad.astype(bool), res, bmax
 
 
-def coo_chunks_tocsr(rows_list, cols_list, vals_list, shape):
-    """COO chunk lists -> canonical CSR without concatenation or scipy's
-    validation copies: one native counting pass + one scatter pass per
-    chunk, then an in-place per-row column sort. Duplicate (row, col)
-    pairs are NOT summed (builder contract — callers check under
-    PARELAG_DEBUG). Returns a scipy csr_matrix with int64 indices."""
+def chunks_tocsr(chunks, shape):
+    """Builder chunk list -> canonical CSR without concatenation or
+    scipy's validation copies: one native counting pass + one scatter
+    pass per chunk, then an in-place per-row column sort. Chunks are
+    either ('coo', rows, cols, vals) per-entry arrays or
+    ('blk', rows_cat, row_off, cols_cat, col_off, vals_cat) dense-block
+    families, which are scattered straight from the block structure (the
+    expanded per-entry row/col arrays are never materialized). Duplicate
+    (row, col) pairs are NOT summed (builder contract — callers check
+    under PARELAG_DEBUG). Returns a scipy csr_matrix, int64 indices."""
     import scipy.sparse as sp
     lib = _load()
     nrows = int(shape[0])
-    vdt = np.result_type(*[v.dtype for v in vals_list])
+    vdt = np.result_type(*[ch[-1].dtype for ch in chunks]) if chunks \
+        else np.dtype(np.float64)
     if vdt not in (np.dtype(np.float32), np.dtype(np.float64)):
         vdt = np.dtype(np.float64)
     f32 = vdt == np.dtype(np.float32)
+    vp = _pf32 if f32 else _pf
     counts = np.zeros(nrows, dtype=np.int64)
-    chunks = []
-    for r, c, v in zip(rows_list, cols_list, vals_list):
-        r = np.ascontiguousarray(r, dtype=np.int64)
-        c = np.ascontiguousarray(c, dtype=np.int64)
-        v = np.ascontiguousarray(v, dtype=vdt)
-        chunks.append((r, c, v))
-        lib.coo_count(_p64(r), ctypes.c_int64(r.size), _p64(counts))
+    norm = []
+    for ch in chunks:
+        if ch[0] == "coo":
+            r = np.ascontiguousarray(ch[1], dtype=np.int64)
+            c = np.ascontiguousarray(ch[2], dtype=np.int64)
+            v = np.ascontiguousarray(ch[3], dtype=vdt)
+            norm.append(("coo", r, c, v))
+            lib.coo_count(_p64(r), ctypes.c_int64(r.size), _p64(counts))
+        else:
+            rc = np.ascontiguousarray(ch[1], dtype=np.int64)
+            ro = np.asarray(ch[2], dtype=np.int64)
+            cc = np.ascontiguousarray(ch[3], dtype=np.int64)
+            co = np.asarray(ch[4], dtype=np.int64)
+            v = np.ascontiguousarray(ch[5], dtype=vdt)
+            rb, re = ro[:-1].copy(), ro[1:].copy()
+            cb, ce = co[:-1].copy(), co[1:].copy()
+            norm.append(("blk", rc, rb, re, cc, cb, ce, v))
+            lib.coo_count_blocks(_p64(rc), _p64(rb), _p64(re), _p64(cb),
+                                 _p64(ce), ctypes.c_int64(rb.size),
+                                 _p64(counts))
     indptr = np.zeros(nrows + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
     nnz = int(indptr[-1])
     indices = np.empty(nnz, dtype=np.int64)
     vals = np.empty(nnz, dtype=vdt)
     cursor = indptr[:-1].copy()
-    vp = _pf32 if f32 else _pf
     fill = lib.coo_fill_f32 if f32 else lib.coo_fill_f64
-    for r, c, v in chunks:
-        fill(_p64(r), _p64(c), vp(v), ctypes.c_int64(r.size),
-             _p64(cursor), _p64(indices), vp(vals))
+    fillb = lib.coo_fill_blocks_f32 if f32 else lib.coo_fill_blocks_f64
+    for ch in norm:
+        if ch[0] == "coo":
+            _, r, c, v = ch
+            fill(_p64(r), _p64(c), vp(v), ctypes.c_int64(r.size),
+                 _p64(cursor), _p64(indices), vp(vals))
+        else:
+            _, rc, rb, re, cc, cb, ce, v = ch
+            fillb(_p64(rc), _p64(rb), _p64(re), _p64(cc), _p64(cb),
+                  _p64(ce), vp(v), ctypes.c_int64(rb.size), _p64(cursor),
+                  _p64(indices), vp(vals))
     srt = lib.csr_sortrows_f32 if f32 else lib.csr_sortrows_f64
     srt(ctypes.c_int64(nrows), _p64(indptr), _p64(indices), vp(vals))
     A = sp.csr_matrix((vals, indices, indptr), shape=shape, copy=False)
     A.has_sorted_indices = True
     A.has_canonical_format = True
     return A
+
+
+def csr_merge_rows(A, B, shape):
+    """Row-wise merge of two sorted CSRs with equal row counts (the
+    incremental snapshot refresh: A = cached matrix, B = delta built from
+    chunks appended since). Two-pointer merge keeps rows sorted; duplicate
+    (row, col) pairs are a caller bug by builder contract. Returns a
+    canonical csr_matrix of `shape` (columns may exceed either input's)."""
+    import scipy.sparse as sp
+    lib = _load()
+    nrows = int(shape[0])
+    vdt = np.result_type(A.data.dtype, B.data.dtype)
+    if vdt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        vdt = np.dtype(np.float64)
+    f32 = vdt == np.dtype(np.float32)
+    vp = _pf32 if f32 else _pf
+
+    def _norm(M):
+        ip = np.ascontiguousarray(M.indptr, dtype=np.int64)
+        ix = np.ascontiguousarray(M.indices, dtype=np.int64)
+        dv = np.ascontiguousarray(M.data, dtype=vdt)
+        return ip, ix, dv
+
+    ap, ai, av = _norm(A)
+    bp, bi, bv = _norm(B)
+    cp = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(np.diff(ap) + np.diff(bp), out=cp[1:])
+    nnz = int(cp[-1])
+    ci = np.empty(nnz, dtype=np.int64)
+    cv = np.empty(nnz, dtype=vdt)
+    fn = lib.csr_merge_rows_f32 if f32 else lib.csr_merge_rows_f64
+    fn(ctypes.c_int64(nrows), _p64(ap), _p64(ai), vp(av), _p64(bp),
+       _p64(bi), vp(bv), _p64(cp), _p64(ci), vp(cv))
+    C = sp.csr_matrix((cv, ci, cp), shape=shape, copy=False)
+    C.has_sorted_indices = True
+    C.has_canonical_format = True
+    return C
 
 
 def split_components(B_csr, label):
