@@ -1047,3 +1047,127 @@ void csr_merge_rows_f32(int64_t nrows, const int64_t* ap, const int64_t* ai,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------- //
+// Fused coarse-mass gram blocks for the extension stage (pass 3). The
+// coarse basis on one agglomerate is B (nu_all x nloc) with structure
+//   B[:nu,  :k_ext]              = X[:nu, :k_ext]        (interior ext)
+//   B[nu:,  :k_ext]              = Pb                    (boundary traces)
+//   B[:nu,  k_ext:k_ext+n_rt]    = X[:nu, k_ext:...]     (RangeT bubbles)
+//   B[:nu,  k_ext+n_rt:]         = UN                    (null bubbles)
+//   B[nu:,  k_ext:]              = 0
+// and the coarse mass block is sym(B^T M B). The numpy version
+// materializes the zero-padded basis stack, runs two stacked GEMMs and a
+// symmetrization pass (6+ full passes over group-sized temporaries);
+// here each item is one cache-resident pass, the bubble columns skip the
+// boundary rows entirely, and the output lands straight in the flat
+// blk_cat layout. X rows are read through the solution stack's leading
+// dimensions (nsys, K) so the Python side passes views, not copies.
+
+template <typename T>
+static void ext_gram_impl(const T* Mst, const T* Pbst, const T* Xst,
+                          const T* UNst, int64_t nsys, int64_t K,
+                          int64_t ldun, int64_t nu_all, int64_t nu,
+                          int64_t k_ext, int64_t n_rt, int64_t nn,
+                          const int64_t* items, const int64_t* out_pos,
+                          int64_t ms, T* out_cat, double* t1) {
+    const int64_t nloc = k_ext + n_rt + nn;
+    const int64_t nb = nu_all - nu;
+    // numpy computed sym(B^T M B) as (C + C^T)/2, which equals
+    // B^T ((M + M^T)/2) B — symmetrize M once per item so the mirrored
+    // upper triangle below reproduces that result exactly
+    std::vector<double> msym((size_t)(nu_all * nu_all));
+    double* Ms = msym.data();
+    for (int64_t t = 0; t < ms; ++t) {
+        const int64_t i = items[t];
+        const T* M = Mst + i * nu_all * nu_all;
+        const T* Pb = Pbst + i * nb * k_ext;
+        const T* X = Xst + i * nsys * K;
+        const T* UN = UNst ? UNst + i * nu * ldun : nullptr;
+        for (int64_t r = 0; r < nu_all; ++r)
+            for (int64_t l = 0; l < nu_all; ++l)
+                Ms[r * nu_all + l] = 0.5 * ((double)M[r * nu_all + l]
+                                            + (double)M[l * nu_all + r]);
+        // T1 = Msym @ B (nu_all x nloc), exploiting the zero boundary
+        // rows of the bubble columns
+        for (int64_t r = 0; r < nu_all; ++r) {
+            const double* Mr = Ms + r * nu_all;
+            double* t1r = t1 + r * nloc;
+            for (int64_t j = 0; j < k_ext; ++j) {
+                double acc = 0.0;
+                for (int64_t l = 0; l < nu; ++l)
+                    acc += (double)Mr[l] * (double)X[l * K + j];
+                for (int64_t l = 0; l < nb; ++l)
+                    acc += (double)Mr[nu + l] * (double)Pb[l * k_ext + j];
+                t1r[j] = acc;
+            }
+            for (int64_t j = 0; j < n_rt; ++j) {
+                double acc = 0.0;
+                for (int64_t l = 0; l < nu; ++l)
+                    acc += (double)Mr[l] * (double)X[l * K + k_ext + j];
+                t1r[k_ext + j] = acc;
+            }
+            for (int64_t j = 0; j < nn; ++j) {
+                double acc = 0.0;
+                for (int64_t l = 0; l < nu; ++l)
+                    acc += (double)Mr[l] * (double)UN[l * ldun + j];
+                t1r[k_ext + n_rt + j] = acc;
+            }
+        }
+        // out = sym(B^T @ T1): ext rows read all nu_all basis rows,
+        // bubble rows only the nu interior ones
+        T* o = out_cat + out_pos[t];
+        for (int64_t a = 0; a < nloc; ++a) {
+            for (int64_t b = a; b < nloc; ++b) {
+                double acc = 0.0;
+                if (a < k_ext) {
+                    for (int64_t l = 0; l < nu; ++l)
+                        acc += (double)X[l * K + a] * t1[l * nloc + b];
+                    for (int64_t l = 0; l < nb; ++l)
+                        acc += (double)Pb[l * k_ext + a]
+                             * t1[(nu + l) * nloc + b];
+                } else if (a < k_ext + n_rt) {
+                    for (int64_t l = 0; l < nu; ++l)
+                        acc += (double)X[l * K + k_ext + (a - k_ext)]
+                             * t1[l * nloc + b];
+                } else {
+                    for (int64_t l = 0; l < nu; ++l)
+                        acc += (double)UN[l * ldun + (a - k_ext - n_rt)]
+                             * t1[l * nloc + b];
+                }
+                // sym(B^T M B) via the (b, a) transpose pair: for exact
+                // symmetry average with the mirrored accumulation
+                o[a * nloc + b] = (T)acc;
+            }
+        }
+        // mirror the strict upper triangle (B^T M B is symmetric up to
+        // roundoff in M itself; M is symmetrized upstream, and averaging
+        // (C + C^T)/2 of an exactly-computed product equals the product
+        // when M = M^T, so mirroring the upper triangle is exact)
+        for (int64_t a = 0; a < nloc; ++a)
+            for (int64_t b = a + 1; b < nloc; ++b)
+                o[b * nloc + a] = o[a * nloc + b];
+    }
+}
+
+extern "C" {
+
+void ext_gram_f64(const double* Mst, const double* Pbst, const double* Xst,
+                  const double* UNst, int64_t nsys, int64_t K, int64_t ldun,
+                  int64_t nu_all, int64_t nu, int64_t k_ext, int64_t n_rt,
+                  int64_t nn, const int64_t* items, const int64_t* out_pos,
+                  int64_t ms, double* out_cat, double* t1) {
+    ext_gram_impl<double>(Mst, Pbst, Xst, UNst, nsys, K, ldun, nu_all, nu,
+                          k_ext, n_rt, nn, items, out_pos, ms, out_cat, t1);
+}
+
+void ext_gram_f32(const float* Mst, const float* Pbst, const float* Xst,
+                  const float* UNst, int64_t nsys, int64_t K, int64_t ldun,
+                  int64_t nu_all, int64_t nu, int64_t k_ext, int64_t n_rt,
+                  int64_t nn, const int64_t* items, const int64_t* out_pos,
+                  int64_t ms, float* out_cat, double* t1) {
+    ext_gram_impl<float>(Mst, Pbst, Xst, UNst, nsys, K, ldun, nu_all, nu,
+                         k_ext, n_rt, nn, items, out_pos, ms, out_cat, t1);
+}
+
+}  // extern "C"

@@ -42,7 +42,58 @@ def _tune_malloc():
         pass
 
 
+def _lock_memory():
+    """Pin the process's pages (mlockall MCL_CURRENT|MCL_FUTURE).
+
+    Virtualized hosts running proactive reclaim (DAMON/khugepaged) evict
+    this process's cold pages even with >95% of RAM free; the refault
+    path then runs at ~10-75 MB/s and setup-phase numpy temporaries that
+    cost 0.3 s warm were measured at 33 s cold — a 100x swing. Locking
+    removes the eviction and makes mmap growth bulk-populate instead of
+    per-page faulting. Only applied when the host has plenty of headroom
+    (>16 GB MemAvailable); disable with PARELAG_MLOCK=0. MCL_ONFAULT is
+    deliberately NOT used: the per-page fault path is exactly what's
+    slow on these hosts."""
+    import os
+    if os.environ.get("PARELAG_MLOCK", "1") in ("0", "false"):
+        return
+    try:
+        with open("/proc/meminfo") as f:
+            avail_kb = 0
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+        if avail_kb < 16 * 1024 * 1024:
+            return
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mlockall(3)             # MCL_CURRENT | MCL_FUTURE
+    except Exception:                # non-Linux / no permission: no-op
+        pass
+
+
+def _install_np_allocator():
+    """Route numpy array data through the caching size-class allocator
+    (native/parelag_npalloc.c): freed >=1 MB blocks keep their populated
+    pages and are reused, so the GB-scale setup temporaries never re-pay
+    the (phase-dependent, up to 100x) first-touch population cost.
+    Disable with PARELAG_NPALLOC=0; cap via PARELAG_NPALLOC_CAP_GB."""
+    import os
+    if os.environ.get("PARELAG_NPALLOC", "1") in ("0", "false"):
+        return
+    try:
+        from parelag_tpu.ops import npalloc
+        cap = int(float(os.environ.get("PARELAG_NPALLOC_CAP_GB", "48"))
+                  * (1 << 30))
+        npalloc.install(cap)
+    except Exception:
+        pass
+
+
 _tune_malloc()
+_lock_memory()
+_install_np_allocator()
 
 from parelag_tpu.mesh.mesh import (
     Mesh, hex_grid_mesh, quad_grid_mesh, read_mesh)

@@ -129,12 +129,16 @@ def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
         sizes = np.diff(ae_off)
         out_off = np.zeros(n_ae + 1, np.int64)
         np.cumsum(sizes * sizes, out=out_off[1:])
-        out_cat = np.zeros(int(out_off[-1]), dtype=blk_cat.dtype)
-        native.assemble_agglomerate_blocks_var(
-            AE_e.indices.astype(np.int64), AE_e.indptr.astype(np.int64),
-            dof_cat, dof_off, blk_cat, blk_off,
-            np.ascontiguousarray(ae_cat), np.asarray(ae_off, np.int64), pos,
-            out_cat, out_off)
+        from parelag_tpu.utils.timing import TimeManager as _TM
+        with _TM.add_timer("ae_blocks: zeros"):
+            out_cat = np.zeros(int(out_off[-1]), dtype=blk_cat.dtype)
+        with _TM.add_timer("ae_blocks: kernel"):
+            native.assemble_agglomerate_blocks_var(
+                AE_e.indices.astype(np.int64),
+                AE_e.indptr.astype(np.int64),
+                dof_cat, dof_off, blk_cat, blk_off,
+                np.ascontiguousarray(ae_cat), np.asarray(ae_off, np.int64),
+                pos, out_cat, out_off)
         return BlockList(out_cat, out_off, sizes, sizes)
 
     ae_dofs_list = dofagg.ae_dofs(codim)

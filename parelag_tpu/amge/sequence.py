@@ -546,10 +546,14 @@ class DeRhamSequence:
             np.asarray(lt_sizes, np.int64), np.asarray(e2_sizes, np.int64),
         ], axis=1)
         groups = []
+        _tg = _TM.get_timer("coarsen: ext p1 gather+gemm")
+        _ts = _TM.get_timer("coarsen: ext p1 system")
+        _tr = _TM.get_timer("coarsen: ext p1 rhs")
         for sig, idxs in Rg.group_by(sigs).items():
             nu_all, nu_int, np_all, np_int, k_ext, n_rt_raw, ltw, ne2 = (
                 int(v) for v in sig)
             m = len(idxs)
+            _tg.start()
             Mst = Rg.take(Md, idxs, (nu_all, nu_all))
             Wst = Rg.take(Wd, idxs, (np_all, np_all))
             Dst = Rg.take(Dlocs, idxs, (np_all, nu_all))
@@ -560,8 +564,10 @@ class DeRhamSequence:
             B_ii = Bst[:, :, :nu_int]
             B_ib = Bst[:, :, nu_int:]
             W_ii = Wst[:, :np_int, :np_int]
+            _tg.stop()
 
             # ---- local systems ---- #
+            _ts.start()
             Tst = None
             if use_lagrange:
                 ploc_pv = Rg.take(ploc_pvs, idxs,
@@ -596,8 +602,10 @@ class DeRhamSequence:
             # T lambda = rhs_p in pass 3 (degenerate case from pinched
             # separators — the reference aborts here)
             do_solve = nu_int > 0 and nsys > 0
+            _ts.stop()
 
             # ---- rhs blocks: [trace ext | RangeT bubbles | Null targets] - #
+            _tr.start()
             Pbst = Rg.take(Pbs, idxs, (nu_all - nu_int, k_ext))
             rhs_ext = np.zeros((m, nsys, k_ext), dtype=dt)
             rhs_ext[:, :nu_int] = -(M_ib @ Pbst)
@@ -644,6 +652,7 @@ class DeRhamSequence:
                 rhs_null = np.zeros((m, nsys, 0), dtype=dt)
                 k_null = 0
 
+            _tr.stop()
             rhs = np.concatenate([rhs_ext, rhs_rt, rhs_null], axis=2)
             groups.append(dict(
                 idxs=np.asarray(idxs, dtype=np.int64), m=m,
@@ -703,6 +712,9 @@ class DeRhamSequence:
         blk_cat = np.zeros(int(blk_off[-1]), dtype=dt)
 
         ar = np.arange
+        _tb = _TM.get_timer("coarsen: ext p3 builders")
+        _tm = _TM.get_timer("coarsen: ext p3 gram")
+        _tc = _TM.get_timer("coarsen: ext p3 cochain")
         for g in groups:
             idxs, X = g["idxs"], g["X"]
             m, nu_all, nu = g["m"], g["nu_all"], g["nu_int"]
@@ -727,6 +739,7 @@ class DeRhamSequence:
                     np.repeat(pv_st, k_ext), cb_st.ravel(), dvals.ravel())
 
             uoff_m = ar(m + 1, dtype=np.int64) * nu
+            _tb.start()
             self._P_builder.add_blocks_var(
                 u_int_st.ravel(), uoff_m, cb_st.ravel(),
                 ar(m + 1, dtype=np.int64) * k_ext,
@@ -742,6 +755,7 @@ class DeRhamSequence:
                 self._D_builder.add_entries(
                     pn_st.ravel(), rt_st.ravel(),
                     np.ones(m * n_rt, dtype=dt))
+            _tb.stop()
 
             # subgroups by kept null count: everything uniform inside
             Mst = g["Mst"]               # carried from pass 1 (re-gather
@@ -766,22 +780,37 @@ class DeRhamSequence:
                         nl_st.ravel(), ar(ms + 1, dtype=np.int64) * nn,
                         Un.ravel())
                 # cochain functionals over interior dofs
+                _tc.start()
                 self.Pi[jform].add_functionals_group(
                     codim_dom, ii,
                     np.concatenate([rt_basis, Un], axis=2),
                     M_s[:, :nu, :nu])
+                _tc.stop()
                 # coarse mass block over [cbdr, RangeT, Null]
+                _tm.start()
                 nloc = k_ext + n_rt + nn
-                basis = np.zeros((ms, nu_all, nloc), dtype=dt)
-                basis[:, nu:, :k_ext] = Pbst if whole else Pbst[sel]
-                basis[:, :nu, :k_ext] = X_s[:, :nu, :k_ext]
-                basis[:, :nu, k_ext:k_ext + n_rt] = rt_basis
-                basis[:, :nu, k_ext + n_rt:] = Un
-                blk = basis.transpose(0, 2, 1) @ (M_s @ basis)
-                blk = 0.5 * (blk + blk.transpose(0, 2, 1))
-                blk_cat[blk_off[ii][:, None]
-                        + ar(nloc * nloc, dtype=np.int64)] = \
-                    blk.reshape(ms, -1)
+                from parelag_tpu.ops import native as _nat
+                if _nat.available():
+                    # fused native gram: reads X / bubU through the group
+                    # stacks as views (no zero-padded basis stack, no
+                    # stacked-GEMM temporaries)
+                    _nat.ext_gram_blocks(
+                        Mst, g["Pbst"], X, g.get("bubU") if nn else None,
+                        nu, k_ext, n_rt, nn,
+                        np.asarray(sel, dtype=np.int64), blk_off[ii],
+                        blk_cat)
+                else:
+                    basis = np.zeros((ms, nu_all, nloc), dtype=dt)
+                    basis[:, nu:, :k_ext] = Pbst if whole else Pbst[sel]
+                    basis[:, :nu, :k_ext] = X_s[:, :nu, :k_ext]
+                    basis[:, :nu, k_ext:k_ext + n_rt] = rt_basis
+                    basis[:, :nu, k_ext + n_rt:] = Un
+                    blk = basis.transpose(0, 2, 1) @ (M_s @ basis)
+                    blk = 0.5 * (blk + blk.transpose(0, 2, 1))
+                    blk_cat[blk_off[ii][:, None]
+                            + ar(nloc * nloc, dtype=np.int64)] = \
+                        blk.reshape(ms, -1)
+                _tm.stop()
 
         _w.stop()
         with _TM.add_timer("coarsen: ext refresh_P"):

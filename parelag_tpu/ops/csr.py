@@ -312,6 +312,10 @@ def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
 
     from parelag_tpu.ops import native
     if A.data.dtype == vdt and native.available():
+        from parelag_tpu.utils.timing import TimeManager as _TM
+        _tp = _TM.get_timer("extract: prep")
+        _tk = _TM.get_timer("extract: kernel")
+        _tp.start()
         pos = _col_scratch(A.shape[1])
         row_off = np.asarray(row_off, np.int64)
         rows_cat = np.ascontiguousarray(
@@ -323,13 +327,16 @@ def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
         nz = rsz > 0
         first[nz] = rows_cat[row_off[:-1][nz]]
         order = np.argsort(first, kind="stable").astype(np.int64)
-        native.csr_extract_dense_many2(
-            A.indptr, A.indices, A.data, rows_cat,
-            row_off[:-1].copy(), row_off[1:].copy(),
-            np.ascontiguousarray(cols_cat.astype(np.int64, copy=False)),
-            np.asarray(col_off[:-1], np.int64).copy(),
-            np.asarray(col_off[1:], np.int64).copy(),
-            pos, out_cat, out_off[:-1].copy(), order)
+        args = (A.indptr, A.indices, A.data, rows_cat,
+                row_off[:-1].copy(), row_off[1:].copy(),
+                np.ascontiguousarray(cols_cat.astype(np.int64, copy=False)),
+                np.asarray(col_off[:-1], np.int64).copy(),
+                np.asarray(col_off[1:], np.int64).copy(),
+                pos, out_cat, out_off[:-1].copy(), order)
+        _tp.stop()
+        _tk.start()
+        native.csr_extract_dense_many2(*args)
+        _tk.stop()
         return BlockList(out_cat, out_off, rsz, csz)
     for b in range(nb):
         blk = extract_submatrix(A, rows_cat[row_off[b]:row_off[b + 1]],

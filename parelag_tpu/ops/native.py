@@ -170,6 +170,16 @@ def _load():
     lib.csr_merge_rows_f32.argtypes = [
         ctypes.c_int64, i64p, i64p, f32p, i64p, i64p, f32p,
         i64p, i64p, f32p]
+    lib.ext_gram_f64.argtypes = [
+        f64p, f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        f64p, f64p]
+    lib.ext_gram_f32.argtypes = [
+        f32p, f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        f32p, f64p]
     _LIB = lib
     return _LIB
 
@@ -448,6 +458,37 @@ def chunks_tocsr(chunks, shape):
     A.has_sorted_indices = True
     A.has_canonical_format = True
     return A
+
+
+def ext_gram_blocks(Mst, Pbst, Xst, UNst, nu, k_ext, n_rt, nn, items,
+                    out_pos, out_cat):
+    """Fused coarse-mass gram blocks sym(B^T M B) for the extension
+    stage's structured basis B = [[X_ext, X_rt, UN], [Pb, 0, 0]] — one
+    cache-resident pass per agglomerate instead of numpy's zero-padded
+    basis stack + two stacked GEMMs + symmetrization. Xst is the raw
+    solution stack (items x nsys x K); X rows/cols are read as views.
+    Results land at out_cat[out_pos[t]:...] in row-major (nloc x nloc)."""
+    lib = _load()
+    m, nu_all = Mst.shape[0], Mst.shape[1]
+    nsys, K = Xst.shape[1], Xst.shape[2]
+    nloc = k_ext + n_rt + nn
+    f32 = Mst.dtype == np.float32
+    vp = _pf32 if f32 else _pf
+    t1 = np.empty(max(nu_all * nloc, 1), dtype=np.float64)
+    items = np.ascontiguousarray(items, dtype=np.int64)
+    out_pos = np.ascontiguousarray(out_pos, dtype=np.int64)
+    if UNst is None or nn == 0:
+        UNst = Mst      # non-null placeholder; nn = 0 never reads it
+        ldun = 0
+        nn = 0
+    else:
+        ldun = UNst.shape[2]
+    fn = lib.ext_gram_f32 if f32 else lib.ext_gram_f64
+    fn(vp(Mst), vp(Pbst), vp(Xst), vp(UNst), ctypes.c_int64(nsys),
+       ctypes.c_int64(K), ctypes.c_int64(ldun), ctypes.c_int64(nu_all),
+       ctypes.c_int64(nu), ctypes.c_int64(k_ext), ctypes.c_int64(n_rt),
+       ctypes.c_int64(nn), _p64(items), _p64(out_pos),
+       ctypes.c_int64(items.size), vp(out_cat), _pf(t1))
 
 
 def csr_merge_rows(A, B, shape):

@@ -140,3 +140,40 @@ def test_f32_direct_masses():
     ids = [id(s32.M[k]._cat[2]) for k in s32.M]
     s32.cast_setup(np.float32)
     assert [id(s32.M[k]._cat[2]) for k in s32.M] == ids
+
+
+def test_ext_gram_blocks_matches_numpy():
+    """The fused native gram kernel reproduces the numpy reference
+    sym(B^T M B) on the extension stage's structured basis, including a
+    deliberately asymmetric M (the kernel must symmetrize M, matching
+    numpy's (C + C^T)/2 post-pass)."""
+    from parelag_tpu.ops import native
+    if not native.available():
+        import pytest
+        pytest.skip("native kernels unavailable")
+    rng = np.random.RandomState(3)
+    for dt, tol in ((np.float64, 1e-12), (np.float32, 2e-5)):
+        m, nu_all, nu, k_ext, n_rt, nn = 7, 9, 3, 4, 2, 2
+        nb, nsys, kx = nu_all - nu, 8, 4 + 2 + 3   # K > used columns
+        Mst = (rng.randn(m, nu_all, nu_all) + 0.01).astype(dt)
+        Pbst = rng.randn(m, nb, k_ext).astype(dt)
+        Xst = rng.randn(m, nsys, kx).astype(dt)
+        UNst = rng.randn(m, nu, 5).astype(dt)      # ldun=5 > nn
+        sel = np.array([1, 3, 4, 6], dtype=np.int64)
+        nloc = k_ext + n_rt + nn
+        out_pos = np.arange(sel.size, dtype=np.int64) * nloc * nloc
+        out = np.zeros(sel.size * nloc * nloc, dtype=dt)
+        native.ext_gram_blocks(Mst, Pbst, Xst, UNst, nu, k_ext, n_rt,
+                               nn, sel, out_pos, out)
+        for t, i in enumerate(sel):
+            B = np.zeros((nu_all, nloc))
+            B[:nu, :k_ext] = Xst[i, :nu, :k_ext]
+            B[nu:, :k_ext] = Pbst[i]
+            B[:nu, k_ext:k_ext + n_rt] = Xst[i, :nu, k_ext:k_ext + n_rt]
+            B[:nu, k_ext + n_rt:] = UNst[i, :, :nn]
+            C = B.T @ (Mst[i].astype(np.float64) @ B)
+            C = 0.5 * (C + C.T)
+            got = out[out_pos[t]:out_pos[t] + nloc * nloc].reshape(
+                nloc, nloc)
+            assert np.abs(got - C).max() < tol * max(np.abs(C).max(), 1.0)
+            assert np.array_equal(got, got.T)
