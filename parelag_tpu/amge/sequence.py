@@ -260,6 +260,8 @@ class DeRhamSequence:
             self._P_ncols = 0
             self._P_nrows = self.dof[jform].ndofs
             self._P_snapshot = sp.csr_matrix((self._P_nrows, 0))
+            self._P_pieces = []          # per-stage snapshot deltas
+            self._P_chunk_mark = 0
             self.Pi[jform] = CochainProjector(cdof, self.dofagg[jform])
 
             from parelag_tpu.utils.timing import TimeManager as _TM
@@ -279,6 +281,7 @@ class DeRhamSequence:
                 coarse.D[jform] = self._D_builder.tocsr(
                     (coarse.dof[jform + 1].ndofs, cdof.ndofs))
 
+            self._refresh_P(final=True)
             self.P[jform] = self._P_snapshot
             assert self.P[jform].shape[1] == cdof.ndofs
             with _TM.add_timer("coarsen: cochain projector"):
@@ -444,9 +447,27 @@ class DeRhamSequence:
             ar, np.arange(n_ae + 1, dtype=np.int64),
             np.ones(n_ae, dtype=dt), np.arange(n_ae + 1, dtype=np.int64))
 
-    def _refresh_P(self):
-        self._P_snapshot = self._P_builder.tocsr(
-            (self._P_nrows, self._P_ncols))
+    def _refresh_P(self, final=False):
+        """Publish the P entries written so far for the next stage.
+
+        Native path: stages only APPEND rows (each fine dof is interior
+        to exactly one entity), so instead of merging a full CSR snapshot
+        per stage — O(total nnz) every refresh — each stage publishes its
+        delta as an extra row-disjoint full-height piece and extraction
+        runs against the piece family (extract_blocks_cat_multi). The
+        full matrix is materialized once per jform (final=True)."""
+        from parelag_tpu.ops import native
+        shape = (self._P_nrows, self._P_ncols)
+        if native.available() and not final:
+            chunks = self._P_builder.chunks
+            if len(chunks) > self._P_chunk_mark:
+                self._P_pieces.append(
+                    native.chunks_tocsr(chunks[self._P_chunk_mark:],
+                                        shape))
+                self._P_chunk_mark = len(chunks)
+            self._P_snapshot = None
+        else:
+            self._P_snapshot = self._P_builder.tocsr(shape)
 
     # ------------------------------------------------------------------ #
     # stages 2+3: harmonic extensions
@@ -509,8 +530,11 @@ class DeRhamSequence:
         cb_cat, cb_off = cdof.dofs_on_bdr_cat(codim_dom)
         pn_cat, pn_off = pdof.null_dofs_cat(codim_dom)
         Dlocs = C.extract_blocks_cat(D, p_cat, p_off, u_cat, u_off)
-        Pbs = C.extract_blocks_cat(
-            self._P_snapshot, ub_cat, ub_off, cb_cat, cb_off)
+        Pbs = (C.extract_blocks_cat(
+                   self._P_snapshot, ub_cat, ub_off, cb_cat, cb_off)
+               if self._P_snapshot is not None
+               else C.extract_blocks_cat_multi(
+                   self._P_pieces, ub_cat, ub_off, cb_cat, cb_off))
         cPs = C.extract_blocks_cat(Pp, pi_cat, pi_off, pn_cat, pn_off)
         if use_lagrange:
             pv_cat, pv_off = pdof.ranget_dofs_cat(codim_dom)

@@ -345,6 +345,68 @@ def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
     return BlockList(out_cat, out_off, rsz, csz)
 
 
+def extract_blocks_cat_multi(pieces, rows_cat, row_off, cols_cat, col_off):
+    """extract_blocks_cat against a ROW-DISJOINT family of full-height
+    CSR pieces (the per-stage P-snapshot deltas): the native extraction
+    kernel writes only entries present in each piece, so running it once
+    per piece over one pre-zeroed output is equivalent to extracting from
+    the merged matrix — without ever building the merge. Falls back to an
+    explicit sum when the native kernels are unavailable."""
+    from parelag_tpu.ops import native
+    pieces = [p for p in pieces if p.nnz]
+    if not pieces:
+        from parelag_tpu.ops.ragged import BlockList
+        rsz = np.diff(row_off)
+        csz = np.diff(col_off)
+        out_off = np.zeros(rsz.size + 1, np.int64)
+        np.cumsum(rsz * csz, out=out_off[1:])
+        return BlockList(np.zeros(int(out_off[-1])), out_off, rsz, csz)
+    ncols = max(p.shape[1] for p in pieces)
+    if not native.available() or len(pieces) == 1:
+        # widen to a common column count (pieces snapshot a growing P)
+        wide = [p if p.shape[1] == ncols
+                else sp.csr_matrix((p.data, p.indices, p.indptr),
+                                   shape=(p.shape[0], ncols))
+                for p in pieces]
+        A = wide[0]
+        for p in wide[1:]:
+            A = A + p
+        return extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off)
+    from parelag_tpu.ops.ragged import BlockList
+    from parelag_tpu.utils.timing import TimeManager as _TM
+    rsz = np.diff(row_off)
+    csz = np.diff(col_off)
+    nb = rsz.size
+    out_off = np.zeros(nb + 1, np.int64)
+    np.cumsum(rsz * csz, out=out_off[1:])
+    vdt = pieces[0].data.dtype
+    out_cat = np.zeros(int(out_off[-1]), dtype=vdt)
+    _tp = _TM.get_timer("extract: prep")
+    _tk = _TM.get_timer("extract: kernel")
+    _tp.start()
+    pos = _col_scratch(ncols)
+    row_off = np.asarray(row_off, np.int64)
+    rows_cat = np.ascontiguousarray(rows_cat.astype(np.int64, copy=False))
+    cols_cat = np.ascontiguousarray(cols_cat.astype(np.int64, copy=False))
+    first = np.full(nb, -1, dtype=np.int64)
+    nz = rsz > 0
+    first[nz] = rows_cat[row_off[:-1][nz]]
+    order = np.argsort(first, kind="stable").astype(np.int64)
+    rb, re = row_off[:-1].copy(), row_off[1:].copy()
+    cb = np.asarray(col_off[:-1], np.int64).copy()
+    ce = np.asarray(col_off[1:], np.int64).copy()
+    ob = out_off[:-1].copy()
+    _tp.stop()
+    _tk.start()
+    for A in pieces:
+        assert A.data.dtype == vdt, "mixed piece dtypes"
+        native.csr_extract_dense_many2(
+            A.indptr, A.indices, A.data, rows_cat, rb, re, cols_cat,
+            cb, ce, pos, out_cat, ob, order)
+    _tk.stop()
+    return BlockList(out_cat, out_off, rsz, csz)
+
+
 _SCRATCH = {}
 
 
