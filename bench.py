@@ -717,11 +717,32 @@ def lane_spe10(cells=(30, 55, 21), spectral=True):
                 winner="device" if dsolve <= hsolve else "host")
 
 
+def host_phase_probe():
+    """Host memory-subsystem state at bench time. The virtualized hosts
+    show phase-varying memory performance (fresh-page population and
+    cold writes intermittently collapse ~50x, host-side — see
+    DESIGN.md); this stamps every bench record with the phase so setup
+    wall-clock regressions can be told apart from host noise."""
+    n = 1 << 28                              # 256 MB
+    buf = np.empty(n, dtype=np.uint8)
+    t0 = time.perf_counter()
+    buf[:] = 1                               # first touch (population)
+    t_pop = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    buf[:] = 0                               # steady-state write
+    t_hot = time.perf_counter() - t0
+    del buf
+    return {"host_populate_gbps": round(n / t_pop / 1e9, 2),
+            "host_write_gbps": round(n / t_hot / 1e9, 2)}
+
+
 def main():
     big = 96 if SCALE == "full" else 24
     darcy_nx = 32 if SCALE == "full" else 12
     n_rhs = 16
 
+    print(json.dumps({"lane": "host_phase", **host_phase_probe()}),
+          file=sys.stderr)
     out = lane_h1(big, n_rhs=n_rhs)
     multirhs = out.pop("multirhs", None)
     print(json.dumps({"lane": "h1", **out}), file=sys.stderr)
@@ -773,6 +794,8 @@ def main():
         print(json.dumps(d8), file=sys.stderr)
     except Exception as e:               # pragma: no cover
         print(f"[dist] lane failed: {e}", file=sys.stderr)
+    print(json.dumps({"lane": "host_phase_end", **host_phase_probe()}),
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": out["metric"],

@@ -36,8 +36,15 @@ def _tune_malloc():
     try:
         import ctypes
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        libc.mallopt(-3, 1 << 30)    # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 1 << 30)    # M_TRIM_THRESHOLD
+        # effectively infinite: every allocation rides the brk heap and
+        # freed space is NEVER returned to the OS — on the deployment
+        # hosts, released pages lose their (slowly-acquired) host
+        # backing, so the heap must hold its high-water mark
+        libc.mallopt(-3, 1 << 44)    # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 44)    # M_TRIM_THRESHOLD
+        # single arena: prefault()'s background thread must feed the
+        # same free lists the main thread allocates from
+        libc.mallopt(-8, 1)          # M_ARENA_MAX
     except Exception:                # non-glibc platforms: no-op
         pass
 
@@ -89,6 +96,54 @@ def _install_np_allocator():
         npalloc.install(cap)
     except Exception:
         pass
+
+
+def prefault(gb, background=True):
+    """Acquire host backing for ~`gb` GB of heap ahead of need.
+
+    The deployment hosts back roughly the first 5-6 GB of a process
+    fast; beyond that, FRESH pages arrive at 10-100 MB/s (host-side,
+    one-time per page — see DESIGN.md). A large job that lets this
+    happen on demand stalls its compute at every big allocation.
+    prefault() walks the heap up front — by default on a background
+    thread; the memory is malloc'd, touched, and freed, so it lands in
+    the (never-trimmed, single-arena) free lists every later numpy
+    allocation draws from. OPT-IN and deliberately not called anywhere
+    by default: measured on the flagship build, a background prefault
+    racing a compute phase that itself allocates both contends for the
+    host's backing path and fragments the heap (interleaved chunk
+    ownership defeats coalescing), a net loss. Use it only BEFORE any
+    compute, e.g. while waiting on an accelerator session warmup.
+    Returns the Thread (or None when foreground/failed)."""
+    import ctypes
+    import threading
+
+    def _touch():
+        try:
+            libc = ctypes.CDLL("libc.so.6")
+            libc.malloc.restype = ctypes.c_void_p
+            libc.malloc.argtypes = [ctypes.c_size_t]
+            libc.free.argtypes = [ctypes.c_void_p]
+            step = 256 << 20
+            blocks = []
+            for _ in range(max(1, int(gb * (1 << 30)) // step)):
+                p = libc.malloc(step)
+                if not p:
+                    break
+                ctypes.memset(p, 0, step)
+                blocks.append(p)
+            for p in blocks:
+                libc.free(p)
+        except Exception:
+            pass
+
+    if not background:
+        _touch()
+        return None
+    t = threading.Thread(target=_touch, name="parelag-prefault",
+                         daemon=True)
+    t.start()
+    return t
 
 
 _tune_malloc()

@@ -281,9 +281,23 @@ class DeRhamSequence:
                 coarse.D[jform] = self._D_builder.tocsr(
                     (coarse.dof[jform + 1].ndofs, cdof.ndofs))
 
+            # evict agglomerate-block cache rows that no later stage can
+            # read: jform j-1's extensions reach at most form j+1, and
+            # _repair_curl_range at most form j+1 — (c, j+2) is dead.
+            # Peak RSS is a first-order cost on the deployment hosts
+            # (fresh backing beyond the host's fast pool is ~50x slow,
+            # DESIGN.md), so dead GB-scale caches are not kept.
+            for key in [k for k in self._ae_blocks_cache
+                        if k[1] >= jform + 2]:
+                del self._ae_blocks_cache[key]
+
             self._refresh_P(final=True)
             self.P[jform] = self._P_snapshot
             assert self.P[jform].shape[1] == cdof.ndofs
+            # the builder's chunk arrays (every X basis block written this
+            # form) and the per-stage pieces are dead once P is final
+            self._P_builder = None
+            self._P_pieces = []
             with _TM.add_timer("coarsen: cochain projector"):
                 self.Pi[jform].compute_projector(self.P[jform])
 

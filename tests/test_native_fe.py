@@ -177,3 +177,36 @@ def test_ext_gram_blocks_matches_numpy():
                 nloc, nloc)
             assert np.abs(got - C).max() < tol * max(np.abs(C).max(), 1.0)
             assert np.array_equal(got, got.T)
+
+
+def test_extract_blocks_cat_multi_matches_merged():
+    """Piece-wise extraction over row-disjoint full-height CSR pieces
+    equals extraction from their merged sum (the P-snapshot contract),
+    including pieces with different (growing) column counts."""
+    import scipy.sparse as sp
+    from parelag_tpu.ops import csr as C
+    rng = np.random.RandomState(5)
+    n, pieces, csrs = 40, [(0, 14, 8), (14, 30, 12), (30, 40, 12)], []
+    for r0, r1, nc in pieces:
+        rows = np.repeat(np.arange(r0, r1), 3)
+        cols = rng.randint(0, nc, rows.size)
+        vals = rng.randn(rows.size)
+        A = sp.csr_matrix(
+            sp.coo_matrix((vals, (rows, cols)), shape=(n, nc)))
+        A.sum_duplicates()
+        csrs.append(A)
+    ncols = 12
+    merged = sum(sp.csr_matrix((A.data, A.indices, A.indptr),
+                               shape=(n, ncols)) for A in csrs[1:])
+    merged = merged + sp.csr_matrix(
+        (csrs[0].data, csrs[0].indices, csrs[0].indptr), shape=(n, ncols))
+    rows_cat = np.array([1, 5, 17, 33, 2, 38, 20], dtype=np.int64)
+    row_off = np.array([0, 4, 7], dtype=np.int64)
+    cols_cat = np.array([0, 3, 7, 11, 2, 5], dtype=np.int64)
+    col_off = np.array([0, 4, 6], dtype=np.int64)
+    got = C.extract_blocks_cat_multi(csrs, rows_cat, row_off,
+                                     cols_cat, col_off)
+    ref = C.extract_blocks_cat(merged.tocsr(), rows_cat, row_off,
+                               cols_cat, col_off)
+    for b in range(2):
+        assert np.abs(got[b] - ref[b]).max() < 1e-14
