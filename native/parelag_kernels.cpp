@@ -1150,7 +1150,90 @@ static void ext_gram_impl(const T* Mst, const T* Pbst, const T* Xst,
     }
 }
 
+// B = W[:n_pint, :] * Dloc per agglomerate, straight from the fine
+// derivative CSR. Dloc (the AE-local dense derivative block) is never
+// materialized: the extension stage used to dense-extract D into
+// (np_all x nu_all) blocks (hundreds of MB per stage at flagship scale)
+// only to multiply them once — here each AE's B accumulates from D's
+// 2-4 nonzeros per row while W is cache-hot.
+template <typename I, typename T>
+static void wd_blocks_impl(const I* Dp, const I* Di, const T* Dv,
+                           const int64_t* p_cat, const int64_t* p_off,
+                           const int64_t* u_cat, const int64_t* u_off,
+                           const int64_t* n_pint, const T* W_cat,
+                           const int64_t* W_off, int64_t* pos, T* out_cat,
+                           const int64_t* out_off, int64_t n_ae) {
+    for (int64_t a = 0; a < n_ae; ++a) {
+        const int64_t nu = u_off[a + 1] - u_off[a];
+        const int64_t np = p_off[a + 1] - p_off[a];
+        const int64_t ni = n_pint[a];
+        const int64_t* us = u_cat + u_off[a];
+        const int64_t* ps = p_cat + p_off[a];
+        const T* W = W_cat + W_off[a];
+        T* out = out_cat + out_off[a];
+        for (int64_t j = 0; j < nu; ++j) pos[us[j]] = j;
+        for (int64_t k = 0; k < ni * nu; ++k) out[k] = (T)0;
+        for (int64_t p = 0; p < np; ++p) {
+            const I row = (I)ps[p];
+            for (I e = Dp[row]; e < Dp[row + 1]; ++e) {
+                const int64_t j = pos[Di[e]];
+                if (j < 0) continue;
+                const T v = Dv[e];
+                for (int64_t q = 0; q < ni; ++q)
+                    out[q * nu + j] += W[q * np + p] * v;
+            }
+        }
+        for (int64_t j = 0; j < nu; ++j) pos[us[j]] = -1;
+    }
+}
+
 extern "C" {
+
+void wd_blocks_f64(const int64_t* Dp, const int64_t* Di, const double* Dv,
+                   const int64_t* p_cat, const int64_t* p_off,
+                   const int64_t* u_cat, const int64_t* u_off,
+                   const int64_t* n_pint, const double* W_cat,
+                   const int64_t* W_off, int64_t* pos, double* out_cat,
+                   const int64_t* out_off, int64_t n_ae) {
+    wd_blocks_impl<int64_t, double>(Dp, Di, Dv, p_cat, p_off, u_cat, u_off,
+                                    n_pint, W_cat, W_off, pos, out_cat,
+                                    out_off, n_ae);
+}
+
+void wd_blocks_f32(const int64_t* Dp, const int64_t* Di, const float* Dv,
+                   const int64_t* p_cat, const int64_t* p_off,
+                   const int64_t* u_cat, const int64_t* u_off,
+                   const int64_t* n_pint, const float* W_cat,
+                   const int64_t* W_off, int64_t* pos, float* out_cat,
+                   const int64_t* out_off, int64_t n_ae) {
+    wd_blocks_impl<int64_t, float>(Dp, Di, Dv, p_cat, p_off, u_cat, u_off,
+                                   n_pint, W_cat, W_off, pos, out_cat,
+                                   out_off, n_ae);
+}
+
+void wd_blocks_i32_f64(const int32_t* Dp, const int32_t* Di,
+                       const double* Dv, const int64_t* p_cat,
+                       const int64_t* p_off, const int64_t* u_cat,
+                       const int64_t* u_off, const int64_t* n_pint,
+                       const double* W_cat, const int64_t* W_off,
+                       int64_t* pos, double* out_cat,
+                       const int64_t* out_off, int64_t n_ae) {
+    wd_blocks_impl<int32_t, double>(Dp, Di, Dv, p_cat, p_off, u_cat, u_off,
+                                    n_pint, W_cat, W_off, pos, out_cat,
+                                    out_off, n_ae);
+}
+
+void wd_blocks_i32_f32(const int32_t* Dp, const int32_t* Di,
+                       const float* Dv, const int64_t* p_cat,
+                       const int64_t* p_off, const int64_t* u_cat,
+                       const int64_t* u_off, const int64_t* n_pint,
+                       const float* W_cat, const int64_t* W_off,
+                       int64_t* pos, float* out_cat,
+                       const int64_t* out_off, int64_t n_ae) {
+    wd_blocks_impl<int32_t, float>(Dp, Di, Dv, p_cat, p_off, u_cat, u_off,
+                                   n_pint, W_cat, W_off, pos, out_cat,
+                                   out_off, n_ae);
+}
 
 void ext_gram_f64(const double* Mst, const double* Pbst, const double* Xst,
                   const double* UNst, int64_t nsys, int64_t K, int64_t ldun,

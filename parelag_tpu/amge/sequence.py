@@ -543,7 +543,17 @@ class DeRhamSequence:
         pi_cat = p_cat[pii]                          # interior p dofs
         cb_cat, cb_off = cdof.dofs_on_bdr_cat(codim_dom)
         pn_cat, pn_off = pdof.null_dofs_cat(codim_dom)
-        Dlocs = C.extract_blocks_cat(D, p_cat, p_off, u_cat, u_off)
+        from parelag_tpu.ops import native as _nat0
+        if _nat0.available() and hasattr(Wd, "cat"):
+            # B = W[:np_int,:] @ Dloc computed straight from the fine D
+            # CSR — the dense per-AE D blocks (the largest extraction
+            # output of this stage) are never materialized
+            Bs = _nat0.wd_blocks(D, p_cat, p_off, u_cat, u_off,
+                                 np_ints, Wd, C._col_scratch(D.shape[1]))
+            Dlocs = None
+        else:
+            Bs = None
+            Dlocs = C.extract_blocks_cat(D, p_cat, p_off, u_cat, u_off)
         Pbs = (C.extract_blocks_cat(
                    self._P_snapshot, ub_cat, ub_off, cb_cat, cb_off)
                if self._P_snapshot is not None
@@ -594,9 +604,12 @@ class DeRhamSequence:
             _tg.start()
             Mst = Rg.take(Md, idxs, (nu_all, nu_all))
             Wst = Rg.take(Wd, idxs, (np_all, np_all))
-            Dst = Rg.take(Dlocs, idxs, (np_all, nu_all))
-            # only the first np_int rows of B = W D are ever used
-            Bst = Wst[:, :np_int, :] @ Dst           # (m, p_int, u_all)
+            if Bs is not None:
+                Bst = Rg.take(Bs, idxs, (np_int, nu_all))
+            else:
+                Dst = Rg.take(Dlocs, idxs, (np_all, nu_all))
+                # only the first np_int rows of B = W D are ever used
+                Bst = Wst[:, :np_int, :] @ Dst       # (m, p_int, u_all)
             M_ii = Mst[:, :nu_int, :nu_int]
             M_ib = Mst[:, :nu_int, nu_int:]
             B_ii = Bst[:, :, :nu_int]

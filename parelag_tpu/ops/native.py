@@ -170,6 +170,18 @@ def _load():
     lib.csr_merge_rows_f32.argtypes = [
         ctypes.c_int64, i64p, i64p, f32p, i64p, i64p, f32p,
         i64p, i64p, f32p]
+    lib.wd_blocks_f64.argtypes = [
+        i64p, i64p, f64p, i64p, i64p, i64p, i64p, i64p, f64p, i64p,
+        i64p, f64p, i64p, ctypes.c_int64]
+    lib.wd_blocks_f32.argtypes = [
+        i64p, i64p, f32p, i64p, i64p, i64p, i64p, i64p, f32p, i64p,
+        i64p, f32p, i64p, ctypes.c_int64]
+    lib.wd_blocks_i32_f64.argtypes = [
+        i32p, i32p, f64p, i64p, i64p, i64p, i64p, i64p, f64p, i64p,
+        i64p, f64p, i64p, ctypes.c_int64]
+    lib.wd_blocks_i32_f32.argtypes = [
+        i32p, i32p, f32p, i64p, i64p, i64p, i64p, i64p, f32p, i64p,
+        i64p, f32p, i64p, ctypes.c_int64]
     lib.ext_gram_f64.argtypes = [
         f64p, f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -458,6 +470,39 @@ def chunks_tocsr(chunks, shape):
     A.has_sorted_indices = True
     A.has_canonical_format = True
     return A
+
+
+def wd_blocks(D, p_cat, p_off, u_cat, u_off, n_pint, Wd, pos):
+    """Per-agglomerate B = W[:n_pint, :] @ Dloc straight from the fine
+    derivative CSR — the AE-local dense D block (np_all x nu_all, the
+    single largest extraction output of the extension stage) is never
+    materialized. Wd is the agglomerate p-mass BlockList (np_all^2
+    blocks); returns a BlockList of (n_pint x nu_all) blocks."""
+    from parelag_tpu.ops.ragged import BlockList
+    lib = _load()
+    p_off = np.asarray(p_off, np.int64)
+    u_off = np.asarray(u_off, np.int64)
+    n_pint = np.ascontiguousarray(n_pint, dtype=np.int64)
+    nu = np.diff(u_off)
+    out_off = np.zeros(n_pint.size + 1, np.int64)
+    np.cumsum(n_pint * nu, out=out_off[1:])
+    vdt = Wd.cat.dtype
+    out_cat = np.empty(int(out_off[-1]), dtype=vdt)
+    f32 = vdt == np.dtype(np.float32)
+    i32 = D.indptr.dtype == np.int32
+    fn = (lib.wd_blocks_i32_f32 if i32 and f32
+          else lib.wd_blocks_i32_f64 if i32
+          else lib.wd_blocks_f32 if f32 else lib.wd_blocks_f64)
+    ip = _p32 if i32 else _p64
+    vp = _pf32 if f32 else _pf
+    dv = np.ascontiguousarray(D.data, dtype=vdt)
+    fn(ip(D.indptr), ip(D.indices), vp(dv),
+       _p64(np.ascontiguousarray(p_cat, dtype=np.int64)), _p64(p_off),
+       _p64(np.ascontiguousarray(u_cat, dtype=np.int64)), _p64(u_off),
+       _p64(n_pint), vp(np.ascontiguousarray(Wd.cat)), _p64(Wd.off),
+       _p64(pos), vp(out_cat), _p64(out_off),
+       ctypes.c_int64(n_pint.size))
+    return BlockList(out_cat, out_off, n_pint, nu)
 
 
 def ext_gram_blocks(Mst, Pbst, Xst, UNst, nu, k_ext, n_rt, nn, items,

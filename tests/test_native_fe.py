@@ -210,3 +210,42 @@ def test_extract_blocks_cat_multi_matches_merged():
                                cols_cat, col_off)
     for b in range(2):
         assert np.abs(got[b] - ref[b]).max() < 1e-14
+
+
+def test_wd_blocks_matches_dense():
+    """wd_blocks reproduces W[:n_pint, :] @ Dloc computed via dense
+    extraction, for ragged AE families and i32/i64 x f32/f64 CSRs."""
+    import scipy.sparse as sp
+    from parelag_tpu.ops import csr as C, native
+    from parelag_tpu.ops.ragged import BlockList
+    if not native.available():
+        import pytest
+        pytest.skip("native kernels unavailable")
+    rng = np.random.RandomState(11)
+    npf, nuf = 60, 45                     # fine p/u dof counts
+    D = sp.random(npf, nuf, density=0.08, random_state=rng,
+                  format="csr")
+    fams = [((0, 8), (0, 10), 3), ((8, 14), (10, 22), 4),
+            ((14, 26), (22, 30), 5)]      # (p range, u range, n_pint)
+    p_cat = np.concatenate([np.arange(a, b) for (a, b), _, _ in fams])
+    p_off = np.cumsum([0] + [b - a for (a, b), _, _ in fams])
+    u_cat = np.concatenate([np.arange(a, b) for _, (a, b), _ in fams])
+    u_off = np.cumsum([0] + [b - a for _, (a, b), _ in fams])
+    n_pint = np.array([k for _, _, k in fams], dtype=np.int64)
+    for vdt, idt, tol in ((np.float64, np.int64, 1e-13),
+                          (np.float32, np.int32, 1e-5)):
+        Dx = D.astype(vdt)
+        Dx.indptr = Dx.indptr.astype(idt)
+        Dx.indices = Dx.indices.astype(idt)
+        Wb = [rng.randn(b - a, b - a).astype(vdt)
+              for (a, b), _, _ in fams]
+        Wd = BlockList.from_list(Wb)
+        pos = C._col_scratch(nuf)
+        got = native.wd_blocks(Dx, p_cat, p_off, u_cat, u_off, n_pint,
+                               Wd, pos)
+        for i, ((pa, pb), (ua, ub), k) in enumerate(fams):
+            Dloc = Dx[pa:pb, ua:ub].toarray()
+            ref = Wb[i][:k, :] @ Dloc
+            assert np.abs(got[i] - ref).max() <= tol * max(
+                1.0, np.abs(ref).max()), (vdt, i)
+        assert (pos == -1).all() or pos.size > nuf
