@@ -518,7 +518,16 @@ class DeRhamSequence:
             PDc = (Pp[:, :pdof.ndofs] @ Dc).tocsr()
             D2 = self.D[jform + 1].tocsr()
             w2agg = self.dofagg[jform + 2]
-            W2d = self._ae_blocks(codim_dom, jform + 2)
+            # deliberately NOT memoized: each (codim, jform+2) block
+            # family is used by exactly this one stage, and holding all
+            # of them across a form's stages costs ~1 GB of peak RSS
+            # (first-order on the deployment hosts, DESIGN.md)
+            from parelag_tpu.utils.timing import TimeManager as _TM2
+            with _TM2.add_timer("coarsen: ae_blocks assemble"):
+                W2d = assemble_agglomerate_blocks(
+                    self.M[(codim_dom, jform + 2)],
+                    self.topo.AEntity_entity[codim_dom],
+                    self.dofagg[jform + 2], codim_dom)
 
         n_ae = len(Md)
         counter = self._P_ncols
