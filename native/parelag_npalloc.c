@@ -218,7 +218,18 @@ static struct PyModuleDef moduledef = {
     PyModuleDef_HEAD_INIT, "parelag_npalloc",
     "Caching numpy data allocator for parelag_tpu", -1, methods};
 
+/* fork safety: a child forked while another thread held the cache lock
+ * would deadlock on its first big allocation. Serialize around fork and
+ * hand the child a clean, unlocked cache. */
+static void fork_prepare(void) { pthread_mutex_lock(&g_lock); }
+static void fork_parent(void) { pthread_mutex_unlock(&g_lock); }
+static void fork_child(void) {
+    pthread_mutex_t fresh = PTHREAD_MUTEX_INITIALIZER;
+    memcpy(&g_lock, &fresh, sizeof(fresh));
+}
+
 PyMODINIT_FUNC PyInit_parelag_npalloc(void) {
     import_array();
+    pthread_atfork(fork_prepare, fork_parent, fork_child);
     return PyModule_Create(&moduledef);
 }
