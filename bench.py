@@ -188,7 +188,8 @@ def _chip_bw():
     return _CHIP_BW
 
 
-def _build_h1(nx, min_coarse=256, setup_dtype=np.float32):
+def _build_h1(nx, min_coarse=256, setup_dtype=np.float32,
+              factors=(2, 2, 2)):
     from parelag_tpu.mesh.mesh import hex_grid_mesh
     from parelag_tpu.topology.topology import AgglomeratedTopology
     from parelag_tpu.amge.fespace import DeRhamSequenceFE
@@ -200,13 +201,17 @@ def _build_h1(nx, min_coarse=256, setup_dtype=np.float32):
     topos = [AgglomeratedTopology.from_mesh(mesh)]
     seqs = []
     shape = (nx, nx, nx)
-    while min(shape) >= 4 and np.prod(
-            [s // 2 for s in shape]) >= min_coarse:
-        # cartesian_partition takes per-axis coarsening FACTORS (2,2,2),
-        # i.e. 2x2x2 element blocks -> (s//2)^3 agglomerates per level.
-        part = cartesian_partition(shape, (2, 2, 2))
+    while (all(s % f == 0 and s >= 2 * f
+               for s, f in zip(shape, factors))
+           and np.prod([s // f
+                        for s, f in zip(shape, factors)]) >= min_coarse):
+        # cartesian_partition takes per-axis coarsening FACTORS, i.e.
+        # fxfxf element blocks -> prod(s//f) agglomerates per level;
+        # factors=(4,4,4) is the aggressive-coarsening variant (half
+        # the levels, bigger local problems)
+        part = cartesian_partition(shape, factors)
         topos.append(topos[-1].coarsen_local_partitioning(part))
-        shape = tuple(s // 2 for s in shape)
+        shape = tuple(s // f for s, f in zip(shape, factors))
     seq0 = DeRhamSequenceFE(
         topos[0], mesh,
         dtype=setup_dtype if setup_dtype is not None else np.float64)
@@ -640,35 +645,56 @@ def lane_ho(nx, p=2):
 
 
 def lane_autotune(nx):
-    """Cycle-shape autotune lane: measure the default V/W-cycle x smoother
-    grid (solvers/autotune.py) on the H1 AMGe hierarchy and report the
-    winning configuration's throughput (the reference leaves cycle/
-    relaxation choice to hand-written XML; here it is measured)."""
+    """Cycle-shape + coarsening-granularity autotune lane: measure the
+    default V/W-cycle x smoother grid (solvers/autotune.py) on BOTH the
+    nested 2x2x2 H1 AMGe hierarchy and the aggressive 4x4x4 variant
+    (half the levels, bigger agglomerate problems) and report the
+    overall winner (the reference leaves cycle/relaxation/coarsening
+    choice to hand-written XML; here they are measured)."""
     from parelag_tpu.solvers.autotune import tune_cycle
-
-    t0 = time.time()
-    # min_coarse=64: keep >= 2 levels even at the quick scale (a 1-level
-    # hierarchy is a direct solve and the grid rows all tie at 1 iter)
-    seqs, A, b = _build_h1(nx, min_coarse=64)
     from parelag_tpu.solvers.amge_solver import build_amge_hierarchy
-    _, A_levels, P_levels = build_amge_hierarchy(
-        seqs, 0, A.astype(np.float32), dtype=np.float32,
-        matrix_format="dia")
-    setup_s = time.time() - t0
-    t0 = time.time()
-    best, table = tune_cycle(A_levels, P_levels, b, rtol=1e-5,
-                             dtype=np.float32, matrix_format="dia")
-    tune_s = time.time() - t0
-    n = A.shape[0]
-    rows = [dict(cfg=r["cfg"], iters=r.get("iters"),
-                 solve_s=r.get("solve_s"), converged=r.get("converged"))
-            for r in table]
-    out = dict(metric="h1_amge_cycle_autotune", ndofs=n,
-               setup_s=setup_s, tune_s=tune_s, grid=rows)
-    if best:
-        out.update(best_cfg=best["cfg"], iters=best["iters"],
-                   solve_s=best["solve_s"],
-                   value=n * best["iters"] / best["solve_s"],
+
+    out = dict(metric="h1_amge_cycle_autotune", grid=[])
+    best_all = None
+    for factors in ((2, 2, 2), (4, 4, 4)):
+        t0 = time.time()
+        # min_coarse=64: keep >= 2 levels even at the quick scale (a
+        # 1-level hierarchy is a direct solve and every row ties)
+        try:
+            seqs, A, b = _build_h1(nx, min_coarse=64, factors=factors)
+        except Exception as e:           # e.g. nx not divisible by 4
+            print(f"[autotune] factors={factors} skipped: {e}",
+                  file=sys.stderr)
+            continue
+        if len(seqs) < 2:
+            continue
+        _, A_levels, P_levels = build_amge_hierarchy(
+            seqs, 0, A.astype(np.float32), dtype=np.float32,
+            matrix_format="dia")
+        setup_s = time.time() - t0
+        t0 = time.time()
+        best, table = tune_cycle(A_levels, P_levels, b, rtol=1e-5,
+                                 dtype=np.float32, matrix_format="dia")
+        tune_s = time.time() - t0
+        n = A.shape[0]
+        gran = "x".join(map(str, factors))
+        out["ndofs"] = n
+        out.setdefault("setup_s", {})[gran] = round(setup_s, 2)
+        out.setdefault("tune_s", {})[gran] = round(tune_s, 2)
+        out["grid"] += [dict(granularity=gran, cfg=r["cfg"],
+                             iters=r.get("iters"),
+                             solve_s=r.get("solve_s"),
+                             converged=r.get("converged"))
+                        for r in table]
+        if best and (best_all is None
+                     or best["solve_s"] < best_all["solve_s"]):
+            best_all = dict(best, granularity=gran, ndofs=n)
+    if best_all:
+        out.update(best_cfg=best_all["cfg"],
+                   best_granularity=best_all["granularity"],
+                   iters=best_all["iters"], solve_s=best_all["solve_s"],
+                   value=best_all["ndofs"] * best_all["iters"]
+                   / best_all["solve_s"],
                    unit="dof_iter_per_s")
     return out
 
