@@ -749,15 +749,26 @@ def host_phase_probe():
     cold writes intermittently collapse ~50x, host-side — see
     DESIGN.md); this stamps every bench record with the phase so setup
     wall-clock regressions can be told apart from host noise."""
+    import ctypes
     n = 1 << 28                              # 256 MB
-    buf = np.empty(n, dtype=np.uint8)
+    # raw mmap, NOT numpy: the caching numpy allocator would hand back
+    # already-populated pages and the probe would read steady-state
+    # bandwidth even mid-pathology
+    libc = ctypes.CDLL("libc.so.6")
+    libc.mmap.restype = ctypes.c_void_p
+    libc.mmap.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+                          ctypes.c_int, ctypes.c_int, ctypes.c_long]
+    libc.munmap.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    addr = libc.mmap(None, n, 3, 0x22, -1, 0)   # RW, PRIVATE|ANON
+    if not addr or addr == ctypes.c_void_p(-1).value:
+        return {"host_populate_gbps": -1.0, "host_write_gbps": -1.0}
     t0 = time.perf_counter()
-    buf[:] = 1                               # first touch (population)
+    ctypes.memset(addr, 1, n)                # first touch (population)
     t_pop = time.perf_counter() - t0
     t0 = time.perf_counter()
-    buf[:] = 0                               # steady-state write
+    ctypes.memset(addr, 0, n)                # steady-state write
     t_hot = time.perf_counter() - t0
-    del buf
+    libc.munmap(addr, n)
     return {"host_populate_gbps": round(n / t_pop / 1e9, 2),
             "host_write_gbps": round(n / t_hot / 1e9, 2)}
 
@@ -838,6 +849,9 @@ def _device_reachable(timeout_s=150, attempts=4, wait_s=120):
     keeps the bench from hanging forever and lets main() record an
     honest failure instead of an empty result."""
     import subprocess
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # explicit CPU-only run: nothing remote to probe
+        return True
     probe = ("import jax, numpy as np, jax.numpy as jnp;"
              "x = jnp.ones((64, 64));"
              "print('OK', float(np.asarray(x @ x)[0, 0]))")

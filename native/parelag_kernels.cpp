@@ -563,6 +563,18 @@ static void batched_solve_impl(const T* A, const T* B, T* X, int64_t m,
         }
         if (bad[it]) {
             for (int64_t i = 0; i < n * k; ++i) Xs[i] = (T)0;
+            if (res) {
+                // honor the contract even for hard-singular systems
+                // (X = 0 -> residual = max|B|); the wrapper allocates
+                // res/bmax with np.empty
+                double bm = 0.0;
+                for (int64_t i = 0; i < n * k; ++i) {
+                    const double v = std::fabs((double)Bs[i]);
+                    if (v > bm) bm = v;
+                }
+                res[it] = bm;
+                if (bmax) bmax[it] = bm;
+            }
             continue;
         }
         for (int64_t c = n - 1; c >= 0; --c) {

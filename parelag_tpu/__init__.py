@@ -36,16 +36,21 @@ def _tune_malloc():
     try:
         import ctypes
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        # effectively infinite: every allocation rides the brk heap and
-        # freed space is NEVER returned to the OS — on the deployment
-        # hosts, released pages lose their (slowly-acquired) host
-        # backing, so the heap must hold its high-water mark
-        libc.mallopt(-3, 1 << 44)    # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 1 << 44)    # M_TRIM_THRESHOLD
+        libc.mallopt.argtypes = [ctypes.c_int, ctypes.c_int]
+        libc.mallopt.restype = ctypes.c_int
+        # effectively infinite (INT_MAX — mallopt takes a C int, and a
+        # wider Python value would be silently truncated by ctypes:
+        # 1 << 44 masks to 0, the exact opposite setting): every
+        # allocation rides the brk heap and freed space is NEVER
+        # returned to the OS — on the deployment hosts, released pages
+        # lose their (slowly-acquired) host backing, so the heap must
+        # hold its high-water mark
+        libc.mallopt(-3, 0x7FFFFFFF)    # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 0x7FFFFFFF)    # M_TRIM_THRESHOLD
         # single arena: prefault()'s background thread must feed the
         # same free lists the main thread allocates from
-        libc.mallopt(-8, 1)          # M_ARENA_MAX
-    except Exception:                # non-glibc platforms: no-op
+        libc.mallopt(-8, 1)             # M_ARENA_MAX
+    except Exception:                   # non-glibc platforms: no-op
         pass
 
 

@@ -567,7 +567,8 @@ class DeRhamSequence:
                    self._P_snapshot, ub_cat, ub_off, cb_cat, cb_off)
                if self._P_snapshot is not None
                else C.extract_blocks_cat_multi(
-                   self._P_pieces, ub_cat, ub_off, cb_cat, cb_off))
+                   self._P_pieces, ub_cat, ub_off, cb_cat, cb_off,
+                   dtype=dt))
         cPs = C.extract_blocks_cat(Pp, pi_cat, pi_off, pn_cat, pn_off)
         if use_lagrange:
             pv_cat, pv_off = pdof.ranget_dofs_cat(codim_dom)

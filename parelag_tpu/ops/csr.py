@@ -345,13 +345,16 @@ def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
     return BlockList(out_cat, out_off, rsz, csz)
 
 
-def extract_blocks_cat_multi(pieces, rows_cat, row_off, cols_cat, col_off):
+def extract_blocks_cat_multi(pieces, rows_cat, row_off, cols_cat, col_off,
+                             dtype=np.float64):
     """extract_blocks_cat against a ROW-DISJOINT family of full-height
     CSR pieces (the per-stage P-snapshot deltas): the native extraction
     kernel writes only entries present in each piece, so running it once
     per piece over one pre-zeroed output is equivalent to extracting from
     the merged matrix — without ever building the merge. Falls back to an
-    explicit sum when the native kernels are unavailable."""
+    explicit sum when the native kernels are unavailable. `dtype` is the
+    caller's pipeline dtype, used only for the no-pieces degenerate
+    return (with pieces present their dtype wins)."""
     from parelag_tpu.ops import native
     pieces = [p for p in pieces if p.nnz]
     if not pieces:
@@ -360,7 +363,8 @@ def extract_blocks_cat_multi(pieces, rows_cat, row_off, cols_cat, col_off):
         csz = np.diff(col_off)
         out_off = np.zeros(rsz.size + 1, np.int64)
         np.cumsum(rsz * csz, out=out_off[1:])
-        return BlockList(np.zeros(int(out_off[-1])), out_off, rsz, csz)
+        return BlockList(np.zeros(int(out_off[-1]), dtype=dtype),
+                         out_off, rsz, csz)
     ncols = max(p.shape[1] for p in pieces)
     if not native.available() or len(pieces) == 1:
         # widen to a common column count (pieces snapshot a growing P)

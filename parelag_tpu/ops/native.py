@@ -425,6 +425,20 @@ def chunks_tocsr(chunks, shape):
         vdt = np.dtype(np.float64)
     f32 = vdt == np.dtype(np.float32)
     vp = _pf32 if f32 else _pf
+    ncols = int(shape[1])
+
+    def _check(r, c):
+        # scipy's replaced coo->csr path validated indices; keep that
+        # failure mode — out-of-range indices would otherwise corrupt
+        # the heap through the native counting/scatter passes
+        if r.size and (int(r.min()) < 0 or int(r.max()) >= nrows):
+            raise ValueError(
+                f"row index out of range [0, {nrows}) in builder chunk")
+        if c.size and (int(c.min()) < 0 or int(c.max()) >= ncols):
+            raise ValueError(
+                f"column index out of range [0, {ncols}) in builder "
+                "chunk")
+
     counts = np.zeros(nrows, dtype=np.int64)
     norm = []
     for ch in chunks:
@@ -432,6 +446,7 @@ def chunks_tocsr(chunks, shape):
             r = np.ascontiguousarray(ch[1], dtype=np.int64)
             c = np.ascontiguousarray(ch[2], dtype=np.int64)
             v = np.ascontiguousarray(ch[3], dtype=vdt)
+            _check(r, c)
             norm.append(("coo", r, c, v))
             lib.coo_count(_p64(r), ctypes.c_int64(r.size), _p64(counts))
         else:
@@ -440,6 +455,7 @@ def chunks_tocsr(chunks, shape):
             cc = np.ascontiguousarray(ch[3], dtype=np.int64)
             co = np.asarray(ch[4], dtype=np.int64)
             v = np.ascontiguousarray(ch[5], dtype=vdt)
+            _check(rc, cc)
             rb, re = ro[:-1].copy(), ro[1:].copy()
             cb, ce = co[:-1].copy(), co[1:].copy()
             norm.append(("blk", rc, rb, re, cc, cb, ce, v))
