@@ -249,3 +249,40 @@ def test_wd_blocks_matches_dense():
             assert np.abs(got[i] - ref).max() <= tol * max(
                 1.0, np.abs(ref).max()), (vdt, i)
         assert (pos == -1).all() or pos.size > nuf
+
+
+def test_full_coarsen_native_vs_numpy_parity():
+    """End-to-end coarsen equivalence: the native fast paths (lazy block
+    builder + incremental snapshot, piece-wise extraction, wd_blocks,
+    ext_gram, batched LU) against the pure-numpy fallbacks on a deformed
+    hex mesh with an irregular partition. P, coarse D and the coarse
+    mass blocks must agree to f64 roundoff-accumulation tolerance."""
+    from parelag_tpu.partitioning.partitioners import graph_partition
+    if not native.available():
+        import pytest
+        pytest.skip("native kernels unavailable")
+
+    def build():
+        mesh = _deformed_hex(6, seed=2)
+        topo = AgglomeratedTopology.from_mesh(mesh)
+        part = graph_partition(topo.local_element_element(), 11, seed=4)
+        topo.coarsen_local_partitioning(part)
+        seq = DeRhamSequenceFE(topo, mesh)
+        seq.set_upscaling_targets(0)
+        return seq, seq.coarsen()
+
+    seq_n, coarse_n = build()
+    seq_p, coarse_p = _numpy_path(build)
+    for j in range(4):
+        Pn, Pp = seq_n.P[j], seq_p.P[j]
+        assert Pn.shape == Pp.shape, j
+        d = abs(Pn - Pp)
+        assert d.nnz == 0 or d.max() < 5e-11, (j, d.max())
+        if j < len(coarse_n.D) and coarse_n.D[j] is not None:
+            dd = abs(coarse_n.D[j] - coarse_p.D[j])
+            assert dd.nnz == 0 or dd.max() < 5e-11, (j, dd.max())
+    for key in coarse_n.M:
+        a = coarse_n.M[key].concatenated()[2]
+        b = coarse_p.M[key].concatenated()[2]
+        scale = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() < 5e-11 * scale, key
