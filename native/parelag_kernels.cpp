@@ -192,7 +192,7 @@ static void extract_many2_impl(
     const int64_t* rows_cat, const int64_t* row_beg, const int64_t* row_end,
     const int64_t* cols_cat, const int64_t* col_beg, const int64_t* col_end,
     int64_t* pos, T* out_cat, const int64_t* out_beg,
-    const int64_t* order, int64_t n_blocks) {
+    const int64_t* order, int64_t n_blocks, int64_t zero_out) {
     for (int64_t t = 0; t < n_blocks; ++t) {
         const int64_t b = order[t];
         const int64_t* rows = rows_cat + row_beg[b];
@@ -200,6 +200,12 @@ static void extract_many2_impl(
         const int64_t* cols = cols_cat + col_beg[b];
         const int64_t n_cols = col_end[b] - col_beg[b];
         T* out = out_cat + out_beg[b];
+        if (zero_out) {
+            // zero the block cache-hot, fused with the fill: callers
+            // then allocate with np.empty instead of a separate
+            // (host-phase-sensitive) zeros pass over the whole output
+            for (int64_t i = 0; i < n_rows * n_cols; ++i) out[i] = (T)0;
+        }
         for (int64_t j = 0; j < n_cols; ++j) pos[cols[j]] = j;
         for (int64_t r = 0; r < n_rows; ++r) {
             const int64_t row = rows[r];
@@ -220,10 +226,11 @@ void csr_extract_dense_many2(
     const int64_t* rows_cat, const int64_t* row_beg, const int64_t* row_end,
     const int64_t* cols_cat, const int64_t* col_beg, const int64_t* col_end,
     int64_t* pos, double* out_cat, const int64_t* out_beg,
-    const int64_t* order, int64_t n_blocks) {
+    const int64_t* order, int64_t n_blocks,
+    int64_t zero_out) {
     extract_many2_impl<int64_t, double>(
         indptr, indices, data, rows_cat, row_beg, row_end, cols_cat,
-        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks);
+        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks, zero_out);
 }
 
 void csr_extract_dense_many2_i32(
@@ -231,10 +238,11 @@ void csr_extract_dense_many2_i32(
     const int64_t* rows_cat, const int64_t* row_beg, const int64_t* row_end,
     const int64_t* cols_cat, const int64_t* col_beg, const int64_t* col_end,
     int64_t* pos, double* out_cat, const int64_t* out_beg,
-    const int64_t* order, int64_t n_blocks) {
+    const int64_t* order, int64_t n_blocks,
+    int64_t zero_out) {
     extract_many2_impl<int32_t, double>(
         indptr, indices, data, rows_cat, row_beg, row_end, cols_cat,
-        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks);
+        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks, zero_out);
 }
 
 void csr_extract_dense_many2_f32(
@@ -242,10 +250,11 @@ void csr_extract_dense_many2_f32(
     const int64_t* rows_cat, const int64_t* row_beg, const int64_t* row_end,
     const int64_t* cols_cat, const int64_t* col_beg, const int64_t* col_end,
     int64_t* pos, float* out_cat, const int64_t* out_beg,
-    const int64_t* order, int64_t n_blocks) {
+    const int64_t* order, int64_t n_blocks,
+    int64_t zero_out) {
     extract_many2_impl<int64_t, float>(
         indptr, indices, data, rows_cat, row_beg, row_end, cols_cat,
-        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks);
+        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks, zero_out);
 }
 
 void csr_extract_dense_many2_i32_f32(
@@ -253,10 +262,11 @@ void csr_extract_dense_many2_i32_f32(
     const int64_t* rows_cat, const int64_t* row_beg, const int64_t* row_end,
     const int64_t* cols_cat, const int64_t* col_beg, const int64_t* col_end,
     int64_t* pos, float* out_cat, const int64_t* out_beg,
-    const int64_t* order, int64_t n_blocks) {
+    const int64_t* order, int64_t n_blocks,
+    int64_t zero_out) {
     extract_many2_impl<int32_t, float>(
         indptr, indices, data, rows_cat, row_beg, row_end, cols_cat,
-        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks);
+        col_beg, col_end, pos, out_cat, out_beg, order, n_blocks, zero_out);
 }
 
 }  // extern "C"
@@ -277,6 +287,10 @@ static void assemble_blocks_var_impl(
         const int64_t* ae_dofs = ae_dofs_cat + ae_off[a];
         const int64_t n_ae_dofs = ae_off[a + 1] - ae_off[a];
         T* out = out_cat + out_off[a];
+        // zero the block here, cache-hot and fused with the scatter:
+        // a separate np.zeros pass over the (GB-scale) output was the
+        // single most host-phase-sensitive cost of the setup
+        for (int64_t i = 0; i < n_ae_dofs * n_ae_dofs; ++i) out[i] = (T)0;
         for (int64_t i = 0; i < n_ae_dofs; ++i) pos[ae_dofs[i]] = i;
         for (int64_t t = 0; t < n_ents; ++t) {
             const int64_t e = ents[t];

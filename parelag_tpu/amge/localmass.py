@@ -131,7 +131,10 @@ def assemble_agglomerate_blocks(local_mass: LocalMass, ae_entity,
         np.cumsum(sizes * sizes, out=out_off[1:])
         from parelag_tpu.utils.timing import TimeManager as _TM
         with _TM.add_timer("ae_blocks: zeros"):
-            out_cat = np.zeros(int(out_off[-1]), dtype=blk_cat.dtype)
+            # np.empty: the native kernel zeroes each AE block in place,
+            # cache-hot — a separate zeros pass over the (GB-scale)
+            # output was the most host-phase-sensitive setup cost
+            out_cat = np.empty(int(out_off[-1]), dtype=blk_cat.dtype)
         with _TM.add_timer("ae_blocks: kernel"):
             native.assemble_agglomerate_blocks_var(
                 AE_e.indices.astype(np.int64),

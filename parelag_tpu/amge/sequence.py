@@ -770,7 +770,10 @@ class DeRhamSequence:
         mass_cat, mass_off = Rg.merge_ragged([(cb_cat, cb_off), rtc, nlc])
         nlocs = np.diff(mass_off)
         blk_off = Rg.sizes_to_offsets(nlocs * nlocs)
-        blk_cat = np.zeros(int(blk_off[-1]), dtype=dt)
+        # np.empty: every AE's full (nloc x nloc) block is written by
+        # exactly one subgroup below (native gram kernel or the numpy
+        # fallback's full-block fancy write)
+        blk_cat = np.empty(int(blk_off[-1]), dtype=dt)
 
         ar = np.arange
         _tb = _TM.get_timer("coarsen: ext p3 builders")

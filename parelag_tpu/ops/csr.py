@@ -308,10 +308,14 @@ def extract_blocks_cat(A, rows_cat, row_off, cols_cat, col_off):
     vdt = A.data.dtype if A.data.dtype in (np.dtype(np.float32),
                                            np.dtype(np.float64)) \
         else np.dtype(np.float64)
-    out_cat = np.zeros(int(out_off[-1]), dtype=vdt)
-
     from parelag_tpu.ops import native
-    if A.data.dtype == vdt and native.available():
+    use_native = A.data.dtype == vdt and native.available()
+    # native path: np.empty — the kernel zeroes each block cache-hot
+    # (a separate zeros pass over the output is host-phase-sensitive)
+    out_cat = (np.empty if use_native else np.zeros)(
+        int(out_off[-1]), dtype=vdt)
+
+    if use_native:
         from parelag_tpu.utils.timing import TimeManager as _TM
         _tp = _TM.get_timer("extract: prep")
         _tk = _TM.get_timer("extract: kernel")
@@ -384,7 +388,7 @@ def extract_blocks_cat_multi(pieces, rows_cat, row_off, cols_cat, col_off,
     out_off = np.zeros(nb + 1, np.int64)
     np.cumsum(rsz * csz, out=out_off[1:])
     vdt = pieces[0].data.dtype
-    out_cat = np.zeros(int(out_off[-1]), dtype=vdt)
+    out_cat = np.empty(int(out_off[-1]), dtype=vdt)   # first piece zeroes
     _tp = _TM.get_timer("extract: prep")
     _tk = _TM.get_timer("extract: kernel")
     _tp.start()
@@ -402,11 +406,11 @@ def extract_blocks_cat_multi(pieces, rows_cat, row_off, cols_cat, col_off,
     ob = out_off[:-1].copy()
     _tp.stop()
     _tk.start()
-    for A in pieces:
+    for i, A in enumerate(pieces):
         assert A.data.dtype == vdt, "mixed piece dtypes"
         native.csr_extract_dense_many2(
             A.indptr, A.indices, A.data, rows_cat, rb, re, cols_cat,
-            cb, ce, pos, out_cat, ob, order)
+            cb, ce, pos, out_cat, ob, order, zero_out=(i == 0))
     _tk.stop()
     return BlockList(out_cat, out_off, rsz, csz)
 

@@ -89,16 +89,16 @@ def _load():
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.csr_extract_dense_many2.argtypes = [
         i64p, i64p, f64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
-        f64p, i64p, i64p, ctypes.c_int64]
+        f64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64]
     lib.csr_extract_dense_many2_i32.argtypes = [
         i32p, i32p, f64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
-        f64p, i64p, i64p, ctypes.c_int64]
+        f64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64]
     lib.csr_extract_dense_many2_f32.argtypes = [
         i64p, i64p, f32p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
-        f32p, i64p, i64p, ctypes.c_int64]
+        f32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64]
     lib.csr_extract_dense_many2_i32_f32.argtypes = [
         i32p, i32p, f32p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
-        f32p, i64p, i64p, ctypes.c_int64]
+        f32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64]
     lib.assemble_agglomerate_blocks_var_f32.argtypes = [
         i64p, i64p, i64p, i64p, f32p, i64p, i64p, i64p, i64p, f32p,
         i64p, ctypes.c_int64]
@@ -248,10 +248,13 @@ def _pf32(a):
 
 def csr_extract_dense_many2(indptr, indices, data, rows_cat, row_beg,
                             row_end, cols_cat, col_beg, col_end, pos,
-                            out_cat, out_beg, order):
+                            out_cat, out_beg, order, zero_out=True):
     """Block extraction with explicit per-block ranges processed in
     `order` (callers sort by first row for cache locality). Dispatches
-    on index dtype (i32/i64) and value dtype (f32/f64)."""
+    on index dtype (i32/i64) and value dtype (f32/f64). With zero_out
+    the kernel zeroes each block cache-hot before filling, so out_cat
+    can be np.empty; pass zero_out=False to accumulate onto an output
+    another pass already initialized (the multi-piece extraction)."""
     lib = _load()
     nb = ctypes.c_int64(order.size)
     i32 = indptr.dtype == np.int32
@@ -264,7 +267,8 @@ def csr_extract_dense_many2(indptr, indices, data, rows_cat, row_beg,
     vp = _pf32 if f32 else _pf
     fn(ip(indptr), ip(indices), vp(data), _p64(rows_cat), _p64(row_beg),
        _p64(row_end), _p64(cols_cat), _p64(col_beg), _p64(col_end),
-       _p64(pos), vp(out_cat), _p64(out_beg), _p64(order), nb)
+       _p64(pos), vp(out_cat), _p64(out_beg), _p64(order), nb,
+       ctypes.c_int64(1 if zero_out else 0))
 
 
 def assemble_agglomerate_block_many(ents_cat, ent_off, dofs, blocks,
