@@ -635,7 +635,14 @@ class DeRhamSequence:
                                   (np_int, 1)).reshape(m, np_int)
                 Tst = np.einsum("bij,bj->bi", W_ii, ploc_pv)
                 nsys = nu_int + np_int + 1
-                A = np.zeros((m, nsys, nsys), dtype=dt)
+                # np.empty + explicit zeroing of only the untouched
+                # blocks (p-p and the u/multiplier corners): a full
+                # zeros pass over the group stack is host-phase-
+                # sensitive (DESIGN.md)
+                A = np.empty((m, nsys, nsys), dtype=dt)
+                A[:, nu_int:, nu_int:] = 0.0
+                A[:, :nu_int, -1] = 0.0
+                A[:, -1, :nu_int] = 0.0
                 A[:, :nu_int, :nu_int] = M_ii
                 A[:, nu_int:nu_int + np_int, :nu_int] = B_ii
                 A[:, :nu_int, nu_int:nu_int + np_int] = \
@@ -649,7 +656,8 @@ class DeRhamSequence:
                 Cst = np.einsum("bki,bkl,blj->bij", D2i, W2st, D2i,
                                 optimize=True)
                 nsys = nu_int + np_int
-                A = np.zeros((m, nsys, nsys), dtype=dt)
+                # every block of A is written below -> np.empty
+                A = np.empty((m, nsys, nsys), dtype=dt)
                 A[:, :nu_int, :nu_int] = M_ii
                 A[:, nu_int:, :nu_int] = B_ii
                 A[:, :nu_int, nu_int:] = B_ii.transpose(0, 2, 1)
@@ -668,7 +676,8 @@ class DeRhamSequence:
             # ---- rhs blocks: [trace ext | RangeT bubbles | Null targets] - #
             _tr.start()
             Pbst = Rg.take(Pbs, idxs, (nu_all - nu_int, k_ext))
-            rhs_ext = np.zeros((m, nsys, k_ext), dtype=dt)
+            rhs_ext = np.empty((m, nsys, k_ext), dtype=dt)
+            rhs_ext[:, nu_int + np_int:] = 0.0   # Lagrange rows only
             rhs_ext[:, :nu_int] = -(M_ib @ Pbst)
             rhs_ext[:, nu_int:nu_int + np_int] = -(B_ib @ Pbst)
             if not use_lagrange:
