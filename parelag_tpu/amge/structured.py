@@ -411,3 +411,426 @@ def fine_global_masses(shape, h, dtype=np.float64, coeff=None):
         3: assemble_global(wblk(ref[(0, 3)]),
                            np.arange(nc, dtype=np.int64)[:, None], nc),
     }
+
+
+# --------------------------------------------------------------------- #
+# coarse->fine child id arrays (factor-2 nesting)
+# --------------------------------------------------------------------- #
+
+def children_cells(cshape):
+    """(n_coarse_cells, 8) fine cell ids, subgrid-lex (dx fastest)."""
+    fshape = tuple(2 * s for s in cshape)
+    ijk = _grid3(range(cshape[0]), range(cshape[1]), range(cshape[2]))
+    out = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out.append(cell_id(fshape, 2 * ijk[:, 0] + dx,
+                                   2 * ijk[:, 1] + dy, 2 * ijk[:, 2] + dz))
+    return np.stack(out, axis=1)
+
+
+def children_faces(cshape):
+    """(n_coarse_faces, 4) fine face ids per coarse face, in-plane
+    (b, c)-lex (b fastest) — the canonical facet-children order."""
+    fshape = tuple(2 * s for s in cshape)
+    nx, ny, nz = cshape
+    cols = []
+    for a in range(3):
+        b, c = [ax for ax in range(3) if ax != a]
+        dims = [(nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1)][a]
+        ijk = _grid3(range(dims[0]), range(dims[1]), range(dims[2]))
+        out = []
+        for dc in (0, 1):
+            for db in (0, 1):
+                co = 2 * ijk
+                co[:, a] = 2 * ijk[:, a]          # vertex-line coord
+                co[:, b] += db
+                co[:, c] += dc
+                out.append(face_id(fshape, a, co[:, 0], co[:, 1],
+                                   co[:, 2]))
+        cols.append(np.stack(out, axis=1))
+    return np.concatenate(cols, axis=0)
+
+
+def children_edges(cshape):
+    """(n_coarse_edges, 2) fine edge ids per coarse edge, lex along the
+    edge axis."""
+    fshape = tuple(2 * s for s in cshape)
+    nx, ny, nz = cshape
+    cols = []
+    for a in range(3):
+        dims = [(nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1),
+                (nx + 1, ny + 1, nz)][a]
+        ijk = _grid3(range(dims[0]), range(dims[1]), range(dims[2]))
+        out = []
+        for da in (0, 1):
+            co = 2 * ijk
+            co[:, a] += da
+            out.append(edge_id(fshape, a, co[:, 0], co[:, 1], co[:, 2]))
+        cols.append(np.stack(out, axis=1))
+    return np.concatenate(cols, axis=0)
+
+
+def children_verts(cshape):
+    """(n_coarse_verts,) fine vertex ids of the coarse lattice points."""
+    fshape = tuple(2 * s for s in cshape)
+    nx, ny, nz = cshape
+    ijk = _grid3(range(nx + 1), range(ny + 1), range(nz + 1))
+    return vert_id(fshape, 2 * ijk[:, 0], 2 * ijk[:, 1], 2 * ijk[:, 2])
+
+
+# --------------------------------------------------------------------- #
+# static 2x2x2-subgrid patterns (level-independent)
+# --------------------------------------------------------------------- #
+
+_S = (2, 2, 2)
+
+
+def _subgrid_face_slots():
+    """Canonical order of the 36 subgrid faces: [12 interior (family a
+    at mid-plane, (b,c)-lex); 24 boundary grouped by coarse facet in
+    [x0,x1,y0,y1,z0,z1] order, each facet's 4 children (b,c)-lex].
+    Returns slot_of_face (36,): subgrid face id -> slot."""
+    nc, nf, ne, nv = grid_counts(_S)
+    order = []
+    for a in range(3):                      # interior: axis coord == 1
+        b, c = [ax for ax in range(3) if ax != a]
+        for dc in (0, 1):
+            for db in (0, 1):
+                co = [0, 0, 0]
+                co[a], co[b], co[c] = 1, db, dc
+                order.append(face_id(_S, a, *co))
+    for a in range(3):                      # boundary facets a0, a1
+        b, c = [ax for ax in range(3) if ax != a]
+        for side in (0, 2):
+            for dc in (0, 1):
+                for db in (0, 1):
+                    co = [0, 0, 0]
+                    co[a], co[b], co[c] = side, db, dc
+                    order.append(face_id(_S, a, *co))
+    order = np.array(order)
+    assert len(set(order.tolist())) == sum(nf) == 36
+    slot = np.zeros(sum(nf), dtype=np.int64)
+    slot[order] = np.arange(36)
+    return slot
+
+
+def _subgrid_u_faces(cshape):
+    """(n_coarse_cells, 36) fine face ids of each coarse cell's subgrid
+    faces, in the canonical 36-slot order."""
+    fshape = tuple(2 * s for s in cshape)
+    slot = _subgrid_face_slots()
+    # subgrid face id -> (family, local lattice coords)
+    inv = np.empty((36, 4), dtype=np.int64)
+    for a in range(3):
+        dims = [(3, 2, 2), (2, 3, 2), (2, 2, 3)][a]
+        for x in range(dims[0]):
+            for y in range(dims[1]):
+                for z in range(dims[2]):
+                    inv[face_id(_S, a, x, y, z)] = (a, x, y, z)
+    ijk = _grid3(range(cshape[0]), range(cshape[1]), range(cshape[2]))
+    out = np.empty((len(ijk), 36), dtype=np.int64)
+    for sf in range(36):
+        a, x, y, z = inv[sf]
+        out[:, slot[sf]] = face_id(
+            fshape, a, 2 * ijk[:, 0] + x, 2 * ijk[:, 1] + y,
+            2 * ijk[:, 2] + z)
+    return out
+
+
+def _cell_stage_patterns_hdiv():
+    """Static patterns of the Hdiv interior (Lagrange) extension:
+      fslot:  (8, 6)  child-cell face -> 36-slot (M02 local order)
+    The 36-slot order puts the 12 interior faces first and the boundary
+    faces facet-by-facet, so Pb rows are [4*f + i] for facet f child i."""
+    slot = _subgrid_face_slots()
+    return slot[cell_faces(_S)]
+
+
+# --------------------------------------------------------------------- #
+# level state
+# --------------------------------------------------------------------- #
+
+@dataclass
+class StructuredLevel:
+    """Per-level value plane (device arrays) of the structured engine.
+
+    Local mass families follow the canonical local orders documented in
+    fine_local_masses; derivative value arrays follow the d0/d1/d2
+    column patterns.  At coarse (ALG) levels the PV traces are all ones
+    (the reference's +-1-at-PV-dof convention with this module's
+    axis-aligned orientations), so only the level-0 state carries
+    nontrivial pv arrays."""
+    shape: tuple
+    m00: object = None      # (nc, 8, 8)
+    m10: object = None      # (nf, 4, 4)
+    m20: object = None      # (ne, 2, 2)
+    m01: object = None      # (nc, 12, 12)
+    m11: object = None      # (nf, 4, 4)
+    m21: object = None      # (ne,)
+    m02: object = None      # (nc, 6, 6)
+    m12: object = None      # (nf,)
+    m03: object = None      # (nc,)
+    d0: object = None       # (ne, 2)
+    d1: object = None       # (nf, 4)
+    d2: object = None       # (nc, 6)
+    pv1: object = None      # (ne,)
+    pv2: object = None      # (nf,)
+    t0: object = None       # (nv, k0)
+    t1: object = None       # (ne, k1)
+    t2: object = None       # (nf, k2)
+    t3: object = None       # (nc, k3)
+
+
+def fine_level(shape, h=None, dtype=np.float64, coeff=None,
+               l2_weight=None) -> StructuredLevel:
+    """Level-0 state of the structured engine on a [0,1]^3-style brick
+    grid (h defaults to 1/shape per axis).  coeff: per-cell scalar
+    weighting the codim-0 masses of all forms (heterogeneous media);
+    l2_weight: separate per-cell weight for the L2 mass (Darcy W)."""
+    if h is None:
+        h = tuple(1.0 / s for s in shape)
+    nc, nf, ne, nv = grid_counts(shape)
+    ref = fine_local_masses(h, dtype)
+    dt = np.dtype(dtype)
+
+    def bc(M, n):
+        return jnp.broadcast_to(jnp.asarray(M, dtype=dt), (n,) + M.shape)
+
+    def fam(Ms, counts):
+        return jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(M, dtype=dt),
+                             (cnt,) + M.shape)
+            for M, cnt in zip(Ms, counts)], axis=0)
+
+    c = (jnp.asarray(coeff, dtype=dt) if coeff is not None
+         else jnp.ones(nc, dtype=dt))
+    w = (jnp.asarray(l2_weight, dtype=dt) if l2_weight is not None
+         else c)
+    lvl = StructuredLevel(shape=shape)
+    lvl.m00 = c[:, None, None] * bc(ref[(0, 0)], nc)
+    lvl.m01 = c[:, None, None] * bc(ref[(0, 1)], nc)
+    lvl.m02 = c[:, None, None] * bc(ref[(0, 2)], nc)
+    lvl.m03 = w * float(ref[(0, 3)][0, 0])
+    lvl.m10 = fam(ref[(1, 0)], nf)
+    lvl.m11 = fam(ref[(1, 1)], nf)
+    lvl.m12 = jnp.concatenate([
+        jnp.full(nf[a], float(ref[(1, 2)][a][0, 0]), dtype=dt)
+        for a in range(3)])
+    lvl.m20 = fam(ref[(2, 0)], ne)
+    lvl.m21 = jnp.concatenate([
+        jnp.full(ne[a], float(ref[(2, 1)][a][0, 0]), dtype=dt)
+        for a in range(3)])
+    d0, d1, d2 = fine_derivative_values(shape, h, dt)
+    lvl.d0, lvl.d1, lvl.d2 = (jnp.asarray(x) for x in (d0, d1, d2))
+    # PV traces: Hcurl = unit tangent (circulation = h_a), Hdiv = unit
+    # normal (flux = area); H1/L2 = 1 (fespace.compute_pv_traces)
+    lvl.pv1 = jnp.concatenate([
+        jnp.full(ne[a], float(h[a]), dtype=dt) for a in range(3)])
+    areas = (h[1] * h[2], h[0] * h[2], h[0] * h[1])
+    lvl.pv2 = jnp.concatenate([
+        jnp.full(nf[a], float(areas[a]), dtype=dt) for a in range(3)])
+    # order-0 polynomial upscaling targets (SetUpscalingTargets):
+    # constants for H1/L2, the three unit fields for Hcurl/Hdiv
+    lvl.t0 = jnp.ones((nv, 1), dtype=dt)
+    lvl.t3 = jnp.ones((nc, 1), dtype=dt)
+    lvl.t1 = jnp.concatenate([
+        jnp.broadcast_to(
+            (jnp.eye(3, dtype=dt) * jnp.asarray(h, dtype=dt))[a],
+            (ne[a], 3))
+        for a in range(3)], axis=0)
+    lvl.t2 = jnp.concatenate([
+        jnp.broadcast_to(
+            (jnp.eye(3, dtype=dt) * jnp.asarray(areas, dtype=dt))[a],
+            (nf[a], 3))
+        for a in range(3)], axis=0)
+    return lvl
+
+
+# --------------------------------------------------------------------- #
+# stage cores (jittable)
+# --------------------------------------------------------------------- #
+
+def _solve_batch(A, rhs):
+    """Batched dense solve; the device-path strategy (direct vs
+    Newton-Schulz f32) is chosen by the caller via jit wrapping."""
+    return jnp.linalg.solve(A, rhs)
+
+
+def _trace_scalar_stage(m_children, pv_children, t_children):
+    """Generic trace stage with 1x1 child blocks (L2 / Hdiv-facet /
+    Hcurl-edge traces; ComputeCoarseTracesWithTargets restricted to the
+    pure-PV outcome): returns (Ptr, F, cm, t_coarse, max_rel_sv) where
+    max_rel_sv is the largest deflated singular value relative to the
+    PV norm (must sit below the SVD keep-threshold for the static
+    structure to be valid — asserted by the driver)."""
+    mpv = m_children * pv_children
+    dots = jnp.sum(pv_children * mpv, axis=1)
+    F = mpv / dots[:, None]
+    kt = t_children.shape[2]
+    t_coarse = jnp.einsum("nk,nkt->nt", F, t_children)
+    Td = t_children - pv_children[:, :, None] * t_coarse[:, None, :]
+    w = Td * jnp.sqrt(m_children)[:, :, None]
+    G = jnp.einsum("nkt,nks->nts", w, w)
+    ev = jnp.linalg.eigvalsh(G)
+    max_rel = jnp.max(jnp.sqrt(jnp.clip(ev, 0.0, None))
+                      / dots[:, None]) if kt else jnp.zeros(())
+    return pv_children, F, dots, t_coarse, max_rel
+
+
+_HDIV_CELL_ROWS24 = np.arange(24)
+_HDIV_CELL_COLS24 = np.repeat(np.arange(6), 4)
+
+
+def _hdiv_interior_stage(m02_ch, vols_ch, d2_ch, ptr3, ptr2_cf, t2_u,
+                         fslot):
+    """Hdiv interior Lagrange extension (hFacetExtension for jform=2):
+    per coarse cell, u = 36 subgrid faces (12 interior first), p = 8
+    child cells, one PV multiplier.  Inputs are pre-gathered:
+      m02_ch (n,8,6,6), vols_ch (n,8), d2_ch (n,8,6), ptr3 (n,8),
+      ptr2_cf (n,6,4) facet-trace P values, t2_u (n,36,kt) Hdiv targets
+      on the u dofs (slot order), fslot (8,6) static.
+    Returns (Pint (n,12,6), d2c (n,6), cm (n,6,6), bub_sv_rel)."""
+    n = m02_ch.shape[0]
+    dt = m02_ch.dtype
+    idx = (fslot[:, :, None] * 36 + fslot[:, None, :]).reshape(-1)
+    Mae = jnp.zeros((n, 36 * 36), dtype=dt).at[:, idx].add(
+        m02_ch.reshape(n, -1)).reshape(n, 36, 36)
+    Dloc = jnp.zeros((n, 8, 36), dtype=dt).at[
+        :, np.arange(8)[:, None], fslot].set(d2_ch)
+    B = vols_ch[:, :, None] * Dloc                  # (n, 8, 36)
+    T = vols_ch * ptr3                              # (n, 8)
+    Pb = jnp.zeros((n, 24, 6), dtype=dt).at[
+        :, _HDIV_CELL_ROWS24, _HDIV_CELL_COLS24].set(
+        ptr2_cf.reshape(n, 24))          # row 4*f + i <- facet f child i
+    M_ii, M_ib = Mae[:, :12, :12], Mae[:, :12, 12:]
+    B_ii, B_ib = B[:, :, :12], B[:, :, 12:]
+
+    A = jnp.zeros((n, 21, 21), dtype=dt)
+    A = A.at[:, :12, :12].set(M_ii)
+    A = A.at[:, 12:20, :12].set(B_ii)
+    A = A.at[:, :12, 12:20].set(B_ii.transpose(0, 2, 1))
+    A = A.at[:, 20, 12:20].set(T)
+    A = A.at[:, 12:20, 20].set(T)
+
+    kt = t2_u.shape[2]
+    t_int, t_bdr = t2_u[:, :12], t2_u[:, 12:]
+    rhs = jnp.zeros((n, 21, 6 + kt), dtype=dt)
+    rhs = rhs.at[:, :12, :6].set(-(M_ib @ Pb))
+    rhs = rhs.at[:, 12:20, :6].set(-(B_ib @ Pb))
+    rhs = rhs.at[:, :12, 6:].set(-(M_ib @ t_bdr))
+    rhs = rhs.at[:, 12:20, 6:].set(B_ii @ t_int)
+
+    X = _solve_batch(A, rhs)
+    Pint = X[:, :12, :6]
+    lam = X[:, 20, :6]
+    eps = jnp.asarray(np.finfo(np.float64).eps, dtype=dt)
+    d2c = jnp.where(jnp.abs(lam) > eps, -lam, jnp.zeros_like(lam))
+    bub = t_int - X[:, :12, 6:]
+    G = jnp.einsum("nit,nis->nts", bub, bub)
+    bub_sv = jnp.sqrt(jnp.clip(jnp.max(jnp.linalg.eigvalsh(G)),
+                               0.0, None)) if kt else jnp.zeros(())
+    basis = jnp.concatenate([Pint, Pb], axis=1)     # (n, 36, 6)
+    cm = jnp.einsum("nik,nij,njl->nkl", basis, Mae, basis)
+    cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+    return Pint, d2c, cm, bub_sv
+
+
+# --------------------------------------------------------------------- #
+# level driver: Darcy chain (L2 + Hdiv) — jform_start=2 in the generic
+# engine's terms
+# --------------------------------------------------------------------- #
+
+@dataclass
+class DarcyLevelOut:
+    """Per-level outputs of the Hdiv-L2 coarsening (device arrays +
+    host id arrays for materialization)."""
+    cshape: tuple
+    ptr3: object            # (ncc, 8)   L2 trace P values
+    f3: object              # (ncc, 8)   L2 cochain functionals
+    ptr2: object            # (ncf, 4)   Hdiv facet-trace P values
+    f2: object              # (ncf, 4)
+    pint2: object           # (ncc, 12, 6) Hdiv interior P values
+    d2c: object             # (ncc, 6)   coarse div values
+    cc: object = None       # (ncc, 8)   fine cell ids (host)
+    cf: object = None       # (ncf, 4)   fine face ids (host)
+    cfaces: object = None   # (ncc, 6)   coarse facet ids (host)
+    ufaces: object = None   # (ncc, 36)  fine face ids, slot order (host)
+    max_rel_sv: float = 0.0
+    bub_sv: float = 0.0
+
+
+def coarsen_darcy(lvl: StructuredLevel, svd_tol=1e-9):
+    """One structured coarsening step of the Hdiv x L2 pair (the
+    reference's form_start=2 configuration: MultigridTestDarcy /
+    SPE10).  Returns (coarse_level, DarcyLevelOut)."""
+    shape = lvl.shape
+    assert all(s % 2 == 0 for s in shape), shape
+    cshape = tuple(s // 2 for s in shape)
+    cc = children_cells(cshape)
+    cf = children_faces(cshape)
+    cfaces = d2_cols(cshape)
+    ufaces = _subgrid_u_faces(cshape)
+    fslot = _cell_stage_patterns_hdiv()
+
+    jcc, jcf, jcfaces, jufaces = (jnp.asarray(x, dtype=jnp.int32)
+                                  for x in (cc, cf, cfaces, ufaces))
+    dt = lvl.m03.dtype
+    pv3 = jnp.ones(lvl.m03.shape[0], dtype=dt)
+
+    # --- stage T3: L2 traces --------------------------------------- #
+    ptr3, f3, m03c, t3c, sv3 = _trace_scalar_stage(
+        lvl.m03[jcc], pv3[jcc], lvl.t3[jcc])
+    # --- stage T2: Hdiv facet traces -------------------------------- #
+    ptr2, f2, m12c, t2c, sv2 = _trace_scalar_stage(
+        lvl.m12[jcf], lvl.pv2[jcf], lvl.t2[jcf])
+    # --- stage E2: Hdiv interior Lagrange extension ------------------ #
+    pint2, d2c, m02c, bubsv = _hdiv_interior_stage(
+        lvl.m02[jcc], lvl.m03[jcc], lvl.d2[jcc], ptr3, ptr2[jcfaces],
+        lvl.t2[jufaces], fslot)
+
+    nc, nf, ne, nv = grid_counts(cshape)
+    coarse = StructuredLevel(shape=cshape)
+    coarse.m03, coarse.m12, coarse.m02 = m03c, m12c, m02c
+    coarse.d2 = d2c
+    coarse.pv2 = jnp.ones(sum(nf), dtype=dt)
+    coarse.t3, coarse.t2 = t3c, t2c
+
+    out = DarcyLevelOut(
+        cshape=cshape, ptr3=ptr3, f3=f3, ptr2=ptr2, f2=f2,
+        pint2=pint2, d2c=d2c, cc=cc, cf=cf, cfaces=cfaces,
+        ufaces=ufaces,
+        max_rel_sv=float(jnp.maximum(sv3, sv2)),
+        bub_sv=float(bubsv))
+    eff_tol = max(svd_tol, 50.0 * float(np.finfo(
+        np.dtype(str(dt).replace("float", "float"))).eps)
+        if dt in (jnp.float32,) else svd_tol)
+    assert out.max_rel_sv < max(svd_tol, eff_tol), \
+        (out.max_rel_sv, "trace SVD kept a mode: structure not static")
+    assert out.bub_sv < max(1e2 * svd_tol, eff_tol), \
+        (out.bub_sv, "bubble SVD kept a mode: structure not static")
+    return coarse, out
+
+
+def materialize_P_darcy(out: DarcyLevelOut, fshape):
+    """Host CSRs (P2, P3) of one structured Darcy coarsening step."""
+    import scipy.sparse as sp
+    ncf_, nff, nef, nvf = grid_counts(fshape)
+    ncc, nfc, nec, nvc = grid_counts(out.cshape)
+    ptr3 = np.asarray(out.ptr3)
+    rows = out.cc.ravel()
+    cols = np.repeat(np.arange(ncc), 8)
+    P3 = sp.coo_matrix((ptr3.ravel(), (rows, cols)),
+                       shape=(ncf_, ncc)).tocsr()
+    ptr2 = np.asarray(out.ptr2)
+    pint2 = np.asarray(out.pint2)
+    rows = np.concatenate([out.cf.ravel(),
+                           np.repeat(out.ufaces[:, :12].ravel(), 6)])
+    cols = np.concatenate([
+        np.repeat(np.arange(sum(nfc)), 4),
+        np.tile(out.cfaces, (1, 12)).reshape(-1)])
+    vals = np.concatenate([ptr2.ravel(), pint2.ravel()])
+    P2 = sp.coo_matrix((vals, (rows, cols)),
+                       shape=(sum(nff), sum(nfc))).tocsr()
+    return P2, P3
