@@ -834,3 +834,906 @@ def materialize_P_darcy(out: DarcyLevelOut, fshape):
     P2 = sp.coo_matrix((vals, (rows, cols)),
                        shape=(sum(nff), sum(nfc))).tocsr()
     return P2, P3
+
+
+# --------------------------------------------------------------------- #
+# Hcurl stage patterns
+# --------------------------------------------------------------------- #
+
+def _subgrid_edge_slots():
+    """Canonical order of the 54 subgrid edges of a 2x2x2 cell-AE:
+    [6 interior (axis a through the center, a-coord lex, a = x,y,z);
+     24 coarse-edge children grouped by coarse edge in the coarse
+     cell_edges order, each edge's 2 children lex along the axis;
+     24 facet-interior edges grouped by facet in [x0,x1,y0,y1,z0,z1]
+     order, each facet's 4 interior edges in the face-subgrid interior
+     order (2 along b at c-line 1, b-lex; 2 along c at b-line 1)].
+    Returns slot_of_edge (54,)."""
+    order = []
+    for a in range(3):                      # interior: through center
+        for da in (0, 1):
+            co = [1, 1, 1]
+            co[a] = da
+            order.append(edge_id(_S, a, *co))
+    # coarse-edge children: coarse edges of the unit cell in cell_edges
+    # order = [x-edges (dy,dz) y-lex; y; z] with endpoints scaled by 2
+    for a in range(3):
+        b, c = [ax for ax in range(3) if ax != a]
+        for dc in (0, 1):
+            for db in (0, 1):
+                for da in (0, 1):
+                    co = [0, 0, 0]
+                    co[a], co[b], co[c] = da, 2 * db, 2 * dc
+                    order.append(edge_id(_S, a, *co))
+    # facet interiors: facet (axis fa, side s) at a-coord 2*s; in-plane
+    # (b, c): edges along b at c-line 1 (db lex), then along c at b 1
+    for fa in range(3):
+        b, c = [ax for ax in range(3) if ax != fa]
+        for s in (0, 1):
+            for db in (0, 1):
+                co = [0, 0, 0]
+                co[fa], co[b], co[c] = 2 * s, db, 1
+                order.append(edge_id(_S, b, *co))
+            for dc in (0, 1):
+                co = [0, 0, 0]
+                co[fa], co[b], co[c] = 2 * s, 1, dc
+                order.append(edge_id(_S, c, *co))
+    order = np.array(order)
+    assert len(set(order.tolist())) == 54, order
+    slot = np.zeros(54, dtype=np.int64)
+    slot[order] = np.arange(54)
+    return slot
+
+
+def _subgrid_u_edges(cshape):
+    """(n_coarse_cells, 54) fine edge ids in the canonical 54-slot
+    order."""
+    fshape = tuple(2 * s for s in cshape)
+    slot = _subgrid_edge_slots()
+    inv = np.empty((54, 4), dtype=np.int64)
+    for a in range(3):
+        dims = [(2, 3, 3), (3, 2, 3), (3, 3, 2)][a]
+        for x in range(dims[0]):
+            for y in range(dims[1]):
+                for z in range(dims[2]):
+                    inv[edge_id(_S, a, x, y, z)] = (a, x, y, z)
+    ijk = _grid3(range(cshape[0]), range(cshape[1]), range(cshape[2]))
+    out = np.empty((len(ijk), 54), dtype=np.int64)
+    for se in range(54):
+        a, x, y, z = inv[se]
+        out[:, slot[se]] = edge_id(
+            fshape, a, 2 * ijk[:, 0] + x, 2 * ijk[:, 1] + y,
+            2 * ijk[:, 2] + z)
+    return out
+
+
+def _face_subgrid_edge_order():
+    """For each face family a: the 12 fine edges of a coarse face's 2x2
+    subgrid in the canonical face order [4 interior (2 along b at
+    c-line 1, b-lex; 2 along c at b-line 1); 8 boundary grouped by
+    coarse edge in M11 order (eb(c0), eb(c1), ec(b0), ec(b1)), children
+    lex].  Returns, per family, a list of 12 (axis, dx, dy, dz) OFFSETS
+    from the (2*fa, 2*fb, 2*fc) face origin."""
+    fams = []
+    for a in range(3):
+        b, c = [ax for ax in range(3) if ax != a]
+        offs = []
+
+        def eo(axis, ob, oc):
+            o = [0, 0, 0]
+            o[b], o[c] = ob, oc
+            return (axis, o[0], o[1], o[2])
+
+        for db in (0, 1):
+            offs.append(eo(b, db, 1))          # interior along b
+        for dc in (0, 1):
+            offs.append(eo(c, 1, dc))          # interior along c
+        for db in (0, 1):
+            offs.append(eo(b, db, 0))          # eb(c0) children
+        for db in (0, 1):
+            offs.append(eo(b, db, 2))          # eb(c1) children
+        for dc in (0, 1):
+            offs.append(eo(c, 0, dc))          # ec(b0) children
+        for dc in (0, 1):
+            offs.append(eo(c, 2, dc))          # ec(b1) children
+        fams.append(offs)
+    return fams
+
+
+def _face_u_edges(cshape):
+    """(n_coarse_faces, 12) fine edge ids of each coarse face's subgrid
+    in the canonical face order (all three families concatenated)."""
+    fshape = tuple(2 * s for s in cshape)
+    nx, ny, nz = cshape
+    fams = _face_subgrid_edge_order()
+    cols = []
+    for a in range(3):
+        dims = [(nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1)][a]
+        ijk = _grid3(range(dims[0]), range(dims[1]), range(dims[2]))
+        base = 2 * ijk
+        out = np.empty((len(ijk), 12), dtype=np.int64)
+        for s, (axis, ox, oy, oz) in enumerate(fams[a]):
+            out[:, s] = edge_id(fshape, axis, base[:, 0] + ox,
+                                base[:, 1] + oy, base[:, 2] + oz)
+        cols.append(out)
+    return np.concatenate(cols, axis=0)
+
+
+def _face_child_edge_slots():
+    """(4, 4) per face family: child face (db, dc) local M11 edges ->
+    face-subgrid slots.  The local M11 order and the face order above
+    are family-independent in (b, c) terms, so one table serves all
+    three families."""
+    # face subgrid edge keyed by (along_b?, b-coord, c-line) for b-edges
+    # and (along_b?, b-line, c-coord) for c-edges, mirroring the order
+    # in _face_subgrid_edge_order
+    key2slot = {}
+    slotlist = [("b", db, 1) for db in (0, 1)] + \
+               [("c", 1, dc) for dc in (0, 1)] + \
+               [("b", db, 0) for db in (0, 1)] + \
+               [("b", db, 2) for db in (0, 1)] + \
+               [("c", 0, dc) for dc in (0, 1)] + \
+               [("c", 2, dc) for dc in (0, 1)]
+    for s, k in enumerate(slotlist):
+        key2slot[k] = s
+    out = np.empty((4, 4), dtype=np.int64)
+    for dc in (0, 1):
+        for db in (0, 1):
+            ch = dc * 2 + db          # children order: b fastest
+            # child's M11 edge order: eb(c0), eb(c1), ec(b0), ec(b1)
+            out[ch] = [key2slot[("b", db, dc)],
+                       key2slot[("b", db, dc + 1)],
+                       key2slot[("c", db, dc)],
+                       key2slot[("c", db + 1, dc)]]
+    return out
+
+
+def _cell_child_edge_slots():
+    """(8, 12) child cell -> 54-slot positions of its cell_edges-order
+    local edges."""
+    slot = _subgrid_edge_slots()
+    return slot[cell_edges(_S)]
+
+
+def _cell_facet_edge_positions():
+    """(6, 4) positions of each facet's 4 coarse edges (M11 order)
+    within the coarse cell's 12-edge list (cell_edges order)."""
+    ce = cell_edges((1, 1, 1))[0]                 # 12 ids
+    pos = {int(e): i for i, e in enumerate(ce)}
+    fe = face_edges_m((1, 1, 1))                  # (6, 4) in family order
+    # reorder rows into the facet order [x0,x1,y0,y1,z0,z1]: family
+    # order of face ids on (1,1,1) is [x0,x1,y0,y1,z0,z1] already
+    return np.vectorize(pos.get)(fe)
+
+
+_E1F_ROWS8 = np.arange(8)
+_E1F_COLS8 = np.repeat(np.arange(4), 2)
+
+
+def _hcurl_facet_stage(m11_ch, m12_ch, d1_ch, ptr2_f, ptr1_ce, t1_u,
+                       eslot):
+    """Hcurl facet Lagrange extension (hFacetExtension for jform=1):
+    per coarse face, u = 12 subgrid edges (4 interior first), p = 4
+    child faces, one PV multiplier (the facet's Hdiv PV).
+      m11_ch (n,4,4,4), m12_ch (n,4), d1_ch (n,4,4), ptr2_f (n,4)
+      facet-trace P2 values of THIS face, ptr1_ce (n,4,2) edge-trace P1
+      values of the face's 4 coarse edges (M11 order), t1_u (n,12,kt),
+      eslot (4,4) static child-edge -> face-slot.
+    Returns (Pf1 (n,4,4), d1c (n,4), cm (n,4,4), bub_sv)."""
+    n = m11_ch.shape[0]
+    dt = m11_ch.dtype
+    idx = (eslot[:, :, None] * 12 + eslot[:, None, :]).reshape(-1)
+    Mae = jnp.zeros((n, 12 * 12), dtype=dt).at[:, idx].add(
+        m11_ch.reshape(n, -1)).reshape(n, 12, 12)
+    Dloc = jnp.zeros((n, 4, 12), dtype=dt).at[
+        :, np.arange(4)[:, None], eslot].set(d1_ch)
+    B = m12_ch[:, :, None] * Dloc                   # (n, 4, 12)
+    T = m12_ch * ptr2_f                             # (n, 4)
+    Pb = jnp.zeros((n, 8, 4), dtype=dt).at[
+        :, _E1F_ROWS8, _E1F_COLS8].set(ptr1_ce.reshape(n, 8))
+    M_ii, M_ib = Mae[:, :4, :4], Mae[:, :4, 4:]
+    B_ii, B_ib = B[:, :, :4], B[:, :, 4:]
+
+    A = jnp.zeros((n, 9, 9), dtype=dt)
+    A = A.at[:, :4, :4].set(M_ii)
+    A = A.at[:, 4:8, :4].set(B_ii)
+    A = A.at[:, :4, 4:8].set(B_ii.transpose(0, 2, 1))
+    A = A.at[:, 8, 4:8].set(T)
+    A = A.at[:, 4:8, 8].set(T)
+
+    kt = t1_u.shape[2]
+    t_int, t_bdr = t1_u[:, :4], t1_u[:, 4:]
+    rhs = jnp.zeros((n, 9, 4 + kt), dtype=dt)
+    rhs = rhs.at[:, :4, :4].set(-(M_ib @ Pb))
+    rhs = rhs.at[:, 4:8, :4].set(-(B_ib @ Pb))
+    rhs = rhs.at[:, :4, 4:].set(-(M_ib @ t_bdr))
+    rhs = rhs.at[:, 4:8, 4:].set(B_ii @ t_int)
+
+    X = _solve_batch(A, rhs)
+    Pf1 = X[:, :4, :4]
+    lam = X[:, 8, :4]
+    eps = jnp.asarray(np.finfo(np.float64).eps, dtype=dt)
+    d1c = jnp.where(jnp.abs(lam) > eps, -lam, jnp.zeros_like(lam))
+    bub = t_int - X[:, :4, 4:]
+    G = jnp.einsum("nit,nis->nts", bub, bub)
+    bub_sv = jnp.sqrt(jnp.clip(jnp.max(jnp.linalg.eigvalsh(G)),
+                               0.0, None)) if kt else jnp.zeros(())
+    basis = jnp.concatenate([Pf1, Pb], axis=1)      # (n, 12, 4)
+    cm = jnp.einsum("nik,nij,njl->nkl", basis, Mae, basis)
+    cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+    return Pf1, d1c, cm, bub_sv
+
+
+_E1C_ROWS24 = np.arange(24)
+_E1C_COLS24 = np.repeat(np.arange(12), 2)
+
+
+def _hcurl_interior_stage(m01_ch, m02_ch, vols_ch, d1_u, d2_ch,
+                          ptr1_ce, pf1_cf, pint2, ptr2_cf, d1c_cf, t1_u,
+                          eslot_cell, fslot, fe_slot, fep):
+    """Hcurl interior extension ([M B^T; B -C], hRidgePeakExtension for
+    jform=1, with null targets): per coarse cell, u = 54 subgrid edges
+    (6 interior first), p = 36 subgrid faces (12 interior first),
+    e2 = 8 child cells.
+      m01_ch (n,8,12,12), m02_ch (n,8,6,6), vols_ch (n,8),
+      d1_u (n,36,4) fine curl values of the subgrid faces (slot order),
+      d2_ch (n,8,6), ptr1_ce (n,12,2), pf1_cf (n,6,4,4),
+      pint2 (n,12,6) this AE's Hdiv interior P block,
+      ptr2_cf (n,6,4), d1c_cf (n,6,4) coarse curl values of the 6
+      facets, t1_u (n,54,kt); static: eslot_cell (8,12), fslot (8,6),
+      fe_slot (36,4), fep (6,4).
+    Returns (Pc1 (n,6,12), cm (n,12,12), bub_sv)."""
+    n = m01_ch.shape[0]
+    dt = m01_ch.dtype
+    idx = (eslot_cell[:, :, None] * 54
+           + eslot_cell[:, None, :]).reshape(-1)
+    Mae = jnp.zeros((n, 54 * 54), dtype=dt).at[:, idx].add(
+        m01_ch.reshape(n, -1)).reshape(n, 54, 54)
+    fidx = (fslot[:, :, None] * 36 + fslot[:, None, :]).reshape(-1)
+    Wae = jnp.zeros((n, 36 * 36), dtype=dt).at[:, fidx].add(
+        m02_ch.reshape(n, -1)).reshape(n, 36, 36)
+    D1loc = jnp.zeros((n, 36, 54), dtype=dt).at[
+        :, np.arange(36)[:, None], fe_slot].set(d1_u)
+    B = (Wae @ D1loc)[:, :12, :]                    # (n, 12, 54)
+    D2loc = jnp.zeros((n, 8, 36), dtype=dt).at[
+        :, np.arange(8)[:, None], fslot].set(d2_ch)
+    D2i = D2loc[:, :, :12]
+    C = jnp.einsum("nki,nk,nkj->nij", D2i, vols_ch, D2i)
+
+    # PDc = P2 @ D1c within the AE: (n, 36, 12)
+    D1c_cell = jnp.zeros((n, 6, 12), dtype=dt).at[
+        :, np.arange(6)[:, None], fep].set(d1c_cf)
+    pd_int = pint2 @ D1c_cell                       # (n, 12, 12)
+    pd_bdr = (ptr2_cf[:, :, :, None]
+              * D1c_cell[:, :, None, :]).reshape(n, 24, 12)
+    dPcs = jnp.concatenate([pd_int, pd_bdr], axis=1)
+
+    Pb = jnp.zeros((n, 48, 12), dtype=dt)
+    Pb = Pb.at[:, _E1C_ROWS24, _E1C_COLS24].set(ptr1_ce.reshape(n, 24))
+    # facet-interior rows 24 + 4f + j, cols fep[f]
+    rows = (24 + 4 * np.arange(6)[:, None]
+            + np.arange(4)[None, :])                        # (6, 4)
+    Pb = Pb.at[:, rows[:, :, None], fep[:, None, :]].set(pf1_cf)
+
+    M_ii, M_ib = Mae[:, :6, :6], Mae[:, :6, 6:]
+    B_ii, B_ib = B[:, :, :6], B[:, :, 6:]
+    A = jnp.zeros((n, 18, 18), dtype=dt)
+    A = A.at[:, :6, :6].set(M_ii)
+    A = A.at[:, 6:, :6].set(B_ii)
+    A = A.at[:, :6, 6:].set(B_ii.transpose(0, 2, 1))
+    A = A.at[:, 6:, 6:].set(-C)
+
+    kt = t1_u.shape[2]
+    t_int, t_bdr = t1_u[:, :6], t1_u[:, 6:]
+    rhs = jnp.zeros((n, 18, 12 + kt), dtype=dt)
+    rhs = rhs.at[:, :6, :12].set(-(M_ib @ Pb))
+    rhs = rhs.at[:, 6:, :12].set(-(B_ib @ Pb)
+                                 + Wae[:, :12, :] @ dPcs)
+    rhs = rhs.at[:, :6, 12:].set(-(M_ib @ t_bdr))
+    rhs = rhs.at[:, 6:, 12:].set(B_ii @ t_int)
+
+    X = _solve_batch(A, rhs)
+    Pc1 = X[:, :6, :12]
+    bub = t_int - X[:, :6, 12:]
+    G = jnp.einsum("nit,nis->nts", bub, bub)
+    bub_sv = jnp.sqrt(jnp.clip(jnp.max(jnp.linalg.eigvalsh(G)),
+                               0.0, None)) if kt else jnp.zeros(())
+    basis = jnp.concatenate([Pc1, Pb], axis=1)      # (n, 54, 12)
+    cm = jnp.einsum("nik,nij,njl->nkl", basis, Mae, basis)
+    cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+    return Pc1, cm, bub_sv
+
+
+# --------------------------------------------------------------------- #
+# full-chain level driver
+# --------------------------------------------------------------------- #
+
+@dataclass
+class LevelOut:
+    """Per-level outputs of the structured coarsening (device arrays
+    plus host id arrays for materialization and diagnostics)."""
+    cshape: tuple
+    # L2 / Hdiv (set when jform_start <= 2)
+    ptr3: object = None
+    f3: object = None
+    ptr2: object = None
+    f2: object = None
+    pint2: object = None
+    d2c: object = None
+    # Hcurl (jform_start <= 1)
+    ptr1: object = None
+    f1: object = None
+    pf1: object = None
+    pc1: object = None
+    d1c: object = None
+    # H1 (jform_start == 0)
+    pe0: object = None
+    pf0: object = None
+    pc0: object = None
+    d0c: object = None
+    # host id arrays
+    cc: object = None        # (ncc, 8) child cells
+    cf: object = None        # (ncf, 4) child faces
+    ce: object = None        # (nce, 2) child edges
+    cv: object = None        # (ncv,)  child vertices
+    cfaces: object = None    # (ncc, 6) coarse facet ids
+    cedges: object = None    # (ncc, 12) coarse edge ids
+    cverts: object = None    # (ncc, 8) coarse vertex ids
+    fedges: object = None    # (ncf, 4) coarse edge ids per coarse face
+    fverts: object = None    # (ncf, 4) coarse vertex ids per coarse face
+    everts: object = None    # (nce, 2) coarse vertex ids per coarse edge
+    ufaces: object = None    # (ncc, 36)
+    uedges: object = None    # (ncc, 54)
+    uverts: object = None    # (ncc, 27)
+    fuedges: object = None   # (ncf, 12)
+    fuverts: object = None   # (ncf, 9)
+    euverts: object = None   # (nce, 3)
+    max_rel_sv: float = 0.0
+    bub_sv: float = 0.0
+
+
+def coarsen_structured(lvl: StructuredLevel, jform_start=0,
+                       svd_tol=1e-9):
+    """One cartesian 2x2x2 coarsening step of the de Rham chain from
+    L2 down to `jform_start` (the generic engine's Coarsen() loop,
+    jform = 3..jform_start).  Returns (coarse_level, LevelOut)."""
+    shape = lvl.shape
+    assert all(s % 2 == 0 for s in shape), shape
+    cshape = tuple(s // 2 for s in shape)
+    dt = lvl.m03.dtype
+    nc, nf, ne, nv = grid_counts(cshape)
+
+    out = LevelOut(cshape=cshape)
+    out.cc = children_cells(cshape)
+    out.cf = children_faces(cshape)
+    out.cfaces = d2_cols(cshape)
+    out.ufaces = _subgrid_u_faces(cshape)
+    jcc, jcf, jcfaces, jufaces = (jnp.asarray(x, dtype=jnp.int32)
+                                  for x in (out.cc, out.cf, out.cfaces,
+                                            out.ufaces))
+    coarse = StructuredLevel(shape=cshape)
+    svs, bubs = [], []
+
+    # ---- L2 + Hdiv ---------------------------------------------------
+    pv3 = jnp.ones(lvl.m03.shape[0], dtype=dt)
+    out.ptr3, out.f3, coarse.m03, coarse.t3, sv3 = _trace_scalar_stage(
+        lvl.m03[jcc], pv3[jcc], lvl.t3[jcc])
+    out.ptr2, out.f2, coarse.m12, coarse.t2, sv2 = _trace_scalar_stage(
+        lvl.m12[jcf], lvl.pv2[jcf], lvl.t2[jcf])
+    out.pint2, out.d2c, coarse.m02, bub2 = _hdiv_interior_stage(
+        lvl.m02[jcc], lvl.m03[jcc], lvl.d2[jcc], out.ptr3,
+        out.ptr2[jcfaces], lvl.t2[jufaces], _cell_stage_patterns_hdiv())
+    coarse.d2 = out.d2c
+    coarse.pv2 = jnp.ones(sum(nf), dtype=dt)
+    svs += [sv3, sv2]
+    bubs += [bub2]
+
+    # ---- Hcurl --------------------------------------------------------
+    if jform_start <= 1:
+        out.ce = children_edges(cshape)
+        out.fedges = face_edges_m(cshape)
+        out.cedges = cell_edges(cshape)
+        out.fuedges = _face_u_edges(cshape)
+        out.uedges = _subgrid_u_edges(cshape)
+        jce, jfedges, jcedges, jfuedges, juedges = (
+            jnp.asarray(x, dtype=jnp.int32)
+            for x in (out.ce, out.fedges, out.cedges, out.fuedges,
+                      out.uedges))
+        out.ptr1, out.f1, coarse.m21, coarse.t1, sv1 = \
+            _trace_scalar_stage(lvl.m21[jce], lvl.pv1[jce],
+                                lvl.t1[jce])
+        out.pf1, out.d1c, coarse.m11, bub1f = _hcurl_facet_stage(
+            lvl.m11[jcf], lvl.m12[jcf], lvl.d1[jcf], out.ptr2,
+            out.ptr1[jfedges], lvl.t1[jfuedges],
+            _face_child_edge_slots())
+        out.pc1, coarse.m01, bub1c = _hcurl_interior_stage(
+            lvl.m01[jcc], lvl.m02[jcc], lvl.m03[jcc],
+            lvl.d1[jufaces], lvl.d2[jcc],
+            out.ptr1[jcedges], out.pf1[jcfaces], out.pint2,
+            out.ptr2[jcfaces], out.d1c[jcfaces], lvl.t1[juedges],
+            _cell_child_edge_slots(), _cell_stage_patterns_hdiv(),
+            _cell_face_edge_slots(), _cell_facet_edge_positions())
+        coarse.d1 = out.d1c
+        coarse.pv1 = jnp.ones(sum(ne), dtype=dt)
+        svs += [sv1]
+        bubs += [bub1f, bub1c]
+
+    # ---- H1 -----------------------------------------------------------
+    if jform_start <= 0:
+        out.cv = children_verts(cshape)
+        out.everts = d0_cols(cshape)
+        out.fverts = face_verts(cshape)
+        out.cverts = cell_verts(cshape)
+        out.euverts = _edge_u_verts(cshape)
+        out.fuverts = _face_u_verts(cshape)
+        out.uverts = _subgrid_u_verts(cshape)
+        jce = jnp.asarray(out.ce, dtype=jnp.int32)
+        jfedges = jnp.asarray(out.fedges, dtype=jnp.int32)
+        jcedges = jnp.asarray(out.cedges, dtype=jnp.int32)
+        jeuverts, jfuverts, juverts = (
+            jnp.asarray(x, dtype=jnp.int32)
+            for x in (out.euverts, out.fuverts, out.uverts))
+        jfuedges = jnp.asarray(out.fuedges, dtype=jnp.int32)
+        juedges = jnp.asarray(out.uedges, dtype=jnp.int32)
+        out.pe0, out.d0c, coarse.m20, bub0e = _h1_edge_stage(
+            lvl.m20[jce], lvl.m21[jce], lvl.d0[jce], out.ptr1,
+            lvl.t0[jeuverts])
+        out.pf0, coarse.m10, bub0f = _h1_facet_stage(
+            lvl.m10[jcf], lvl.m11[jcf], lvl.m12[jcf],
+            lvl.d0[jfuedges], lvl.d1[jcf], out.ptr1[jfedges],
+            out.pe0[jfedges], out.d0c[jfedges], out.pf1,
+            lvl.t0[jfuverts], _face_child_vert_slots(),
+            _face_child_edge_slots(), _face_edge_vert_slots())
+        out.pc0, coarse.m00 = _h1_interior_stage(
+            lvl.m00[jcc], lvl.m01[jcc], lvl.m02[jcc],
+            lvl.d0[juedges], lvl.d1[jufaces],
+            out.ptr1[jcedges], out.pe0[jcedges], out.d0c[jcedges],
+            out.pf1[jcfaces], out.pc1, out.pf0[jcfaces],
+            _cell_child_vert_slots(), _cell_child_edge_slots(),
+            _cell_stage_patterns_hdiv(), _cell_edge_vert_slots(),
+            _cell_face_edge_slots(), _cell_facet_edge_positions(),
+            _cell_edge_vert_positions(), _cell_facet_vert_positions())
+        coarse.d0 = out.d0c
+        coarse.t0 = lvl.t0[jnp.asarray(out.cv, dtype=jnp.int32)]
+        bubs += [bub0e, bub0f]
+
+    out.max_rel_sv = float(jnp.max(jnp.stack(svs)))
+    out.bub_sv = float(jnp.max(jnp.stack(bubs))) if bubs else 0.0
+    eff = max(svd_tol, 50.0 * float(jnp.finfo(dt).eps))
+    assert out.max_rel_sv < eff, \
+        (out.max_rel_sv, "trace SVD kept a mode: structure not static")
+    assert out.bub_sv < max(1e2 * svd_tol, eff), \
+        (out.bub_sv, "bubble SVD kept a mode: structure not static")
+    return coarse, out
+
+
+def _cell_face_edge_slots():
+    """(36, 4) subgrid face (slot order) -> 54-slot positions of its 4
+    edges in the canonical M11 order."""
+    slot_f = _subgrid_face_slots()
+    slot_e = _subgrid_edge_slots()
+    fe = face_edges_m(_S)                  # (36, 4) subgrid edge ids
+    out = np.empty((36, 4), dtype=np.int64)
+    out[slot_f] = slot_e[fe]
+    return out
+
+
+def materialize_P(out: LevelOut, fshape, jform):
+    """Host CSR of the structured P for one form at one level."""
+    import scipy.sparse as sp
+    ncf_, nff, nef, nvf = grid_counts(fshape)
+    ncc, nfc, nec, nvc = grid_counts(out.cshape)
+    if jform == 3:
+        rows = out.cc.ravel()
+        cols = np.repeat(np.arange(ncc), 8)
+        return sp.coo_matrix(
+            (np.asarray(out.ptr3).ravel(), (rows, cols)),
+            shape=(ncf_, ncc)).tocsr()
+    if jform == 2:
+        rows = np.concatenate([
+            out.cf.ravel(),
+            np.repeat(out.ufaces[:, :12].ravel(), 6)])
+        cols = np.concatenate([
+            np.repeat(np.arange(sum(nfc)), 4),
+            np.tile(out.cfaces, (1, 12)).reshape(-1)])
+        vals = np.concatenate([np.asarray(out.ptr2).ravel(),
+                               np.asarray(out.pint2).ravel()])
+        return sp.coo_matrix((vals, (rows, cols)),
+                             shape=(sum(nff), sum(nfc))).tocsr()
+    if jform == 1:
+        rows = np.concatenate([
+            out.ce.ravel(),
+            np.repeat(out.fuedges[:, :4].ravel(), 4),
+            np.repeat(out.uedges[:, :6].ravel(), 12)])
+        cols = np.concatenate([
+            np.repeat(np.arange(sum(nec)), 2),
+            np.tile(out.fedges, (1, 4)).reshape(-1),
+            np.tile(out.cedges, (1, 6)).reshape(-1)])
+        vals = np.concatenate([np.asarray(out.ptr1).ravel(),
+                               np.asarray(out.pf1).ravel(),
+                               np.asarray(out.pc1).ravel()])
+        return sp.coo_matrix((vals, (rows, cols)),
+                             shape=(sum(nef), sum(nec))).tocsr()
+    if jform == 0:
+        rows = np.concatenate([
+            out.cv,
+            np.repeat(out.euverts[:, 0], 2),
+            np.repeat(out.fuverts[:, 0], 4),
+            np.repeat(out.uverts[:, 0], 8)])
+        cols = np.concatenate([
+            np.arange(nvc), out.everts.ravel(), out.fverts.ravel(),
+            out.cverts.ravel()])
+        vals = np.concatenate([
+            np.ones(nvc, dtype=np.asarray(out.pe0).dtype),
+            np.asarray(out.pe0).ravel(), np.asarray(out.pf0).ravel(),
+            np.asarray(out.pc0).ravel()])
+        return sp.coo_matrix((vals, (rows, cols)),
+                             shape=(nvf, nvc)).tocsr()
+    raise ValueError(jform)
+
+
+# --------------------------------------------------------------------- #
+# H1 stage patterns
+# --------------------------------------------------------------------- #
+
+def _subgrid_vert_slots():
+    """Canonical order of the 27 subgrid vertices of a cell-AE:
+    [1 interior (center); 8 corners (cell_verts order, coords x2);
+     12 coarse-edge midpoints (cell_edges coarse order);
+     6 facet centers ([x0,x1,y0,y1,z0,z1])].
+    Returns slot_of_vert (27,)."""
+    order = [vert_id(_S, 1, 1, 1)]
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                order.append(vert_id(_S, 2 * dx, 2 * dy, 2 * dz))
+    for a in range(3):                      # edge midpoints
+        b, c = [ax for ax in range(3) if ax != a]
+        for dc in (0, 1):
+            for db in (0, 1):
+                co = [0, 0, 0]
+                co[a], co[b], co[c] = 1, 2 * db, 2 * dc
+                order.append(vert_id(_S, *co))
+    for a in range(3):                      # facet centers
+        for s in (0, 2):
+            co = [1, 1, 1]
+            co[a] = s
+            order.append(vert_id(_S, *co))
+    order = np.array(order)
+    assert len(set(order.tolist())) == 27
+    slot = np.zeros(27, dtype=np.int64)
+    slot[order] = np.arange(27)
+    return slot
+
+
+def _subgrid_u_verts(cshape):
+    """(n_coarse_cells, 27) fine vertex ids in the canonical order."""
+    fshape = tuple(2 * s for s in cshape)
+    slot = _subgrid_vert_slots()
+    inv = np.empty((27, 3), dtype=np.int64)
+    for x in range(3):
+        for y in range(3):
+            for z in range(3):
+                inv[vert_id(_S, x, y, z)] = (x, y, z)
+    ijk = _grid3(range(cshape[0]), range(cshape[1]), range(cshape[2]))
+    out = np.empty((len(ijk), 27), dtype=np.int64)
+    for sv in range(27):
+        x, y, z = inv[sv]
+        out[:, slot[sv]] = vert_id(fshape, 2 * ijk[:, 0] + x,
+                                   2 * ijk[:, 1] + y, 2 * ijk[:, 2] + z)
+    return out
+
+
+def _face_u_verts(cshape):
+    """(n_coarse_faces, 9) fine vertex ids of a coarse face's subgrid:
+    [center; 4 corners (M10 (b,c)-lex); 4 coarse-edge midpoints (M11
+    order)]."""
+    fshape = tuple(2 * s for s in cshape)
+    nx, ny, nz = cshape
+    cols = []
+    for a in range(3):
+        b, c = [ax for ax in range(3) if ax != a]
+        dims = [(nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1)][a]
+        ijk = _grid3(range(dims[0]), range(dims[1]), range(dims[2]))
+        base = 2 * ijk
+        offs = []
+        o = [0, 0, 0]
+        o[b], o[c] = 1, 1
+        offs.append(tuple(o))                       # center
+        for dc in (0, 1):
+            for db in (0, 1):                       # corners
+                o = [0, 0, 0]
+                o[b], o[c] = 2 * db, 2 * dc
+                offs.append(tuple(o))
+        for (ob, oc) in ((1, 0), (1, 2), (0, 1), (2, 1)):  # mids, M11
+            o = [0, 0, 0]
+            o[b], o[c] = ob, oc
+            offs.append(tuple(o))
+        out = np.empty((len(ijk), 9), dtype=np.int64)
+        for s, (ox, oy, oz) in enumerate(offs):
+            out[:, s] = vert_id(fshape, base[:, 0] + ox,
+                                base[:, 1] + oy, base[:, 2] + oz)
+        cols.append(out)
+    return np.concatenate(cols, axis=0)
+
+
+def _edge_u_verts(cshape):
+    """(n_coarse_edges, 3) fine vertex ids [mid, tail, head]."""
+    fshape = tuple(2 * s for s in cshape)
+    nx, ny, nz = cshape
+    cols = []
+    for a in range(3):
+        dims = [(nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1),
+                (nx + 1, ny + 1, nz)][a]
+        ijk = _grid3(range(dims[0]), range(dims[1]), range(dims[2]))
+        base = 2 * ijk
+        mid = base.copy()
+        mid[:, a] += 1
+        head = base.copy()
+        head[:, a] += 2
+        cols.append(np.stack([
+            vert_id(fshape, mid[:, 0], mid[:, 1], mid[:, 2]),
+            vert_id(fshape, base[:, 0], base[:, 1], base[:, 2]),
+            vert_id(fshape, head[:, 0], head[:, 1], head[:, 2]),
+        ], axis=1))
+    return np.concatenate(cols, axis=0)
+
+
+def _cell_child_vert_slots():
+    """(8, 8) child cell -> 27-slot positions of its cell_verts."""
+    return _subgrid_vert_slots()[cell_verts(_S)]
+
+
+def _face_child_vert_slots():
+    """(4, 4) child face -> 9-slot positions of its M10-order verts
+    (family-independent in (b, c) terms)."""
+    # 9-slot keyed by (b-coord, c-coord) in {0,1,2}^2
+    key2slot = {(1, 1): 0, (0, 0): 1, (2, 0): 2, (0, 2): 3, (2, 2): 4,
+                (1, 0): 5, (1, 2): 6, (0, 1): 7, (2, 1): 8}
+    out = np.empty((4, 4), dtype=np.int64)
+    for dc in (0, 1):
+        for db in (0, 1):
+            ch = dc * 2 + db
+            out[ch] = [key2slot[(db + eb, dc + ec)]
+                       for ec in (0, 1) for eb in (0, 1)]
+    return out
+
+
+def _cell_edge_vert_slots():
+    """(54, 2) subgrid edge (slot order) -> 27-slot [tail, head]."""
+    slot_e = _subgrid_edge_slots()
+    slot_v = _subgrid_vert_slots()
+    ev = edge_verts(_S)                    # (54, 2) subgrid vert ids
+    out = np.empty((54, 2), dtype=np.int64)
+    out[slot_e] = slot_v[ev]
+    return out
+
+
+def _face_edge_vert_slots():
+    """(12, 2) face-subgrid edge (face order) -> 9-slot [tail, head]
+    (family-independent)."""
+    key2slot = {(1, 1): 0, (0, 0): 1, (2, 0): 2, (0, 2): 3, (2, 2): 4,
+                (1, 0): 5, (1, 2): 6, (0, 1): 7, (2, 1): 8}
+    fams = _face_subgrid_edge_order()
+    # interpret offsets in (b, c) terms using family 0 ((b,c)=(1,2))
+    out = np.empty((12, 2), dtype=np.int64)
+    for s, (axis, ox, oy, oz) in enumerate(fams[0]):
+        ob, oc = oy, oz
+        if axis == 1:      # along b
+            out[s] = [key2slot[(ob, oc)], key2slot[(ob + 1, oc)]]
+        else:              # along c
+            out[s] = [key2slot[(ob, oc)], key2slot[(ob, oc + 1)]]
+    return out
+
+
+# facet -> corner-vertex positions among the cell's 8 (cell_verts order)
+def _cell_facet_vert_positions():
+    cv = cell_verts((1, 1, 1))[0]
+    pos = {int(v): i for i, v in enumerate(cv)}
+    return np.vectorize(pos.get)(face_verts((1, 1, 1)))
+
+
+# coarse edge -> endpoint positions among the cell's 8
+def _cell_edge_vert_positions():
+    cv = cell_verts((1, 1, 1))[0]
+    pos = {int(v): i for i, v in enumerate(cv)}
+    return np.vectorize(pos.get)(edge_verts((1, 1, 1)))
+
+
+# face coarse edge (M11 order) -> endpoint positions among the face's
+# 4 corners (M10 order): eb(c0): (0,1); eb(c1): (2,3); ec(b0): (0,2);
+# ec(b1): (1,3)
+_FACE_EDGE_VERT_POS = np.array([[0, 1], [2, 3], [0, 2], [1, 3]])
+
+
+def _h1_edge_stage(m20_ch, m21_ch, d0_ch, ptr1_e, t0_u):
+    """H1 edge Lagrange extension (hFacetExtension for jform=0):
+    per coarse edge, u = [mid, tail, head] vertices (1 interior), p = 2
+    child edges, one PV multiplier (the coarse edge's Hcurl PV).
+      m20_ch (n,2,2,2), m21_ch (n,2), d0_ch (n,2,2), ptr1_e (n,2) this
+      edge's Hcurl trace values, t0_u (n,3,kt).
+    Returns (pe0 (n,1,2), d0c (n,2), cm (n,2,2), bub_sv)."""
+    n = m20_ch.shape[0]
+    dt = m20_ch.dtype
+    vslots = np.array([[1, 0], [0, 2]])
+    idx = (vslots[:, :, None] * 3 + vslots[:, None, :]).reshape(-1)
+    Mae = jnp.zeros((n, 9), dtype=dt).at[:, idx].add(
+        m20_ch.reshape(n, -1)).reshape(n, 3, 3)
+    Dloc = jnp.zeros((n, 2, 3), dtype=dt).at[
+        :, np.arange(2)[:, None], vslots].set(d0_ch)
+    B = m21_ch[:, :, None] * Dloc                   # (n, 2, 3)
+    T = m21_ch * ptr1_e                             # (n, 2)
+    Pb = jnp.broadcast_to(jnp.eye(2, dtype=dt), (n, 2, 2))
+    M_ii, M_ib = Mae[:, :1, :1], Mae[:, :1, 1:]
+    B_ii, B_ib = B[:, :, :1], B[:, :, 1:]
+
+    A = jnp.zeros((n, 4, 4), dtype=dt)
+    A = A.at[:, :1, :1].set(M_ii)
+    A = A.at[:, 1:3, :1].set(B_ii)
+    A = A.at[:, :1, 1:3].set(B_ii.transpose(0, 2, 1))
+    A = A.at[:, 3, 1:3].set(T)
+    A = A.at[:, 1:3, 3].set(T)
+
+    kt = t0_u.shape[2]
+    t_int, t_bdr = t0_u[:, :1], t0_u[:, 1:]
+    rhs = jnp.zeros((n, 4, 2 + kt), dtype=dt)
+    rhs = rhs.at[:, :1, :2].set(-(M_ib @ Pb))
+    rhs = rhs.at[:, 1:3, :2].set(-(B_ib @ Pb))
+    rhs = rhs.at[:, :1, 2:].set(-(M_ib @ t_bdr))
+    rhs = rhs.at[:, 1:3, 2:].set(B_ii @ t_int)
+
+    X = _solve_batch(A, rhs)
+    pe0 = X[:, :1, :2]
+    lam = X[:, 3, :2]
+    eps = jnp.asarray(np.finfo(np.float64).eps, dtype=dt)
+    d0c = jnp.where(jnp.abs(lam) > eps, -lam, jnp.zeros_like(lam))
+    bub = t_int - X[:, :1, 2:]
+    G = jnp.einsum("nit,nis->nts", bub, bub)
+    bub_sv = jnp.sqrt(jnp.clip(jnp.max(jnp.linalg.eigvalsh(G)),
+                               0.0, None)) if kt else jnp.zeros(())
+    basis = jnp.concatenate([pe0, Pb], axis=1)      # (n, 3, 2)
+    cm = jnp.einsum("nik,nij,njl->nkl", basis, Mae, basis)
+    cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+    return pe0, d0c, cm, bub_sv
+
+
+def _h1_facet_stage(m10_ch, m11_ch, m12_ch, d0_fu, d1_ch, ptr1_fe,
+                    pe0_fe, d0c_fe, pf1_f, t0_u, vslot, eslot, evslot):
+    """H1 facet extension ([M B^T; B -C] with null targets,
+    hRidgePeakExtension for jform=0 at codim 1): per coarse face,
+    u = 9 subgrid vertices (1 interior), p = 12 subgrid edges (4
+    interior), e2 = 4 child faces.
+      m10_ch (n,4,4,4), m11_ch (n,4,4,4), m12_ch (n,4),
+      d0_fu (n,12,2) fine grad values of the 12 subgrid edges,
+      d1_ch (n,4,4) fine curl of the child faces, ptr1_fe (n,4,2)
+      Hcurl edge-trace values of the face's coarse edges, pe0_fe
+      (n,4,1,2) H1 edge-stage blocks of those edges, d0c_fe (n,4,2)
+      coarse grad values of those edges, pf1_f (n,4,4) this face's
+      Hcurl facet-stage block, t0_u (n,9,kt); static: vslot (4,4),
+      eslot (4,4), evslot (12,2).
+    Returns (pf0 (n,1,4), cm (n,4,4), bub_sv)."""
+    n = m10_ch.shape[0]
+    dt = m10_ch.dtype
+    vidx = (vslot[:, :, None] * 9 + vslot[:, None, :]).reshape(-1)
+    Mae = jnp.zeros((n, 81), dtype=dt).at[:, vidx].add(
+        m10_ch.reshape(n, -1)).reshape(n, 9, 9)
+    eidx = (eslot[:, :, None] * 12 + eslot[:, None, :]).reshape(-1)
+    Wae = jnp.zeros((n, 144), dtype=dt).at[:, eidx].add(
+        m11_ch.reshape(n, -1)).reshape(n, 12, 12)
+    D0loc = jnp.zeros((n, 12, 9), dtype=dt).at[
+        :, np.arange(12)[:, None], evslot].set(d0_fu)
+    B = (Wae @ D0loc)[:, :4, :]                     # (n, 4, 9)
+    D1loc = jnp.zeros((n, 4, 12), dtype=dt).at[
+        :, np.arange(4)[:, None], eslot].set(d1_ch)
+    D1i = D1loc[:, :, :4]
+    C = jnp.einsum("nki,nk,nkj->nij", D1i, m12_ch, D1i)
+
+    # PDc = P1 @ D0c within the face: (n, 12, 4)
+    D0c_face = jnp.zeros((n, 4, 4), dtype=dt).at[
+        :, np.arange(4)[:, None], _FACE_EDGE_VERT_POS].set(d0c_fe)
+    pd_int = pf1_f @ D0c_face                       # (n, 4, 4)
+    pd_bdr = (ptr1_fe[:, :, :, None]
+              * D0c_face[:, :, None, :]).reshape(n, 8, 4)
+    dPcs = jnp.concatenate([pd_int, pd_bdr], axis=1)
+
+    Pb = jnp.zeros((n, 8, 4), dtype=dt)
+    Pb = Pb.at[:, np.arange(4), np.arange(4)].set(1.0)
+    Pb = Pb.at[:, np.repeat(4 + np.arange(4), 2),
+               _FACE_EDGE_VERT_POS.reshape(-1)].set(
+        pe0_fe.reshape(n, 8))
+
+    M_ii, M_ib = Mae[:, :1, :1], Mae[:, :1, 1:]
+    B_ii, B_ib = B[:, :, :1], B[:, :, 1:]
+    A = jnp.zeros((n, 5, 5), dtype=dt)
+    A = A.at[:, :1, :1].set(M_ii)
+    A = A.at[:, 1:, :1].set(B_ii)
+    A = A.at[:, :1, 1:].set(B_ii.transpose(0, 2, 1))
+    A = A.at[:, 1:, 1:].set(-C)
+
+    kt = t0_u.shape[2]
+    t_int, t_bdr = t0_u[:, :1], t0_u[:, 1:]
+    rhs = jnp.zeros((n, 5, 4 + kt), dtype=dt)
+    rhs = rhs.at[:, :1, :4].set(-(M_ib @ Pb))
+    rhs = rhs.at[:, 1:, :4].set(-(B_ib @ Pb) + Wae[:, :4, :] @ dPcs)
+    rhs = rhs.at[:, :1, 4:].set(-(M_ib @ t_bdr))
+    rhs = rhs.at[:, 1:, 4:].set(B_ii @ t_int)
+
+    X = _solve_batch(A, rhs)
+    pf0 = X[:, :1, :4]
+    bub = t_int - X[:, :1, 4:]
+    G = jnp.einsum("nit,nis->nts", bub, bub)
+    bub_sv = jnp.sqrt(jnp.clip(jnp.max(jnp.linalg.eigvalsh(G)),
+                               0.0, None)) if kt else jnp.zeros(())
+    basis = jnp.concatenate([pf0, Pb], axis=1)      # (n, 9, 4)
+    cm = jnp.einsum("nik,nij,njl->nkl", basis, Mae, basis)
+    cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+    return pf0, cm, bub_sv
+
+
+def _h1_interior_stage(m00_ch, m01_ch, m02_ch, d0_u, d1_u, ptr1_ce,
+                       pe0_ce, d0c_ce, pf1_cf, pc1, pf0_cf,
+                       vslot_cell, eslot_cell, fslot, ev_slot, fe_slot,
+                       fep, evp, fvp):
+    """H1 interior extension ([M B^T; B -C], no null targets): per
+    coarse cell, u = 27 subgrid vertices (1 interior), p = 54 subgrid
+    edges (6 interior), e2 = 36 subgrid faces.
+    Returns (pc0 (n,1,8), cm (n,8,8))."""
+    n = m00_ch.shape[0]
+    dt = m00_ch.dtype
+    vidx = (vslot_cell[:, :, None] * 27
+            + vslot_cell[:, None, :]).reshape(-1)
+    Mae = jnp.zeros((n, 27 * 27), dtype=dt).at[:, vidx].add(
+        m00_ch.reshape(n, -1)).reshape(n, 27, 27)
+    eidx = (eslot_cell[:, :, None] * 54
+            + eslot_cell[:, None, :]).reshape(-1)
+    Wae = jnp.zeros((n, 54 * 54), dtype=dt).at[:, eidx].add(
+        m01_ch.reshape(n, -1)).reshape(n, 54, 54)
+    fidx = (fslot[:, :, None] * 36 + fslot[:, None, :]).reshape(-1)
+    W2ae = jnp.zeros((n, 36 * 36), dtype=dt).at[:, fidx].add(
+        m02_ch.reshape(n, -1)).reshape(n, 36, 36)
+    D0loc = jnp.zeros((n, 54, 27), dtype=dt).at[
+        :, np.arange(54)[:, None], ev_slot].set(d0_u)
+    B = (Wae @ D0loc)[:, :6, :]                     # (n, 6, 27)
+    D1loc = jnp.zeros((n, 36, 54), dtype=dt).at[
+        :, np.arange(36)[:, None], fe_slot].set(d1_u)
+    D1i = D1loc[:, :, :6]
+    C = jnp.einsum("nki,nkl,nlj->nij", D1i, W2ae, D1i)
+
+    # PDc = P1 @ D0c within the AE: rows = 54 edges in slot order
+    D0c_cell = jnp.zeros((n, 12, 8), dtype=dt).at[
+        :, np.arange(12)[:, None], evp].set(d0c_ce)
+    pd_int = pc1 @ D0c_cell                         # (n, 6, 8)
+    pd_ce = (ptr1_ce[:, :, :, None]
+             * D0c_cell[:, :, None, :]).reshape(n, 24, 8)
+    # facet-interior rows: pf1[f] (4x4 coarse-edge cols) @ D0c rows of
+    # the facet's coarse edges
+    d0c_fcells = D0c_cell[:, fep, :]                # (n, 6, 4, 8)
+    pd_fi = jnp.einsum("nfij,nfjk->nfik", pf1_cf,
+                       d0c_fcells).reshape(n, 24, 8)
+    dPcs = jnp.concatenate([pd_int, pd_ce, pd_fi], axis=1)
+
+    Pb = jnp.zeros((n, 26, 8), dtype=dt)
+    Pb = Pb.at[:, np.arange(8), np.arange(8)].set(1.0)
+    Pb = Pb.at[:, np.repeat(8 + np.arange(12), 2),
+               evp.reshape(-1)].set(pe0_ce.reshape(n, 24))
+    Pb = Pb.at[:, np.repeat(20 + np.arange(6), 4),
+               fvp.reshape(-1)].set(pf0_cf.reshape(n, 24))
+
+    M_ii, M_ib = Mae[:, :1, :1], Mae[:, :1, 1:]
+    B_ii, B_ib = B[:, :, :1], B[:, :, 1:]
+    A = jnp.zeros((n, 7, 7), dtype=dt)
+    A = A.at[:, :1, :1].set(M_ii)
+    A = A.at[:, 1:, :1].set(B_ii)
+    A = A.at[:, :1, 1:].set(B_ii.transpose(0, 2, 1))
+    A = A.at[:, 1:, 1:].set(-C)
+
+    rhs = jnp.zeros((n, 7, 8), dtype=dt)
+    rhs = rhs.at[:, :1, :].set(-(M_ib @ Pb))
+    rhs = rhs.at[:, 1:, :].set(-(B_ib @ Pb) + Wae[:, :6, :] @ dPcs)
+
+    X = _solve_batch(A, rhs)
+    pc0 = X[:, :1, :8]
+    basis = jnp.concatenate([pc0, Pb], axis=1)      # (n, 27, 8)
+    cm = jnp.einsum("nik,nij,njl->nkl", basis, Mae, basis)
+    cm = 0.5 * (cm + cm.transpose(0, 2, 1))
+    return pc0, cm
