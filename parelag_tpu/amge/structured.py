@@ -1847,3 +1847,39 @@ def global_derivative(lvl: StructuredLevel, jform):
     if jform == 2:
         return assemble_d_csr(lvl.d2, d2_cols(shape), (nc, sum(nf)))
     raise ValueError(jform)
+
+
+def _cell_edge_endpoint_slots(shape):
+    """(12, 2) local vertex slot of each cell edge's (tail, head) in the
+    cell_verts ordering — uniform across cells on the lexicographic
+    grid (derived from cell 0)."""
+    cv = cell_verts(shape)[0]
+    ev = edge_verts(shape)[cell_edges(shape)[0]]     # (12, 2) vert ids
+    pos = {int(v): i for i, v in enumerate(cv)}
+    return np.array([[pos[int(a)], pos[int(b)]] for a, b in ev],
+                    dtype=np.int64)
+
+
+def h1_stiffness_blocks(lvl: StructuredLevel):
+    """(nc, 8, 8) per-cell blocks of A = M0 + D0^T M1 D0 (the flagship
+    H1 operator, bench lane_h1 / MultigridTest0Form): the cell-local
+    gradient G (12x8) is the cell's d0 rows scattered to local vertex
+    slots, so A_cell = m00 + G^T m01 G — one batched einsum per level,
+    no global spgemm anywhere (Galerkin-exact by locality of m01)."""
+    shape = lvl.shape
+    ce = jnp.asarray(cell_edges(shape), dtype=jnp.int32)
+    slots = _cell_edge_endpoint_slots(shape)
+    dvals = lvl.d0[ce]                               # (nc, 12, 2)
+    nc = dvals.shape[0]
+    G = jnp.zeros((nc, 12, 8), dtype=dvals.dtype)
+    G = G.at[:, np.arange(12)[:, None], slots].set(dvals)
+    A = lvl.m00 + jnp.einsum("nei,nef,nfj->nij", G, lvl.m01, G)
+    return 0.5 * (A + A.transpose(0, 2, 1))
+
+
+def h1_stiffness(lvl: StructuredLevel):
+    """Host CSR of A = M0 + D0^T M1 D0 assembled from the level's
+    blocks."""
+    nv = grid_counts(lvl.shape)[3]
+    return assemble_global(h1_stiffness_blocks(lvl),
+                           cell_verts(lvl.shape), nv)

@@ -358,3 +358,16 @@ def test_parity_two_level_composite():
         v = rng.standard_normal(B.shape[0])
         a, b = pig(v), pis(v)
         assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-300) < 1e-9
+
+
+def test_h1_stiffness_blocks_match_global():
+    """A = M0 + D0^T M1 D0 from per-cell blocks equals the spgemm
+    assembly, fine and coarse."""
+    lvl0 = st.fine_level((4, 4, 4))
+    levels, _ = st.coarsen_chain(lvl0, 2, jform_start=0)
+    for lvl in levels:
+        D0 = st.global_derivative(lvl, 0)
+        ref = (st.global_mass(lvl, 0)
+               + D0.T @ st.global_mass(lvl, 1) @ D0).tocsr()
+        got = st.h1_stiffness(lvl)
+        assert _spdiff(got, ref) < 1e-13
