@@ -235,6 +235,81 @@ def _build_h1(nx, min_coarse=256, setup_dtype=np.float32,
     return seqs, A, b
 
 
+def _structured_chain(nx, min_coarse=256, dtype=np.float32,
+                      jform_start=0):
+    """Run the device-resident structured setup engine
+    (amge/structured.py; parity oracle tests/test_structured.py) on the
+    flagship cartesian chain: Newton-Schulz f32 stage solves on an
+    accelerator (batched LU compiles ~minutes/shape there), direct
+    solves on CPU."""
+    import jax
+    from parelag_tpu.amge import structured as stc
+
+    shape = (nx, nx, nx)
+    nlev, s = 1, shape
+    while (all(x % 2 == 0 and x >= 4 for x in s)
+           and np.prod([x // 2 for x in s]) >= min_coarse):
+        s = tuple(x // 2 for x in s)
+        nlev += 1
+    on_accel = any(d.platform != "cpu" for d in jax.devices())
+    mode = "ns" if on_accel else "direct"
+    lvl0 = stc.fine_level(shape, dtype=dtype)
+    with stc.solve_mode(mode):
+        levels, outs = stc.coarsen_chain(lvl0, nlev,
+                                         jform_start=jform_start)
+    stc.force_outputs(*levels, *outs)
+    return levels, outs
+
+
+def _build_h1_structured(nx, min_coarse=256, dtype=np.float32):
+    """Flagship H1 setup via the structured engine: the coarsening
+    chain runs as batched dense stages on the chip, per-level operators
+    assemble from per-cell blocks (fine level: one analytic broadcast
+    block, zero device->host traffic), and the boundary elimination
+    propagates as a Galerkin-corrected sparse term — the same matrices
+    the generic path produces (tests/test_structured.py), without its
+    per-AE host loops.  Returns (A_levels, P_levels, b)."""
+    import scipy.sparse as sp
+    from parelag_tpu.amge import structured as stc
+    from parelag_tpu.models.upscaling import eliminate_rowcols
+
+    shape = (nx, nx, nx)
+    levels, outs = _structured_chain(nx, min_coarse, dtype)
+
+    nv = (nx + 1) ** 3
+    A0 = stc.assemble_global(
+        stc.h1_uniform_cell_block(shape, dtype=dtype),
+        stc.cell_verts(shape), nv)
+    A_struct = [A0] + [stc.h1_stiffness(lvl).astype(dtype)
+                       for lvl in levels[1:]]
+    P_levels = [stc.materialize_P(out, lvl.shape, 0).tocsr()
+                .astype(dtype)
+                for lvl, out in zip(levels, outs)]
+
+    # the _build_h1 problem in grid-index terms (hex_grid_mesh numbering
+    # == structured numbering): surface load -1 on z=0 (attr 1), zero
+    # Dirichlet on the x/y walls (attrs 2-5)
+    n = nx + 1
+    iz, iy, ix = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                             indexing="ij")          # C-ravel: x fastest
+    marker = ((ix == 0) | (ix == nx)
+              | (iy == 0) | (iy == nx)).ravel()
+    h2 = (1.0 / nx) ** 2
+    nadj = (np.where((ix == 0) | (ix == nx), 1, 2)
+            * np.where((iy == 0) | (iy == nx), 1, 2))
+    b = np.where(iz == 0, -h2 / 4.0 * nadj, 0.0).ravel().astype(dtype)
+
+    Ae, be = eliminate_rowcols(A0.tocsr(), b, marker,
+                               np.zeros(nv, dtype=dtype))
+    A_levels = [Ae.astype(dtype)]
+    C = (Ae - A0).tocsr()
+    C.eliminate_zeros()
+    for l, P in enumerate(P_levels):
+        C = (P.T @ C @ P).tocsr()
+        A_levels.append((A_struct[l + 1] + C).tocsr())
+    return A_levels, P_levels, be
+
+
 def _host_vcycle_pcg(A_levels, P_levels, b, rtol, maxiter=100, sweeps=2,
                      prepared=None):
     """The CPU anchor: identical V(2,2)-cycle-preconditioned CG executed
@@ -298,14 +373,33 @@ def lane_h1(nx, n_rhs=None):
     from parelag_tpu.solvers.hierarchy import rap
 
     t0 = time.time()
-    seqs, A, b = _build_h1(nx)
-    ndofs = A.shape[0]
     dtype = np.float32
-    H, A_levels, P_levels = build_amge_hierarchy(
-        seqs, 0, A.astype(dtype), smoother="l1jacobi", sweeps=2,
-        dtype=dtype, matrix_format="dia", transfer_dtype=jnp.bfloat16)
+    setup_backend = "structured"
+    try:
+        # device-resident structured setup (amge/structured.py) — the
+        # generic per-AE engine stays as the fallback and as the parity
+        # oracle (tests/test_structured.py)
+        from parelag_tpu.solvers.hierarchy import build_hierarchy
+        from parelag_tpu.solvers import smoothers as sm
+        A_levels, P_levels, b = _build_h1_structured(nx)
+        A = A_levels[0]
+        H = build_hierarchy(
+            A_levels, P_levels,
+            lambda Al, l: sm.make_l1_jacobi(Al, sweeps=2),
+            dtype=dtype, matrix_format="dia",
+            transfer_dtype=jnp.bfloat16)
+    except Exception as e:               # pragma: no cover
+        print(f"[h1] structured setup failed ({e!r}); generic engine",
+              file=sys.stderr)
+        setup_backend = "generic"
+        seqs, A, b = _build_h1(nx)
+        H, A_levels, P_levels = build_amge_hierarchy(
+            seqs, 0, A.astype(dtype), smoother="l1jacobi", sweeps=2,
+            dtype=dtype, matrix_format="dia",
+            transfer_dtype=jnp.bfloat16)
+    ndofs = A.shape[0]
     setup_s = time.time() - t0
-    print(f"[h1] setup {setup_s:.1f}s ndofs={ndofs} "
+    print(f"[h1] setup[{setup_backend}] {setup_s:.1f}s ndofs={ndofs} "
           f"levels={len(H.levels)} "
           f"fmt={type(H.levels[0].A).__name__}", file=sys.stderr)
 
@@ -337,7 +431,8 @@ def lane_h1(nx, n_rhs=None):
     thr = ndofs * niter / dt
     out = dict(metric="h1_amge_vcycle_pcg_throughput", ndofs=ndofs,
                iters=niter, rel_res=rel, solve_s=dt,
-               value=thr, unit="dof_iter_per_s", setup_s=setup_s)
+               value=thr, unit="dof_iter_per_s", setup_s=setup_s,
+               setup_backend=setup_backend)
     # roofline accounting: byte model of one PCG iteration = fine SpMV
     # (f32) + bf16 V(2,2)-cycle + ~10 vector passes for the CG updates,
     # against the measured achievable HBM bandwidth of this chip
@@ -397,7 +492,7 @@ def lane_h1(nx, n_rhs=None):
     return out
 
 
-def lane_setup(nx, backends=("host", "device")):
+def lane_setup(nx, backends=("host", "device", "structured")):
     """Setup-phase lane: dof/s for the multi-level H1 AMGe setup
     (topology coarsening + DeRhamSequence.coarsen chain), comparing the
     host scipy per-AE loop against the bucketed/batched device path
@@ -421,6 +516,24 @@ def lane_setup(nx, backends=("host", "device")):
     out = dict(metric="h1_amge_setup", cells=nx ** 3,
                levels=len(topos), topology_s=topo_s)
     ndofs = None
+    if "structured" in backends:
+        # the device-resident engine (amge/structured.py): same coarse
+        # spaces (tests/test_structured.py parity oracle), built as
+        # level-uniform batched dense stages on the chip — includes its
+        # own fine-level build and needs no separate topology phase
+        try:
+            t0 = time.time()
+            _structured_chain(nx)
+            dt = time.time() - t0
+            nd = (nx + 1) ** 3
+            out["structured_setup_s"] = dt
+            out["structured_dof_per_s"] = nd / dt
+            print(f"[setup] backend=structured {dt:.1f}s "
+                  f"({nd / dt:.0f} dof/s)", file=sys.stderr)
+        except Exception as e:           # pragma: no cover
+            print(f"[setup] backend=structured failed: {e}",
+                  file=sys.stderr)
+        backends = tuple(b for b in backends if b != "structured")
     for backend in backends:
         try:
             t0 = time.time()
@@ -441,15 +554,19 @@ def lane_setup(nx, backends=("host", "device")):
             print(f"[setup] backend={backend} failed: {e}",
                   file=sys.stderr)
     out["ndofs"] = ndofs
-    # headline = the device backend when it ran (a device regression must
-    # not hide behind the host number); the host figure stays alongside
-    if "device_dof_per_s" in out:
-        out["value"] = out["device_dof_per_s"]
-        out["winner"] = ("device" if out["device_dof_per_s"]
-                         >= out.get("host_dof_per_s", 0.0) else "host")
-    else:
-        out["value"] = out.get("host_dof_per_s", 0.0)
-        out["winner"] = "host"
+    # headline = the best device-resident backend when one ran (a device
+    # regression must not hide behind the host number); the host figure
+    # stays alongside
+    for key, name in (("structured_dof_per_s", "structured"),
+                      ("device_dof_per_s", "device"),
+                      ("host_dof_per_s", "host")):
+        if key in out:
+            out["value"] = out[key]
+            out["winner"] = max(
+                (k for k in ("structured", "device", "host")
+                 if f"{k}_dof_per_s" in out),
+                key=lambda k: out[f"{k}_dof_per_s"])
+            break
     out["unit"] = "dof_per_s"
     return out
 

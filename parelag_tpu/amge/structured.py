@@ -1883,3 +1883,33 @@ def h1_stiffness(lvl: StructuredLevel):
     nv = grid_counts(lvl.shape)[3]
     return assemble_global(h1_stiffness_blocks(lvl),
                            cell_verts(lvl.shape), nv)
+
+
+def h1_uniform_cell_block(shape, h=None, dtype=np.float64):
+    """(8, 8) per-cell block of M0 + G^T M1 G on the homogeneous fine
+    level — identical for every cell of the uniform grid, so the fine
+    operator assembles host-side from one broadcast block with zero
+    device->host traffic."""
+    if h is None:
+        h = tuple(1.0 / s for s in shape)
+    ref = fine_local_masses(h, np.dtype(dtype))
+    d0, _, _ = fine_derivative_values(shape, h, np.dtype(dtype))
+    ce0 = cell_edges(shape)[0]
+    slots = _cell_edge_endpoint_slots(shape)
+    G = np.zeros((12, 8), dtype=dtype)
+    G[np.arange(12)[:, None], slots] = d0[ce0]
+    A = np.asarray(ref[(0, 0)]) + G.T @ np.asarray(ref[(0, 1)]) @ G
+    return 0.5 * (A + A.T)
+
+
+def force_outputs(*objs):
+    """Force every device array hanging off the given level/out
+    dataclasses (honest wall-clock on a pipelining tunnel where
+    block_until_ready does not synchronize: fetch a scalar reduction
+    per array instead)."""
+    total = 0.0
+    for o in objs:
+        for v in vars(o).values():
+            if isinstance(v, jax.Array):
+                total += float(jnp.sum(jnp.abs(v)))
+    return total
