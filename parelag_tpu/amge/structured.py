@@ -1250,113 +1250,158 @@ class LevelOut:
     bub_sv: float = 0.0
 
 
-def coarsen_structured(lvl: StructuredLevel, jform_start=0,
-                       svd_tol=1e-9):
-    """One cartesian 2x2x2 coarsening step of the de Rham chain from
-    L2 down to `jform_start` (the generic engine's Coarsen() loop,
-    jform = 3..jform_start).  Returns (coarse_level, LevelOut)."""
-    shape = lvl.shape
-    assert all(s % 2 == 0 for s in shape), shape
-    cshape = tuple(s // 2 for s in shape)
-    dt = lvl.m03.dtype
-    nc, nf, ne, nv = grid_counts(cshape)
+def _level_ids(cshape, jform_start):
+    """Host id arrays of one coarsening step (the only host-computed
+    inputs of the jitted core)."""
+    ids = dict(cc=children_cells(cshape), cf=children_faces(cshape),
+               cfaces=d2_cols(cshape), ufaces=_subgrid_u_faces(cshape))
+    if jform_start <= 1:
+        ids.update(ce=children_edges(cshape),
+                   fedges=face_edges_m(cshape),
+                   cedges=cell_edges(cshape),
+                   fuedges=_face_u_edges(cshape),
+                   uedges=_subgrid_u_edges(cshape))
+    if jform_start <= 0:
+        ids.update(cv=children_verts(cshape), everts=d0_cols(cshape),
+                   fverts=face_verts(cshape), cverts=cell_verts(cshape),
+                   euverts=_edge_u_verts(cshape),
+                   fuverts=_face_u_verts(cshape),
+                   uverts=_subgrid_u_verts(cshape))
+    return ids
 
-    out = LevelOut(cshape=cshape)
-    out.cc = children_cells(cshape)
-    out.cf = children_faces(cshape)
-    out.cfaces = d2_cols(cshape)
-    out.ufaces = _subgrid_u_faces(cshape)
-    jcc, jcf, jcfaces, jufaces = (jnp.asarray(x, dtype=jnp.int32)
-                                  for x in (out.cc, out.cf, out.cfaces,
-                                            out.ufaces))
-    coarse = StructuredLevel(shape=cshape)
+
+def _coarsen_core(arrs, ids, cshape, jform_start, mode="direct"):
+    """Pure-jnp body of one coarsening step: ONE jitted XLA program per
+    level shape (the eager stage-by-stage dispatch compiles ~a hundred
+    kernels per level on the remote TPU; this compiles one, persisted
+    by the compilation cache).  `mode` is a static jit argument: the
+    stage kernels read the solve strategy at trace time, so it must be
+    part of the executable-cache key and set during (re)tracing."""
+    global _SOLVE_MODE
+    prev, _SOLVE_MODE = _SOLVE_MODE, mode
+    try:
+        return _coarsen_core_body(arrs, ids, cshape, jform_start)
+    finally:
+        _SOLVE_MODE = prev
+
+
+def _coarsen_core_body(arrs, ids, cshape, jform_start):
+    dt = arrs["m03"].dtype
+    nc, nf, ne, nv = grid_counts(cshape)
+    out, co = {}, {}
     svs, bubs = [], []
+    jcc, jcf, jcfaces, jufaces = (ids["cc"], ids["cf"], ids["cfaces"],
+                                  ids["ufaces"])
 
     # ---- L2 + Hdiv ---------------------------------------------------
-    pv3 = jnp.ones(lvl.m03.shape[0], dtype=dt)
-    out.ptr3, out.f3, coarse.m03, coarse.t3, sv3 = _trace_scalar_stage(
-        lvl.m03[jcc], pv3[jcc], lvl.t3[jcc])
-    out.ptr2, out.f2, coarse.m12, coarse.t2, sv2 = _trace_scalar_stage(
-        lvl.m12[jcf], lvl.pv2[jcf], lvl.t2[jcf])
-    out.pint2, out.d2c, coarse.m02, bub2 = _hdiv_interior_stage(
-        lvl.m02[jcc], lvl.m03[jcc], lvl.d2[jcc], out.ptr3,
-        out.ptr2[jcfaces], lvl.t2[jufaces], _cell_stage_patterns_hdiv())
-    coarse.d2 = out.d2c
-    coarse.pv2 = jnp.ones(sum(nf), dtype=dt)
+    pv3 = jnp.ones(arrs["m03"].shape[0], dtype=dt)
+    out["ptr3"], out["f3"], co["m03"], co["t3"], sv3 = \
+        _trace_scalar_stage(arrs["m03"][jcc], pv3[jcc], arrs["t3"][jcc])
+    out["ptr2"], out["f2"], co["m12"], co["t2"], sv2 = \
+        _trace_scalar_stage(arrs["m12"][jcf], arrs["pv2"][jcf],
+                            arrs["t2"][jcf])
+    out["pint2"], out["d2c"], co["m02"], bub2 = _hdiv_interior_stage(
+        arrs["m02"][jcc], arrs["m03"][jcc], arrs["d2"][jcc],
+        out["ptr3"], out["ptr2"][jcfaces], arrs["t2"][jufaces],
+        _cell_stage_patterns_hdiv())
+    co["d2"] = out["d2c"]
+    co["pv2"] = jnp.ones(sum(nf), dtype=dt)
     svs += [sv3, sv2]
     bubs += [bub2]
 
     # ---- Hcurl --------------------------------------------------------
     if jform_start <= 1:
-        out.ce = children_edges(cshape)
-        out.fedges = face_edges_m(cshape)
-        out.cedges = cell_edges(cshape)
-        out.fuedges = _face_u_edges(cshape)
-        out.uedges = _subgrid_u_edges(cshape)
         jce, jfedges, jcedges, jfuedges, juedges = (
-            jnp.asarray(x, dtype=jnp.int32)
-            for x in (out.ce, out.fedges, out.cedges, out.fuedges,
-                      out.uedges))
-        out.ptr1, out.f1, coarse.m21, coarse.t1, sv1 = \
-            _trace_scalar_stage(lvl.m21[jce], lvl.pv1[jce],
-                                lvl.t1[jce])
-        out.pf1, out.d1c, coarse.m11, bub1f = _hcurl_facet_stage(
-            lvl.m11[jcf], lvl.m12[jcf], lvl.d1[jcf], out.ptr2,
-            out.ptr1[jfedges], lvl.t1[jfuedges],
+            ids[k] for k in ("ce", "fedges", "cedges", "fuedges",
+                             "uedges"))
+        out["ptr1"], out["f1"], co["m21"], co["t1"], sv1 = \
+            _trace_scalar_stage(arrs["m21"][jce], arrs["pv1"][jce],
+                                arrs["t1"][jce])
+        out["pf1"], out["d1c"], co["m11"], bub1f = _hcurl_facet_stage(
+            arrs["m11"][jcf], arrs["m12"][jcf], arrs["d1"][jcf],
+            out["ptr2"], out["ptr1"][jfedges], arrs["t1"][jfuedges],
             _face_child_edge_slots())
-        out.pc1, coarse.m01, bub1c = _hcurl_interior_stage(
-            lvl.m01[jcc], lvl.m02[jcc], lvl.m03[jcc],
-            lvl.d1[jufaces], lvl.d2[jcc],
-            out.ptr1[jcedges], out.pf1[jcfaces], out.pint2,
-            out.ptr2[jcfaces], out.d1c[jcfaces], lvl.t1[juedges],
+        out["pc1"], co["m01"], bub1c = _hcurl_interior_stage(
+            arrs["m01"][jcc], arrs["m02"][jcc], arrs["m03"][jcc],
+            arrs["d1"][jufaces], arrs["d2"][jcc],
+            out["ptr1"][jcedges], out["pf1"][jcfaces], out["pint2"],
+            out["ptr2"][jcfaces], out["d1c"][jcfaces],
+            arrs["t1"][juedges],
             _cell_child_edge_slots(), _cell_stage_patterns_hdiv(),
             _cell_face_edge_slots(), _cell_facet_edge_positions())
-        coarse.d1 = out.d1c
-        coarse.pv1 = jnp.ones(sum(ne), dtype=dt)
+        co["d1"] = out["d1c"]
+        co["pv1"] = jnp.ones(sum(ne), dtype=dt)
         svs += [sv1]
         bubs += [bub1f, bub1c]
 
     # ---- H1 -----------------------------------------------------------
     if jform_start <= 0:
-        out.cv = children_verts(cshape)
-        out.everts = d0_cols(cshape)
-        out.fverts = face_verts(cshape)
-        out.cverts = cell_verts(cshape)
-        out.euverts = _edge_u_verts(cshape)
-        out.fuverts = _face_u_verts(cshape)
-        out.uverts = _subgrid_u_verts(cshape)
-        jce = jnp.asarray(out.ce, dtype=jnp.int32)
-        jfedges = jnp.asarray(out.fedges, dtype=jnp.int32)
-        jcedges = jnp.asarray(out.cedges, dtype=jnp.int32)
         jeuverts, jfuverts, juverts = (
-            jnp.asarray(x, dtype=jnp.int32)
-            for x in (out.euverts, out.fuverts, out.uverts))
-        jfuedges = jnp.asarray(out.fuedges, dtype=jnp.int32)
-        juedges = jnp.asarray(out.uedges, dtype=jnp.int32)
-        out.pe0, out.d0c, coarse.m20, bub0e = _h1_edge_stage(
-            lvl.m20[jce], lvl.m21[jce], lvl.d0[jce], out.ptr1,
-            lvl.t0[jeuverts])
-        out.pf0, coarse.m10, bub0f = _h1_facet_stage(
-            lvl.m10[jcf], lvl.m11[jcf], lvl.m12[jcf],
-            lvl.d0[jfuedges], lvl.d1[jcf], out.ptr1[jfedges],
-            out.pe0[jfedges], out.d0c[jfedges], out.pf1,
-            lvl.t0[jfuverts], _face_child_vert_slots(),
-            _face_child_edge_slots(), _face_edge_vert_slots())
-        out.pc0, coarse.m00 = _h1_interior_stage(
-            lvl.m00[jcc], lvl.m01[jcc], lvl.m02[jcc],
-            lvl.d0[juedges], lvl.d1[jufaces],
-            out.ptr1[jcedges], out.pe0[jcedges], out.d0c[jcedges],
-            out.pf1[jcfaces], out.pc1, out.pf0[jcfaces],
+            ids[k] for k in ("euverts", "fuverts", "uverts"))
+        out["pe0"], out["d0c"], co["m20"], bub0e = _h1_edge_stage(
+            arrs["m20"][jce], arrs["m21"][jce], arrs["d0"][jce],
+            out["ptr1"], arrs["t0"][jeuverts])
+        out["pf0"], co["m10"], bub0f = _h1_facet_stage(
+            arrs["m10"][jcf], arrs["m11"][jcf], arrs["m12"][jcf],
+            arrs["d0"][jfuedges], arrs["d1"][jcf],
+            out["ptr1"][jfedges], out["pe0"][jfedges],
+            out["d0c"][jfedges], out["pf1"], arrs["t0"][jfuverts],
+            _face_child_vert_slots(), _face_child_edge_slots(),
+            _face_edge_vert_slots())
+        out["pc0"], co["m00"] = _h1_interior_stage(
+            arrs["m00"][jcc], arrs["m01"][jcc], arrs["m02"][jcc],
+            arrs["d0"][juedges], arrs["d1"][jufaces],
+            out["ptr1"][jcedges], out["pe0"][jcedges],
+            out["d0c"][jcedges], out["pf1"][jcfaces], out["pc1"],
+            out["pf0"][jcfaces],
             _cell_child_vert_slots(), _cell_child_edge_slots(),
             _cell_stage_patterns_hdiv(), _cell_edge_vert_slots(),
             _cell_face_edge_slots(), _cell_facet_edge_positions(),
             _cell_edge_vert_positions(), _cell_facet_vert_positions())
-        coarse.d0 = out.d0c
-        coarse.t0 = lvl.t0[jnp.asarray(out.cv, dtype=jnp.int32)]
+        co["d0"] = out["d0c"]
+        co["t0"] = arrs["t0"][ids["cv"]]
         bubs += [bub0e, bub0f]
 
-    out.max_rel_sv = float(jnp.max(jnp.stack(svs)))
-    out.bub_sv = float(jnp.max(jnp.stack(bubs))) if bubs else 0.0
+    maxsv = jnp.max(jnp.stack(svs))
+    maxbub = (jnp.max(jnp.stack(bubs)) if bubs
+              else jnp.zeros((), dtype=dt))
+    return co, out, maxsv, maxbub
+
+
+_CORE_JIT = None
+
+
+def coarsen_structured(lvl: StructuredLevel, jform_start=0,
+                       svd_tol=1e-9, jit=True):
+    """One cartesian 2x2x2 coarsening step of the de Rham chain from
+    L2 down to `jform_start` (the generic engine's Coarsen() loop,
+    jform = 3..jform_start).  Returns (coarse_level, LevelOut).  The
+    device work runs as one jitted XLA program per level shape."""
+    global _CORE_JIT
+    shape = lvl.shape
+    assert all(s % 2 == 0 for s in shape), shape
+    cshape = tuple(s // 2 for s in shape)
+    ids_np = _level_ids(cshape, jform_start)
+    arrs = {k: v for k, v in vars(lvl).items()
+            if k != "shape" and v is not None}
+    ids = {k: jnp.asarray(v, dtype=jnp.int32) for k, v in ids_np.items()}
+    if jit:
+        if _CORE_JIT is None:
+            _CORE_JIT = jax.jit(
+                _coarsen_core,
+                static_argnames=("cshape", "jform_start", "mode"))
+        co, outd, maxsv, maxbub = _CORE_JIT(
+            arrs, ids, cshape=cshape, jform_start=jform_start,
+            mode=_SOLVE_MODE)
+    else:
+        co, outd, maxsv, maxbub = _coarsen_core(
+            arrs, ids, cshape, jform_start, mode=_SOLVE_MODE)
+
+    coarse = StructuredLevel(shape=cshape, **co)
+    out = LevelOut(cshape=cshape, **outd, **ids_np)
+    out.max_rel_sv = float(maxsv)
+    out.bub_sv = float(maxbub)
+    dt = lvl.m03.dtype
     eff = max(svd_tol, 50.0 * float(jnp.finfo(dt).eps))
     # in ns mode the extensions carry the f32 refinement floor, so the
     # bubble residual can't be distinguished below ~1e-5 relative
@@ -1902,14 +1947,22 @@ def h1_uniform_cell_block(shape, h=None, dtype=np.float64):
     return 0.5 * (A + A.T)
 
 
+_FORCE_JIT = None
+
+
 def force_outputs(*objs):
     """Force every device array hanging off the given level/out
     dataclasses (honest wall-clock on a pipelining tunnel where
-    block_until_ready does not synchronize: fetch a scalar reduction
-    per array instead)."""
-    total = 0.0
-    for o in objs:
-        for v in vars(o).values():
-            if isinstance(v, jax.Array):
-                total += float(jnp.sum(jnp.abs(v)))
-    return total
+    block_until_ready does not synchronize: fetch one scalar reduction
+    over everything instead — a single jitted kernel, not one dispatch
+    per array)."""
+    global _FORCE_JIT
+    arrs = [v for o in objs for v in vars(o).values()
+            if isinstance(v, jax.Array)]
+    if not arrs:
+        return 0.0
+    if _FORCE_JIT is None:
+        _FORCE_JIT = jax.jit(
+            lambda xs: sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                           for x in xs))
+    return float(_FORCE_JIT(arrs))
