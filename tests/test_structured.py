@@ -178,6 +178,26 @@ def test_ns_mode_matches_direct():
         assert _rel(b, a) < 5e-5, (f, _rel(b, a))
 
 
+def test_chunked_matches_whole_level():
+    """The HBM-bounded chunked stage driver (forced via chunk=) emits
+    bit-for-bit the same level as the whole-level program: same stage
+    kernels, same f32-precision trace, only the batch tiling differs."""
+    lvl0 = st.fine_level((8, 8, 8))
+    cw, outw = st.coarsen_structured(lvl0, jform_start=0, chunk=0)
+    # chunk=7 deliberately misaligns with every entity count to cover
+    # the repeated-row padding of the last chunk
+    cch, outc = st.coarsen_structured(lvl0, jform_start=0, chunk=7)
+    for f in ("ptr3", "f3", "ptr2", "f2", "pint2", "d2c", "ptr1", "f1",
+              "pf1", "pc1", "d1c", "pe0", "pf0", "pc0", "d0c"):
+        a, b = np.asarray(getattr(outw, f)), np.asarray(getattr(outc, f))
+        assert _rel(b, a) < 1e-13, (f, _rel(b, a))
+    for f in ("m00", "m01", "m02", "m03", "m10", "m11", "m12", "m20",
+              "m21", "d0", "d1", "d2", "t0", "t1", "t2", "t3"):
+        a, b = np.asarray(getattr(cw, f)), np.asarray(getattr(cch, f))
+        assert _rel(b, a) < 1e-13, (f, _rel(b, a))
+    assert outc.bub_sv < 1e-9 and outc.max_rel_sv < 1e-9
+
+
 def test_subagglomerate_heterogeneity_fails_loudly():
     """Fine-scale coefficient variation genuinely enlarges the coarse
     Hcurl/Hdiv spaces (the generic engine keeps bubble modes), so the

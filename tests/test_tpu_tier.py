@@ -1,0 +1,263 @@
+"""Real-TPU test tier (VERDICT r3 #4): the chip-facing surfaces that
+round 3 shipped untested — the structured setup engine (which silently
+failed on hardware at every flagship size while passing the CPU-x64
+suite), the Pallas DIA kernel, the Newton-Schulz batched device solves,
+and the device eigh — each exercised ON the real accelerator.
+
+The suite's conftest forces the CPU platform in-process, so every test
+here runs jax in a SUBPROCESS with a clean environment (same pattern as
+test_tpu_device.py); all skip when no accelerator is reachable.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    return env
+
+
+def _run(script, timeout=1500):
+    return subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True,
+                          env=_clean_env(), timeout=timeout)
+
+
+def _check(r, *tags):
+    assert r.returncode == 0, \
+        f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
+    for tag in tags:
+        assert tag in r.stdout, r.stdout
+
+
+_HAVE = None
+
+
+def _have_tpu():
+    global _HAVE
+    if _HAVE is None:
+        try:
+            r = _run("import jax; print(jax.default_backend())",
+                     timeout=240)
+            _HAVE = r.returncode == 0 and r.stdout.strip() not in (
+                "", "cpu")
+        except Exception:
+            _HAVE = False
+    return _HAVE
+
+
+needs_tpu = pytest.mark.skipif("not _have_tpu()",
+                               reason="no accelerator backend")
+
+
+_PREAMBLE = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+assert jax.default_backend() != "cpu", jax.devices()
+from parelag_tpu.utils.compile_cache import enable_persistent_compile_cache
+enable_persistent_compile_cache()
+"""
+
+
+# ------------------------------------------------------------------ #
+# 1. precision canary: the round-3 root cause
+# ------------------------------------------------------------------ #
+
+@needs_tpu
+def test_matmul_precision_canary():
+    """The structured engine traces under matmul precision 'float32'
+    because this chip's DEFAULT f32 matmul is bf16-pass (~1e-3 rel err,
+    the round-3 guard-trip root cause).  Assert the engine's contract:
+    f32-precision matmuls reach ~1e-7 on hardware."""
+    r = _run(_PREAMBLE + r"""
+rng = np.random.RandomState(0)
+A = rng.randn(64, 33, 33).astype(np.float32)
+Aj = jnp.asarray(A)
+ref = np.einsum('nij,njk->nik', A.astype(np.float64),
+                A.astype(np.float64))
+with jax.default_matmul_precision("float32"):
+    C = np.asarray(jax.jit(lambda a: a @ a)(Aj), dtype=np.float64)
+err = np.abs(C - ref).max() / np.abs(ref).max()
+assert err < 1e-6, err
+print("precision ok", err)
+""")
+    _check(r, "precision ok")
+
+
+# ------------------------------------------------------------------ #
+# 2-5. structured engine on hardware
+# ------------------------------------------------------------------ #
+
+@needs_tpu
+def test_structured_ns_chain_32():
+    """The exact round-3 failure case: the full-de-Rham structured
+    chain at 32^3 in ns mode must pass its static-structure guards on
+    the chip (it guard-tripped at 2.2e-3 before the precision fix)."""
+    r = _run(_PREAMBLE + r"""
+from parelag_tpu.amge import structured as stc
+lvl0 = stc.fine_level((32, 32, 32), dtype=np.float32)
+with stc.solve_mode("ns"):
+    levels, outs = stc.coarsen_chain(lvl0, 3, jform_start=0)
+stc.force_outputs(*levels, *outs)
+for o in outs:
+    assert o.bub_sv < 2e-4, o.bub_sv
+    assert o.max_rel_sv < 1e-6, o.max_rel_sv
+    assert o.ns_res < 1e-4, o.ns_res
+print("chain32 ok", [o.bub_sv for o in outs])
+""")
+    _check(r, "chain32 ok")
+
+
+@needs_tpu
+def test_structured_chunked_parity_on_device():
+    """The HBM-bounded chunked driver matches the whole-level program
+    on the chip (ns mode, f32): same kernels, different tiling."""
+    r = _run(_PREAMBLE + r"""
+from parelag_tpu.amge import structured as stc
+lvl0 = stc.fine_level((16, 16, 16), dtype=np.float32)
+with stc.solve_mode("ns"):
+    cw, outw = stc.coarsen_structured(lvl0, jform_start=0, chunk=0)
+    cc, outc = stc.coarsen_structured(lvl0, jform_start=0, chunk=100)
+for f in ("ptr3", "ptr2", "pint2", "d2c", "pf1", "pc1", "d1c",
+          "pe0", "pf0", "pc0", "d0c"):
+    a = np.asarray(getattr(outw, f), dtype=np.float64)
+    b = np.asarray(getattr(outc, f), dtype=np.float64)
+    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+    assert rel < 5e-5, (f, rel)
+print("chunked ok")
+""")
+    _check(r, "chunked ok")
+
+
+@needs_tpu
+def test_structured_invariants_on_device():
+    """Galerkin (M_c = P^T M_f P) and commutation (D_f P_j = P_{j+1}
+    D_c) on the chip-built chain — the reference's CheckInvariants
+    surface (DeRhamSequence.cpp:694-970) at f32 tolerance."""
+    r = _run(_PREAMBLE + r"""
+import scipy.sparse as sp
+from parelag_tpu.amge import structured as stc
+lvl0 = stc.fine_level((16, 16, 16), dtype=np.float32)
+with stc.solve_mode("ns"):
+    levels, outs = stc.coarsen_chain(lvl0, 2, jform_start=0)
+lvl, out, coarse = levels[0], outs[0], levels[1]
+for j in range(4):
+    P = stc.materialize_P(out, lvl.shape, j).astype(np.float64)
+    Mc = (P.T @ stc.global_mass(lvl, j).astype(np.float64) @ P).tocsr()
+    Mg = stc.global_mass(coarse, j).astype(np.float64)
+    d = abs(Mc - Mg).max() / max(abs(Mg).max(), 1e-30)
+    assert d < 5e-5, (j, d)
+for j in range(3):
+    Pj = stc.materialize_P(out, lvl.shape, j).astype(np.float64)
+    Pj1 = stc.materialize_P(out, lvl.shape, j + 1).astype(np.float64)
+    lhs = (stc.global_derivative(lvl, j).astype(np.float64) @ Pj)
+    rhs = (Pj1 @ stc.global_derivative(coarse, j).astype(np.float64))
+    d = abs(lhs - rhs).max() / max(abs(lhs).max(), 1e-30)
+    assert d < 5e-5, (j, d)
+print("invariants ok")
+""")
+    _check(r, "invariants ok")
+
+
+@needs_tpu
+def test_structured_darcy_on_device():
+    """The Hdiv-L2 production path (coarsen_darcy, the SPE10 chain) in
+    ns mode on the chip: guards pass, coarse div rows stay the exact
+    6-col stencil (zero-snap calibrated for ns noise, advisor r3)."""
+    r = _run(_PREAMBLE + r"""
+from parelag_tpu.amge import structured as stc
+lvl0 = stc.fine_level((16, 16, 16), dtype=np.float32)
+with stc.solve_mode("ns"):
+    coarse, out = stc.coarsen_darcy(lvl0)
+d2c = np.asarray(out.d2c, dtype=np.float64)
+assert np.isfinite(d2c).all()
+# every coarse cell keeps the +-1/vol 6-face stencil: no entry is
+# ns-noise-small but nonzero
+mags = np.abs(d2c) / np.abs(d2c).max(axis=1, keepdims=True)
+assert ((mags == 0) | (mags > 1e-3)).all()
+assert out.ns_res < 1e-4, out.ns_res
+print("darcy ok", out.bub_sv, out.ns_res)
+""")
+    _check(r, "darcy ok")
+
+
+# ------------------------------------------------------------------ #
+# 6. Pallas DIA kernel on hardware
+# ------------------------------------------------------------------ #
+
+@needs_tpu
+def test_pallas_dia_spmv_on_device():
+    r = _run(_PREAMBLE + r"""
+import scipy.sparse as sp
+from parelag_tpu.ops.device_sparse import to_dia, DiaMatrix
+n = 17 ** 3
+main = 6.0 + np.arange(n) % 3
+A = sp.diags([main, -1.0 * np.ones(n - 1), -1.0 * np.ones(n - 1),
+              -0.5 * np.ones(n - 17), -0.5 * np.ones(n - 17)],
+             [0, 1, -1, 17, -17]).tocsr().astype(np.float32)
+Ad = to_dia(A, dtype=np.float32)
+assert isinstance(Ad, DiaMatrix), type(Ad)
+x = np.random.RandomState(0).randn(n).astype(np.float32)
+y = np.asarray(jax.jit(lambda v: Ad @ v)(jnp.asarray(x)))
+ref = A @ x
+assert np.abs(y - ref).max() < 5e-5 * np.abs(ref).max()
+print("dia ok")
+""")
+    _check(r, "dia ok")
+
+
+# ------------------------------------------------------------------ #
+# 7. Newton-Schulz batched device solve on hardware
+# ------------------------------------------------------------------ #
+
+@needs_tpu
+def test_ns_batched_solve_on_device():
+    r = _run(_PREAMBLE + r"""
+from parelag_tpu.ops.batched import _device_solve_refined
+rng = np.random.RandomState(0)
+n = 24
+Q, _ = np.linalg.qr(rng.randn(n, n))
+A = np.stack([(Q * np.logspace(0, -6, n)) @ Q.T for _ in range(16)])
+B = rng.randn(16, n, 4)
+X = _device_solve_refined(A, B)
+r_max = np.abs(np.einsum('nij,njk->nik', A, X) - B).max()
+assert r_max < 1e-8, r_max
+print("ns ok", r_max)
+""")
+    _check(r, "ns ok")
+
+
+# ------------------------------------------------------------------ #
+# 8. device eigh (spectral targets) on hardware
+# ------------------------------------------------------------------ #
+
+@needs_tpu
+def test_device_eigh_on_device():
+    r = _run(_PREAMBLE + r"""
+from parelag_tpu.amge.spectral import _device_eigh_batch
+rng = np.random.RandomState(1)
+A = rng.randn(8, 20, 20)
+A = (A + A.transpose(0, 2, 1)) / 2
+w_d, V_d = (np.asarray(x, dtype=np.float64)
+            for x in _device_eigh_batch(jnp.asarray(
+                A, dtype=jnp.float32)))
+w_h = np.linalg.eigvalsh(A)
+assert np.abs(np.sort(w_d, axis=1) - w_h).max() < 1e-4 * np.abs(
+    w_h).max()
+# residual check covers eigenvectors without sign/order conventions
+res = np.einsum('nij,njk->nik', A, V_d) - w_d[:, None, :] * V_d
+assert np.abs(res).max() < 1e-3 * np.abs(w_h).max()
+print("eigh ok")
+""")
+    _check(r, "eigh ok")
