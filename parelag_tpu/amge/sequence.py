@@ -222,8 +222,94 @@ class DeRhamSequence:
                            else np.zeros((ed.size, 0)))
             self.set_local_targets(codim, jform, out)
 
-    def compute_mass_operator(self, jform) -> sp.csr_matrix:
-        return self.M[(0, jform)].assemble_global(self.dof[jform].ndofs)
+    def compute_mass_operator(self, jform, elem_scaling=None) \
+            -> sp.csr_matrix:
+        """Assembled mass of `jform`; elem_scaling (n_elements,) scales
+        each element's local block before assembly (the reference's
+        ComputeMassOperator(jform, elemMatrixScaling) overload,
+        DeRhamSequence.cpp:1326-1371)."""
+        lm = self.M[(0, jform)]
+        if elem_scaling is None:
+            return lm.assemble_global(self.dof[jform].ndofs)
+        dof_cat, dof_off, blk_cat, blk_off = lm.concatenated()
+        s = np.asarray(elem_scaling, dtype=np.float64)
+        assert s.size == dof_off.size - 1, \
+            (s.size, "elemMatrixScaling has the wrong size")
+        scaled = blk_cat * np.repeat(s, np.diff(blk_off))
+        return LocalMass.from_cat(dof_cat, dof_off, scaled, blk_off) \
+            .assemble_global(self.dof[jform].ndofs)
+
+    def compute_lumped_mass_operator(self, jform, elem_scaling=None) \
+            -> sp.csr_matrix:
+        """Diagonal lumped mass (ComputeLumpedMassOperator,
+        DeRhamSequence.cpp:1285-1323 and the SpectralLumpedIntegrator
+        recipe, bilinIntegrators.hpp:211-236): per element,
+        S = D^{-1/2} M_loc D^{-1/2} with D = diag(M_loc), and the
+        lumped diagonal accumulates lambda_min(S) * diag(M_loc) — a
+        spectrally-safe lumping (x^T L x <= x^T M x elementwise).  The
+        top form's mass is already diagonal and returned as-is."""
+        n = self.dof[jform].ndofs
+        if jform == self.nforms - 1:
+            return self.compute_mass_operator(jform, elem_scaling)
+        from parelag_tpu.ops import ragged as Rg
+        dof_cat, dof_off, blk_cat, blk_off = \
+            self.M[(0, jform)].concatenated()
+        sizes = np.diff(dof_off)
+        s = (np.ones(sizes.size) if elem_scaling is None
+             else np.asarray(elem_scaling, dtype=np.float64))
+        out = np.zeros(n)
+        ar = np.arange
+        for k, ii in Rg.group_by(np.asarray(sizes, np.int64)).items():
+            k = int(k)
+            B = blk_cat[blk_off[ii][:, None]
+                        + ar(k * k)].reshape(-1, k, k).astype(np.float64)
+            d = np.einsum("bii->bi", B)
+            S = B / np.sqrt(d[:, :, None] * d[:, None, :])
+            lmin = np.linalg.eigvalsh(S)[:, 0]
+            dofs = dof_cat[dof_off[ii][:, None] + ar(k)]
+            np.add.at(out, dofs.ravel(),
+                      (s[ii, None] * lmin[:, None] * d).ravel())
+        return sp.diags(out).tocsr()
+
+    def compute_space_interpolation_error(self, jform, fine_vector):
+        """Project finest-level vector(s) down to THIS level through
+        the cochain projectors, interpolate back up through P, and
+        return the finest-level relative errors
+        (ComputeSpaceInterpolationError, DeRhamSequence.cpp:972-1062):
+        dict with 'l2_rel' (k,) = ||v - P..Pi..v||_M / ||v||_M and,
+        below the top form, 'energy_rel' (k,) with the ||D(.)||_W term
+        folded in exactly as the reference prints."""
+        seq = self
+        while seq.finer is not None:
+            seq = seq.finer
+        chain = []
+        s = seq
+        while s is not self:
+            chain.append(s)
+            s = s.coarser
+            assert s is not None, \
+                "receiver is not a coarsening of the finest sequence"
+        V = np.asarray(fine_vector, dtype=np.float64)
+        V = V.reshape(V.shape[0], -1)
+        X = V
+        for sq in chain:
+            X = sq.Pi[jform].project(X)
+        for sq in reversed(chain):
+            X = sq.P[jform] @ X
+        diff = X - V
+        Mg = seq.compute_mass_operator(jform)
+        l2d = np.einsum("ik,ik->k", diff, Mg @ diff)
+        l2v = np.einsum("ik,ik->k", V, Mg @ V)
+        out = {"l2_rel": np.sqrt(l2d / np.where(l2v > 0, l2v, 1.0))}
+        if jform < self.nforms - 1:
+            Wg = seq.compute_mass_operator(jform + 1)
+            dd = seq.D[jform] @ diff
+            dv = seq.D[jform] @ V
+            ed = np.einsum("ik,ik->k", dd, Wg @ dd)
+            ev = np.einsum("ik,ik->k", dv, Wg @ dv)
+            ev = np.where(np.abs(l2v + ev) < 1e-14, 1.0, ev)
+            out["energy_rel"] = np.sqrt((l2d + ed) / (l2v + ev))
+        return out
 
     def compute_pv_traces(self, codim) -> np.ndarray:
         """Algebraic (coarse-level) version: +-orientation at the PV dof of

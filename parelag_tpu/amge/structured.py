@@ -1487,6 +1487,7 @@ def _run_stage_chunked(name, fn, spec, n, chunk, mode):
     outputs that are sliced away; max-reductions are unaffected because
     entity 0's true contribution is already present).  Per-entity
     outputs concatenate to length n; scalar outputs max-reduce."""
+    chunk = max(1, min(int(chunk), int(n)))   # never pad past n
     spec = [("g", e[1], np.arange(n, dtype=np.int64)) if e[0] == "d"
             else e for e in spec]
     kinds = tuple(e[0] for e in spec)

@@ -67,7 +67,8 @@ def compose_partitions(partitions):
 def distributed_coarsen_multilevel(mesh, rank_of_elem, partitions, n_ranks,
                                    upscaling_order=0, svd_tol=1e-9,
                                    jform_start=0, fe_hook=None,
-                                   targets_fn=None, seq_factory=None):
+                                   targets_fn=None, seq_factory=None,
+                                   ranks=None):
     """Recursive distributed Coarsen (DeRhamSequence.cpp:572-692 under MPI).
 
     partitions[0] maps fine elements -> level-1 AEs; partitions[l] maps
@@ -110,6 +111,11 @@ def distributed_coarsen_multilevel(mesh, rank_of_elem, partitions, n_ranks,
         ae_rank_g.append(r)
 
     patches = build_rank_patches(mesh, rank_of_elem, comp[-1], n_ranks)
+    if ranks is not None:
+        # true multi-process deployment: THIS process coarsens only its
+        # own rank's patch(es); cross-rank data rides the numbering /
+        # published-P exchanges (tests/_mp_setup_worker.py)
+        patches = [p for p in patches if p.rank in set(ranks)]
     global_ents = derive_entities(mesh)
 
     for p in patches:
@@ -194,34 +200,42 @@ def entity_owner_ranks_level(patch, level, codim):
     return owner
 
 
-def global_numbering_level(patches, global_ents, form, level, dim=3):
-    """Rank-independent global numbering of the level-`level` coarse dofs of
-    `form` (generalizes dist_coarsen.global_coarse_numbering to any depth):
-    stages ordered codim-descending like the serial DofHandlerALG, entities
-    within a stage by fine-member representative, dofs within an entity by
-    interior index. Owned entities register counts; fringe artifacts are
-    rejected by the full member signature."""
+def patch_numbering_meta(patch, global_ents, form, level, dim=3):
+    """Per-codim numbering metadata of ONE rank's patch at `level` — the
+    exchangeable payload of the multi-process numbering protocol (the
+    reference ships the same information through SharingMap::SetUp /
+    SharedEntityCommunication; here it rides one allgather).  Per codim:
+    (reps, member_count, member_sum, owner_rank, dof_count) int64 arrays
+    over the patch's agglomerated entities."""
+    cdof = patch.seqs[level].dof[form]
     max_codim = dim - form
-    stage_entities = {}
-    owners = {}
-    sig_of = {}
-    per_patch_meta = []
-    for p in patches:
-        cdof = p.seqs[level].dof[form]
-        meta = {}
-        for codim in range(max_codim, -1, -1):
-            reps, mcnt, msum = entity_sigs_level(
-                p, global_ents, level, codim, dim)
-            orank = entity_owner_ranks_level(p, level, codim)
-            counts = cdof.n_ranget[codim] + cdof.n_null[codim]
-            for i in np.nonzero(orank == p.rank)[0]:
+    meta = {}
+    for codim in range(max_codim, -1, -1):
+        reps, mcnt, msum = entity_sigs_level(
+            patch, global_ents, level, codim, dim)
+        orank = entity_owner_ranks_level(patch, level, codim)
+        counts = np.asarray(cdof.n_ranget[codim]
+                            + cdof.n_null[codim], dtype=np.int64)
+        meta[codim] = (np.asarray(reps, np.int64),
+                       np.asarray(mcnt, np.int64),
+                       np.asarray(msum, np.int64),
+                       np.asarray(orank, np.int64), counts)
+    return meta
+
+
+def numbering_offsets_from_meta(metas_by_rank, max_codim):
+    """Reduce exchanged per-rank metadata into the global dof layout:
+    (ndofs, offset_of[(codim, rep)], sig_of[(codim, rep)], owner_per_dof).
+    Deterministic regardless of which process contributed which rank."""
+    stage_entities, owners, sig_of = {}, {}, {}
+    for rank, meta in metas_by_rank:
+        for codim, (reps, mcnt, msum, orank, counts) in meta.items():
+            for i in np.nonzero(orank == rank)[0]:
                 stage_entities.setdefault(codim, {})[
                     int(reps[i])] = int(counts[i])
-                owners[(codim, int(reps[i]))] = p.rank
-                sig_of[(codim, int(reps[i]))] = (int(mcnt[i]), int(msum[i]))
-            meta[codim] = (reps, mcnt, msum)
-        per_patch_meta.append(meta)
-
+                owners[(codim, int(reps[i]))] = int(rank)
+                sig_of[(codim, int(reps[i]))] = (int(mcnt[i]),
+                                                 int(msum[i]))
     offset_of = {}
     owner_list = []
     pos = 0
@@ -231,24 +245,48 @@ def global_numbering_level(patches, global_ents, form, level, dim=3):
             owner_list.extend([owners[(codim, rep)]]
                               * stage_entities[codim][rep])
             pos += stage_entities[codim][rep]
+    return pos, offset_of, sig_of, np.asarray(owner_list, np.int64)
 
-    loc2glob = []
-    for ip, p in enumerate(patches):
-        cdof = p.seqs[level].dof[form]
-        out = np.full(cdof.ndofs, -1, dtype=np.int64)
-        for codim in range(max_codim, -1, -1):
-            reps, mcnt, msum = per_patch_meta[ip][codim]
-            o = cdof.interior_offsets[codim]
-            for i, rep in enumerate(reps):
-                key = (codim, int(rep))
-                base = offset_of.get(key)
-                if base is None or sig_of[key] != (int(mcnt[i]),
-                                                   int(msum[i])):
-                    continue
-                out[o[i]:o[i + 1]] = base + np.arange(o[i + 1] - o[i])
-        loc2glob.append(out)
-    return CoarseNumbering(pos, loc2glob,
-                           np.asarray(owner_list, dtype=np.int64))
+
+def patch_loc2glob_from_meta(patch, meta, offset_of, sig_of, form, level,
+                             dim=3):
+    """Local coarse dof -> global id for one patch, given the reduced
+    global layout (fringe artifacts rejected by the member signature)."""
+    cdof = patch.seqs[level].dof[form]
+    max_codim = dim - form
+    out = np.full(cdof.ndofs, -1, dtype=np.int64)
+    for codim in range(max_codim, -1, -1):
+        reps, mcnt, msum, _, _ = meta[codim]
+        o = cdof.interior_offsets[codim]
+        for i, rep in enumerate(reps):
+            key = (codim, int(rep))
+            base = offset_of.get(key)
+            if base is None or sig_of[key] != (int(mcnt[i]),
+                                               int(msum[i])):
+                continue
+            out[o[i]:o[i + 1]] = base + np.arange(o[i + 1] - o[i])
+    return out
+
+
+def global_numbering_level(patches, global_ents, form, level, dim=3):
+    """Rank-independent global numbering of the level-`level` coarse dofs of
+    `form` (generalizes dist_coarsen.global_coarse_numbering to any depth):
+    stages ordered codim-descending like the serial DofHandlerALG, entities
+    within a stage by fine-member representative, dofs within an entity by
+    interior index. Owned entities register counts; fringe artifacts are
+    rejected by the full member signature.  Composed from the
+    multi-process protocol pieces above (a true multi-process run
+    exchanges patch_numbering_meta and reduces identically —
+    tests/_mp_setup_worker.py)."""
+    max_codim = dim - form
+    metas = [(p.rank, patch_numbering_meta(p, global_ents, form, level,
+                                           dim)) for p in patches]
+    pos, offset_of, sig_of, owner = numbering_offsets_from_meta(
+        metas, max_codim)
+    loc2glob = {p.rank: patch_loc2glob_from_meta(
+        p, meta, offset_of, sig_of, form, level, dim)
+        for p, (_, meta) in zip(patches, metas)}
+    return CoarseNumbering(pos, loc2glob, owner)
 
 
 # ---------------------------------------------------------------------- #

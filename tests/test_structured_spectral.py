@@ -1,0 +1,142 @@
+"""Oracle for the structured spectral Hdiv-L2 coarsening
+(amge/structured_spectral.py) against the generic engine: the same
+cartesian partition, the same per-cell heterogeneous coefficient, the
+same spectral parameters — the coarse spaces must have identical
+per-entity dimensions and reproduce the generic pipeline's Darcy
+upscaling error (the convention-free parity standard; entity
+numberings differ between the engines).
+
+Reference flow being mirrored: MultigridTestSPE10.cpp:169-187 with
+ComputeLocalHdivL2SpectralTargetsFromAEntity
+(LocalSpectralTargets.cpp:46-90).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from parelag_tpu.amge import structured as st
+from parelag_tpu.amge import structured_spectral as sps
+
+
+def _coeff_field(shape, seed=0, sigma=2.0):
+    rng = np.random.default_rng(seed)
+    return 10.0 ** rng.uniform(-sigma, sigma, size=int(np.prod(shape)))
+
+
+def _darcy_upscale_err(M2, W, D2, P2, P3):
+    """u upscaling error of the mixed Darcy problem (unit source,
+    natural BC) between the fine solve and the P-interpolated coarse
+    solve — the quantity the reference's SPE10 CTest lane prints."""
+    B = (W @ D2).tocsr()
+    nu, npl = M2.shape[0], W.shape[0]
+    rhs = np.concatenate([np.zeros(nu), W.diagonal()])
+    A = sp.bmat([[M2, B.T], [B, None]], format="csc")
+    x = spla.spsolve(A, rhs)
+    uf = x[:nu]
+
+    M2c = (P2.T @ M2 @ P2).tocsr()
+    Bc = (P3.T @ B @ P2).tocsr()
+    rhs_c = np.concatenate([np.zeros(P2.shape[1]),
+                            P3.T @ W.diagonal()])
+    Ac = sp.bmat([[M2c, Bc.T], [Bc, None]], format="csc")
+    xc = spla.spsolve(Ac, rhs_c)
+    uc = P2 @ xc[:P2.shape[1]]
+    du = uc - uf
+    return float(np.sqrt(du @ (M2 @ du)) / np.sqrt(uf @ (M2 @ uf)))
+
+
+def _generic_spectral(shape, f, coeff, spect_tol, max_evects):
+    """The generic-engine pipeline on the same cartesian partition."""
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.amge.spectral import (
+        compute_local_hdiv_l2_spectral_targets)
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+
+    mesh = hex_grid_mesh(*shape)
+    topo = AgglomeratedTopology.from_mesh(mesh)
+    topo.coarsen_local_partitioning(cartesian_partition(shape, f))
+    seq = DeRhamSequenceFE(topo, mesh)
+    seq.jform_start = 2
+    cgrid = np.asarray(coeff).reshape(
+        shape[2], shape[1], shape[0]).transpose(2, 1, 0)  # lex -> ijk
+
+    def kinv(p):
+        i = np.clip((p[..., 0] * shape[0]).astype(int), 0, shape[0] - 1)
+        j = np.clip((p[..., 1] * shape[1]).astype(int), 0, shape[1] - 1)
+        k = np.clip((p[..., 2] * shape[2]).astype(int), 0, shape[2] - 1)
+        return cgrid[i, j, k]
+
+    seq.replace_mass_integrator(2, kinv)
+    seq.set_upscaling_targets(0)
+    seq.agglomerate_dofs()
+    tr, l2 = compute_local_hdiv_l2_spectral_targets(
+        seq, spect_tol, max_evects)
+    seq.set_local_targets(1, 2, tr)
+    seq.set_local_targets(0, 3, l2)
+    seq.coarsen()
+    M2 = seq.compute_mass_operator(2)
+    W = seq.compute_mass_operator(3)
+    D2 = seq.D[2].tocsr()
+    return seq, M2, W, D2
+
+
+def _structured_ops(shape, coeff):
+    nc, nf, ne, nv = st.grid_counts(shape)
+    h = tuple(1.0 / s for s in shape)
+    ref = st.fine_local_masses(h)
+    M2 = st.assemble_global(
+        np.asarray(coeff)[:, None, None] * ref[(0, 2)][None],
+        st.cell_faces(shape), sum(nf))
+    W = sp.diags(np.full(nc, float(ref[(0, 3)][0, 0]))).tocsr()
+    _, _, d2 = st.fine_derivative_values(shape, h)
+    D2 = st.assemble_d_csr(d2, st.d2_cols(shape), (nc, sum(nf)))
+    return M2, W, D2
+
+
+@pytest.mark.parametrize("shape,f,max_evects",
+                         [((8, 8, 4), (2, 2, 2), 2),
+                          ((8, 8, 4), (4, 4, 2), 5),
+                          ((8, 4, 4), (4, 4, 4), 3)])
+def test_spectral_parity_vs_generic(shape, f, max_evects):
+    coeff = _coeff_field(shape, seed=3)
+    spect_tol = 0.002
+
+    seq, M2g, Wg, D2g = _generic_spectral(shape, f, coeff,
+                                          spect_tol, max_evects)
+    err_g = _darcy_upscale_err(M2g, Wg, D2g,
+                               sp.csr_matrix(seq.P[2]),
+                               sp.csr_matrix(seq.P[3]))
+
+    out = sps.spectral_coarsen_darcy(shape, f, coeff,
+                                     spect_tol=spect_tol,
+                                     max_evects=max_evects)
+    M2s, Ws, D2s = _structured_ops(shape, coeff)
+    err_s = _darcy_upscale_err(M2s, Ws, D2s, out.P2, out.P3)
+
+    # identical coarse dimensions per form
+    assert out.P3.shape[1] == seq.P[3].shape[1], \
+        (out.P3.shape, seq.P[3].shape)
+    assert out.P2.shape[1] == seq.P[2].shape[1], \
+        (out.P2.shape, seq.P[2].shape)
+    # identical upscaling error (same coarse spaces; different bases
+    # and entity numberings)
+    assert abs(err_s - err_g) < 1e-8 + 1e-6 * err_g, (err_s, err_g)
+    assert err_s < 1.5      # sanity only; parity above is the contract
+
+
+def test_spectral_homogeneous_minimal():
+    """Unit coefficient: every AE keeps exactly the PV modes (one L2
+    target collapses onto PV), so the coarse dims reduce to the
+    homogeneous structured engine's staggered counts plus nothing."""
+    shape, f = (4, 4, 4), (2, 2, 2)
+    coeff = np.ones(int(np.prod(shape)))
+    out = sps.spectral_coarsen_darcy(shape, f, coeff)
+    # spectral always keeps >= 1 mode; with a constant coefficient the
+    # first mode is the constant-pressure mode whose trace deflates
+    # against PV, so no facet gains a second dof
+    assert (out.n_facet_dofs == 1).all()
+    assert (out.n_ae_p_dofs <= 2).all()
