@@ -465,7 +465,7 @@ def lane_h1(nx, n_rhs=None, cycle_cfg=None):
     # (f32) + bf16 V(2,2)-cycle + ~10 vector passes for the CG updates,
     # against the measured achievable HBM bandwidth of this chip
     bpi = (_op_bytes(H.levels[0].A) + 13 * ndofs * 4
-           + _cycle_bytes(Hb, sweeps=2))
+           + _cycle_bytes(Hb, sweeps=sweeps))
     bw = _chip_bw()
     out["bytes_per_iter"] = bpi
     out["achieved_gbps"] = bpi * niter / dt / 1e9

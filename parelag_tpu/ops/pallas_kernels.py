@@ -233,6 +233,63 @@ def dia_spmv_pallas(data, offs, xpad, lo, n, tile=8192,
     )(xpad, data)
 
 
+def dia_jacobi_sweep_pallas(data, offs, xpad, bpad, dpad, lo, n,
+                            tile=8192, interpret=False):
+    """ONE fused (weighted-)Jacobi sweep over a DIA operator:
+
+        x'[i] = xpad[lo+i] + dpad[i] * (bpad[i] - sum_d data[d,i]
+                                        * xpad[lo + offs[d] + i])
+
+    (dpad carries omega*dinv).  Fusing the SpMV with the update keeps
+    x/b/d in VMEM for the whole sweep AND replaces the 3-kernel
+    pad+spmv+axpy chain with one dispatch — the V-cycle at flagship
+    sizes is dispatch-latency-bound through the axon tunnel, so kernel
+    count is the lever (bench lane_h1 `latency_bound`).  bpad/dpad are
+    npad-length (row-tile padded); returns x' (npad,)."""
+    nd, npad = data.shape
+    assert npad % tile == 0
+    grid = (npad // tile,)
+    offs = tuple(int(o) for o in offs)
+
+    def kernel(x_ref, b_ref, d_ref, a_ref, y_ref):
+        base = pl.program_id(0) * tile
+        acc = a_ref[0, :] * x_ref[pl.ds(base + lo + offs[0], tile)]
+        for d in range(1, nd):
+            acc = acc + a_ref[d, :] * x_ref[
+                pl.ds(base + lo + offs[d], tile)]
+        y_ref[:] = (x_ref[pl.ds(base + lo, tile)]
+                    + d_ref[:] * (b_ref[:] - acc))
+
+    if _HAS_PLTPU and not interpret:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # xpad whole
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec((tile,), lambda i: (i,),
+                                 memory_space=pltpu.VMEM)
+    else:
+        in_specs = [
+            pl.BlockSpec(xpad.shape, lambda i: (0,)),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((nd, tile), lambda i: (0, i)),
+        ]
+        out_specs = pl.BlockSpec((tile,), lambda i: (i,))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((npad,), data.dtype),
+        interpret=interpret,
+    )(xpad, bpad, dpad, data)
+
+
 _FORCE_DISABLED = False
 
 

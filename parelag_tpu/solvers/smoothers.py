@@ -43,6 +43,9 @@ class L1JacobiSmoother:
         return self.dinv if b.ndim == 1 else self.dinv[:, None]
 
     def apply(self, A: EllMatrix, b, x):
+        fused = self._fused(A, b, x, self.sweeps)
+        if fused is not None:
+            return fused
         d = self._d(b)
         for _ in range(self.sweeps):
             x = x + self.omega * d * (b - A @ x)
@@ -52,9 +55,21 @@ class L1JacobiSmoother:
         """Smooth from a known-zero initial guess (saves one SpMV)."""
         d = self._d(b)
         x = self.omega * d * b
+        if self.sweeps > 1:
+            fused = self._fused(A, b, x, self.sweeps - 1)
+            if fused is not None:
+                return fused
         for _ in range(self.sweeps - 1):
             x = x + self.omega * d * (b - A @ x)
         return x
+
+    def _fused(self, A, b, x, sweeps):
+        """Fused DIA sweep fast path (one pallas dispatch per sweep —
+        the V-cycle is dispatch-bound at flagship sizes through the
+        remote tunnel); None -> caller takes the generic path."""
+        if sweeps <= 0 or not hasattr(A, "jacobi_sweeps"):
+            return None
+        return A.jacobi_sweeps(b, x, self.omega * self.dinv, sweeps)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -128,6 +128,37 @@ def test_spectral_parity_vs_generic(shape, f, max_evects):
     assert err_s < 1.5      # sanity only; parity above is the contract
 
 
+def test_spectral_ns_mode_matches_direct():
+    """The device production path (f32: NS mass solves, Schur-eliminated
+    extension saddles with a small bordered LU) reproduces the f64
+    direct chain: same coarse dimensions, same upscaling error to the
+    f32 floor."""
+    shape, f = (8, 8, 4), (4, 4, 2)
+    coeff = _coeff_field(shape, seed=3)
+    # same-dtype comparison isolates the SOLVE STRATEGY (ns vs direct);
+    # the f32-vs-f64 dtype question is the keep-floor's job and is
+    # covered by the f64 parity tests above
+    out_d = sps.spectral_coarsen_darcy(
+        shape, f, coeff.astype(np.float32), spect_tol=0.002,
+        max_evects=5, dtype=np.float32)
+    with st.solve_mode("ns"):
+        out_n = sps.spectral_coarsen_darcy(
+            shape, f, coeff.astype(np.float32), spect_tol=0.002,
+            max_evects=5, dtype=np.float32)
+    assert out_n.P2.shape == out_d.P2.shape, (out_n.P2.shape,
+                                              out_d.P2.shape)
+    assert out_n.P3.shape == out_d.P3.shape
+    assert out_n.ns_res < 1e-4, out_n.ns_res
+    M2, W, D2 = _structured_ops(shape, coeff)
+    err_d = _darcy_upscale_err(M2, W, D2,
+                               out_d.P2.astype(np.float64),
+                               out_d.P3.astype(np.float64))
+    err_n = _darcy_upscale_err(M2, W, D2,
+                               out_n.P2.astype(np.float64),
+                               out_n.P3.astype(np.float64))
+    assert abs(err_n - err_d) < 5e-4 + 1e-2 * err_d, (err_n, err_d)
+
+
 def test_spectral_homogeneous_minimal():
     """Unit coefficient: every AE keeps exactly the PV modes (one L2
     target collapses onto PV), so the coarse dims reduce to the

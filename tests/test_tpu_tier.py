@@ -217,6 +217,38 @@ print("dia ok")
     _check(r, "dia ok")
 
 
+@needs_tpu
+def test_fused_jacobi_sweep_on_device():
+    """The fused DIA Jacobi sweep kernel (one dispatch per sweep) ==
+    the unfused x + d*(b - A@x) on the chip."""
+    r = _run(_PREAMBLE + r"""
+import scipy.sparse as sp
+from parelag_tpu.ops.device_sparse import to_dia
+from parelag_tpu.solvers.smoothers import L1JacobiSmoother
+n = 17 ** 3
+A = sp.diags([6.0 + np.arange(n) % 3, -np.ones(n - 1), -np.ones(n - 1),
+              -0.5 * np.ones(n - 17), -0.5 * np.ones(n - 17)],
+             [0, 1, -1, 17, -17]).tocsr().astype(np.float32)
+Ad = to_dia(A, dtype=np.float32)
+dinv = (1.0 / np.asarray(np.abs(A).sum(axis=1)).ravel()
+        ).astype(np.float32)
+smo = L1JacobiSmoother(jnp.asarray(dinv), sweeps=2, omega=1.0)
+rng = np.random.RandomState(0)
+b = rng.randn(n).astype(np.float32)
+x0 = rng.randn(n).astype(np.float32)
+fused = smo._fused(Ad, jnp.asarray(b), jnp.asarray(x0), 2)
+assert fused is not None, "fused path did not engage on the chip"
+out = np.asarray(fused, dtype=np.float64)
+x = x0.astype(np.float64)
+for _ in range(2):
+    x = x + dinv.astype(np.float64) * (b - A.astype(np.float64) @ x)
+rel = np.abs(out - x).max() / np.abs(x).max()
+assert rel < 1e-5, rel
+print("fused ok", rel)
+""")
+    _check(r, "fused ok")
+
+
 # ------------------------------------------------------------------ #
 # 7. Newton-Schulz batched device solve on hardware
 # ------------------------------------------------------------------ #
