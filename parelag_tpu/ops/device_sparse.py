@@ -321,7 +321,8 @@ class DiaMatrix:
         return y
 
     def _pallas_ok(self):
-        from parelag_tpu.ops.pallas_kernels import pallas_dia_supported
+        from parelag_tpu.ops.pallas_kernels import (
+            pallas_dia_supported, dia_xpad_len)
         n, m = self.shape
         # the kernel's xpad is sized from the ROW tiling: every tile read
         # must be provably in bounds, which requires m <= npad and every
@@ -331,13 +332,14 @@ class DiaMatrix:
         if m > npad or m > n:
             return False
         # padded x must stay VMEM-resident (~budget half of 16 MB)
-        if (m + self.span[0] + self.span[1] + self._TILE) \
+        if dia_xpad_len(npad, self.span[0], self.offs, self._TILE) \
                 * self.data.dtype.itemsize > 8 * 2 ** 20:
             return False
         return pallas_dia_supported()
 
     def _matvec_pallas(self, x):
-        from parelag_tpu.ops.pallas_kernels import dia_spmv_pallas
+        from parelag_tpu.ops.pallas_kernels import (
+            dia_spmv_pallas, dia_xpad_len)
         n, m = self.shape
         lo, hi = self.span
         T = self._TILE
@@ -346,7 +348,7 @@ class DiaMatrix:
         if npad % T:                          # foreign (unpadded) table
             npad = -(-npad // T) * T
             data = jnp.pad(data, ((0, 0), (0, npad - self.data.shape[1])))
-        xlen = npad + lo + hi
+        xlen = dia_xpad_len(npad, lo, self.offs, T)
         xpad = jnp.zeros(xlen, x.dtype).at[lo:lo + m].set(x)
         y = dia_spmv_pallas(data, self.offs, xpad, lo, n, tile=T)
         return y[:n]
@@ -361,13 +363,14 @@ class DiaMatrix:
         if not (n == m and b.ndim == 1 and b.dtype == self.data.dtype
                 and self._pallas_ok()):
             return None
-        from parelag_tpu.ops.pallas_kernels import dia_jacobi_sweep_pallas
+        from parelag_tpu.ops.pallas_kernels import (
+            dia_jacobi_sweep_pallas, dia_xpad_len)
         lo, hi = self.span
         T = self._TILE
         npad = self.data.shape[1]
         if npad % T:
             return None                      # foreign (unpadded) table
-        xlen = npad + lo + hi
+        xlen = dia_xpad_len(npad, lo, self.offs, T)
         bpad = jnp.zeros(npad, b.dtype).at[:n].set(b)
         dpad = jnp.zeros(npad, b.dtype).at[:n].set(
             dinv_omega.astype(b.dtype))

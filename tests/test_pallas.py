@@ -62,7 +62,8 @@ def test_dia_jacobi_sweep_interpret_matches_reference():
     """Fused DIA Jacobi sweep (one dispatch per sweep — the V-cycle's
     dispatch-count lever) == the unfused x + d*(b - A@x)."""
     from parelag_tpu.ops.device_sparse import to_dia
-    from parelag_tpu.ops.pallas_kernels import dia_jacobi_sweep_pallas
+    from parelag_tpu.ops.pallas_kernels import (
+        dia_jacobi_sweep_pallas, dia_xpad_len)
     n = 9000
     A = sp.diags([6.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1),
                   -0.5 * np.ones(n - 30), -0.5 * np.ones(n - 30)],
@@ -77,7 +78,8 @@ def test_dia_jacobi_sweep_interpret_matches_reference():
             ).astype(np.float32)
     bpad = jnp.zeros(npad, jnp.float32).at[:n].set(b)
     dpad = jnp.zeros(npad, jnp.float32).at[:n].set(dinv)
-    xpad = jnp.zeros(npad + lo + hi, jnp.float32).at[lo:lo + n].set(x0)
+    xlen = dia_xpad_len(npad, lo, Ad.offs, Ad._TILE)
+    xpad = jnp.zeros(xlen, jnp.float32).at[lo:lo + n].set(x0)
     xn = np.asarray(dia_jacobi_sweep_pallas(
         Ad.data, Ad.offs, xpad, bpad, dpad, lo, n, interpret=True))[:n]
     ref = x0 + dinv * (b - A @ x0)

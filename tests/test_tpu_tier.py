@@ -208,6 +208,11 @@ A = sp.diags([main, -1.0 * np.ones(n - 1), -1.0 * np.ones(n - 1),
              [0, 1, -1, 17, -17]).tocsr().astype(np.float32)
 Ad = to_dia(A, dtype=np.float32)
 assert isinstance(Ad, DiaMatrix), type(Ad)
+# engagement, not just values (round-4 verdict weak #2): this test must
+# fail if the Pallas lowering regresses and the XLA fallback takes over
+from parelag_tpu.ops.pallas_kernels import pallas_dia_supported
+assert pallas_dia_supported(), "Pallas DIA kernel does not lower on chip"
+assert Ad._pallas_ok(), "DIA matvec will not take the Pallas path"
 x = np.random.RandomState(0).randn(n).astype(np.float32)
 y = np.asarray(jax.jit(lambda v: Ad @ v)(jnp.asarray(x)))
 ref = A @ x
