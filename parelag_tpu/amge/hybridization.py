@@ -328,19 +328,27 @@ class HybridHdivL2:
         Binv.sum_duplicates()
         return Binv
 
-    def _device_solve(self, Hcsr, gf, rtol):
-        """TPU multiplier solve: f32 facet-block-Jacobi PCG on the chip
-        inside f64 host residual refinement (reliable-updates CG — the
-        f32 device loop stalls near its dtype floor on ill-conditioned
-        multiplier systems). Operators are jit ARGUMENTS; shapes are
-        bucketed."""
+    def _device_setup(self, Hcsr):
+        """Device-solve setup (cached per system content): the
+        block-contiguous permutation, the device operator, and the SA-AMG
+        hierarchy whose fine smoother is the damped facet block-Jacobi.
+        The reference solves the multiplier system with PCG+BoomerAMG
+        (ParELAG_HybridizationSolverFactory.cpp:135-141); SA is the
+        TPU-idiomatic AMG (see solvers/sa_amg.py) and rides the jitted
+        device V-cycle."""
         import jax
         import jax.numpy as jnp
         from parelag_tpu.ops.device_sparse import (
             from_scipy, to_bcsr, to_dia_ell, dia_ell_fill,
             BlockDiagInverse)
-        from parelag_tpu.solvers.cg import pcg
+        from parelag_tpu.solvers.sa_amg import build_device_sa_hierarchy
+        from parelag_tpu.solvers.smoothers import BlockJacobiSmoother
         n = Hcsr.shape[0]
+        key = (n, Hcsr.nnz, hash(Hcsr.data[
+            :: max(1, Hcsr.nnz // 64)].tobytes()))
+        cache = getattr(self, "_dev_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1:]
         npad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 0)
         Hp = sp.bmat(
             [[Hcsr, None],
@@ -350,7 +358,7 @@ class HybridHdivL2:
         # full f64 single sweep on CPU backends (tests, goldens)
         f32 = jax.default_backend() != "cpu"
         dtype = np.float32 if f32 else np.float64
-        # facet-block preconditioner + block-contiguous permutation: the
+        # facet-block fine smoother + block-contiguous permutation: the
         # solve runs in permuted coordinates so the block inverse applies
         # with static slices + batched einsum — zero device gathers
         perm, buckets = self._facet_blocks(Hp)
@@ -358,6 +366,24 @@ class HybridHdivL2:
         Bd = BlockDiagInverse(
             [jnp.asarray(np.asarray(T).astype(dtype)) for _, T in buckets],
             [s for s, _ in buckets])
+        # damping: omega ~ 1/rho(B^{-1}A) via a short host power iteration
+        # (block Jacobi is exact on blocks, so rho is ~2 and omega ~ 0.5;
+        # computing it keeps the smoothed V-cycle SPD for PCG)
+        Binv = self._facet_block_inverse(Hq)
+        rng = np.random.RandomState(0)
+        v = rng.rand(Hq.shape[0])
+        rho = 1.0
+        for _ in range(10):
+            w = Binv @ (Hq @ v)
+            rho = np.linalg.norm(w)
+            if rho <= 0:
+                rho = 1.0
+                break
+            v = w / rho
+        omega = 1.0 / max(rho, 1.0)
+        smoother = BlockJacobiSmoother(Bd, sweeps=1, omega=omega)
+        Hier, _, _ = build_device_sa_hierarchy(
+            Hq.astype(np.float64), dtype=dtype, fine_smoother=smoother)
         kmax = int(np.diff(Hq.indptr).max()) if Hq.nnz else 1
         if kmax > 48:
             # wide rows (spectral coarse levels reach kmax ~ 250): the
@@ -380,11 +406,25 @@ class HybridHdivL2:
             Hd = to_dia_ell(Hq.astype(dtype), dtype=dtype)
         else:
             Hd = from_scipy(Hq.astype(dtype), dtype=dtype, pad_to=4)
+        self._dev_cache = (key, perm, Hd, Hier, npad, dtype, f32)
+        return perm, Hd, Hier, npad, dtype, f32
+
+    def _device_solve(self, Hcsr, gf, rtol):
+        """TPU multiplier solve: f32 SA-AMG-preconditioned PCG on the
+        chip (facet-block-Jacobi fine smoother) inside f64 host residual
+        refinement (reliable-updates CG — the f32 device loop stalls near
+        its dtype floor on ill-conditioned multiplier systems). Operators
+        are jit ARGUMENTS; shapes are bucketed."""
+        import jax
+        import jax.numpy as jnp
+        from parelag_tpu.solvers.cg import pcg
+        n = Hcsr.shape[0]
+        perm, Hd, Hier, npad, dtype, f32 = self._device_setup(Hcsr)
         if HybridHdivL2._DEV_SOLVE is None:
             @jax.jit
-            def _solve(Hdev, Bdev, b, rt):
+            def _solve(Hdev, M, b, rt):
                 return pcg(lambda v: Hdev @ v, b,
-                           precond=lambda r: Bdev @ r,
+                           precond=lambda r: M.cycle(r),
                            rtol=rt, atol=0.0, maxiter=2000)
             HybridHdivL2._DEV_SOLVE = _solve
         solve = HybridHdivL2._DEV_SOLVE
@@ -401,7 +441,7 @@ class HybridHdivL2:
             if np.linalg.norm(r) <= rtol * max(nrm, 1e-300):
                 break
             rfull[:n] = r
-            dx, info = solve(Hd, Bd,
+            dx, info = solve(Hd, Hier,
                              jnp.asarray(rfull[perm].astype(dtype)),
                              dtype(inner_rt))
             dxfull[perm] = np.asarray(dx, dtype=np.float64)
@@ -411,9 +451,17 @@ class HybridHdivL2:
         return x
 
     def solve(self, rhs_u, rhs_p, solver="direct", rtol=1e-10,
-              rescale=False):
+              rescale=False, inner=None):
         """Full hybridized solve (the HybridizationSolver::Mult flow,
-        ParELAG_HybridizationSolver.hpp:59-67)."""
+        ParELAG_HybridizationSolver.hpp:59-67).
+
+        solver: "direct" | "cg" (facet-block-Jacobi PCG) | "amg" (SA-AMG
+        preconditioned PCG — the reference's CG_PCG-AMG composition,
+        CreateDarcyParameterList.hpp:60-80) | "device" (TPU SA-AMG PCG) |
+        "auto". `inner`, if given, overrides all of them: a callable
+        (Hff, gf, rtol) -> xf or (xf, iterations) on the reduced
+        (rescaled) multiplier system — the library's composed named
+        solver (ParELAG_HybridizationSolverFactory.cpp:135-141)."""
         import scipy.sparse.linalg as spla
         g, ess_data = self.rhs_transform(rhs_u, rhs_p)
         H = self.hybrid_system.copy()
@@ -433,18 +481,24 @@ class HybridHdivL2:
             gf = d * gf
         if solver == "auto":
             # device PCG when an accelerator is the default backend (the
-            # bench's darcy lane path), host scipy CG otherwise
-            solver = "cg"
+            # bench's darcy lane path), host SA-AMG PCG otherwise
+            solver = "amg"
             try:
                 import jax
                 if jax.default_backend() != "cpu":
                     solver = "device"
             except Exception:
                 pass
-        if solver == "direct":
+        if inner is not None:
+            out = inner(Hff.tocsr(), gf, rtol)
+            xf, its = out if isinstance(out, tuple) else (out, 0)
+            self.last_iterations = int(its)
+        elif solver == "direct":
             xf = spla.spsolve(Hff, gf)
         elif solver == "device":
             xf = self._device_solve(Hff.tocsr(), gf, rtol)
+        elif solver == "amg":
+            xf = self._host_amg_solve(Hff.tocsr(), gf, rtol)
         else:
             Binv = self._facet_block_inverse(Hff.tocsr())
             M = spla.LinearOperator(Hff.shape, matvec=lambda r: Binv @ r)
@@ -458,3 +512,26 @@ class HybridHdivL2:
             xf = d * xf
         mu[keep] = xf
         return self.recover(mu)
+
+    def _host_amg_solve(self, Hcsr, gf, rtol):
+        """Host PCG + SA-AMG V-cycle on the multiplier system — the
+        scipy-side mirror of the reference's PCG+BoomerAMG inner solve
+        (near-flat iteration counts in h, vs the h-dependent one-level
+        facet-block Jacobi)."""
+        import scipy.sparse.linalg as spla
+        from parelag_tpu.solvers.sa_amg import (
+            build_sa_hierarchy, HostVCycle)
+        key = (Hcsr.shape[0], Hcsr.nnz)
+        cache = getattr(self, "_host_amg_cache", None)
+        if cache is None or cache[0] != key:
+            A_l, P_l = build_sa_hierarchy(Hcsr)
+            cache = (key, HostVCycle(A_l, P_l))
+            self._host_amg_cache = cache
+        M = spla.LinearOperator(Hcsr.shape, matvec=cache[1])
+        it = [0]
+        xf, info = spla.cg(Hcsr, gf, M=M, rtol=rtol, atol=0.0,
+                           maxiter=2000,
+                           callback=lambda x: it.__setitem__(
+                               0, it[0] + 1))
+        self.last_iterations = it[0]
+        return xf

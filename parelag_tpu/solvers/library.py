@@ -252,11 +252,17 @@ class _AuxAMGSolver(Solver):
     """Native AMGe/Hiptmair hierarchy backing the BoomerAMG / AMS / ADS
     XML types (reference ParELAG_HypreExtension.hpp:29-190 builds AMS/ADS
     from the sequence's D operators; here the same role is played by the
-    AMGe hierarchy with Hiptmair smoothing for the 1- and 2-form). Falls
-    back to an exact solve only when no coarsening chain is available
-    (e.g. at the coarsest level of an outer AMGe composition). apply() is
+    AMGe hierarchy with Hiptmair smoothing for the 1- and 2-form). When no
+    coarsening chain matches the operator — hypre's BoomerAMG is purely
+    algebraic and accepts ANY matrix, e.g. the hybridized facet multiplier
+    system ("CG_PCG-AMG", ParELAG_HybridizationSolverFactory.cpp:135-141)
+    — a smoothed-aggregation hierarchy is built directly on the operator
+    (solvers/sa_amg.py); the exact-solve fallback remains only for small
+    systems (the coarsest level of an outer AMGe composition). apply() is
     one V-cycle (preconditioner role, hypre maxiter=1 semantics); solve()
     iterates cycles to tolerance (hypre solver semantics)."""
+
+    _SA_MIN_SIZE = 2000          # below this a direct solve is cheaper
 
     def __init__(self, fac, op, state):
         from parelag_tpu.solvers.hierarchy import build_hierarchy, rap
@@ -295,6 +301,12 @@ class _AuxAMGSolver(Solver):
                                           dtype=np.float64)
                 import jax.numpy as jnp
                 self._jnp = jnp
+        if self._H is None and A.shape[0] > self._SA_MIN_SIZE:
+            from parelag_tpu.solvers.sa_amg import build_device_sa_hierarchy
+            self._H, _, _ = build_device_sa_hierarchy(
+                A, dtype=np.float64)
+            import jax.numpy as jnp
+            self._jnp = jnp
         if self._H is None:
             self._direct = spla.splu(A.tocsc())
 
@@ -642,18 +654,51 @@ class _BlockSolver(Solver):
 
 
 class _HybridizationSolver(Solver):
+    """Hybridized Hdiv-L2 solve with a COMPOSED inner solver on the facet
+    multiplier system. The reference's factory builds the named "Solver"
+    entry (e.g. "CG_PCG-AMG" = PCG preconditioned with BoomerAMG) on the
+    hybridized system and respects "RescaleIteration"
+    (ParELAG_HybridizationSolverFactory.cpp:135-141,
+    examples/testing_helpers/CreateDarcyParameterList.hpp:60-80); both
+    parameters are honored here."""
+
     def __init__(self, fac, op, state):
         from parelag_tpu.amge.hybridization import HybridHdivL2
         seq = state.seqs[state.level]
         self._hyb = HybridHdivL2(seq, W_weight=state.w_weight)
         self._nu = self._hyb.nu
         self._rescale = fac.sp.get("Rescale", True)
+        ri = fac.sp.get("RescaleIteration", None)
+        if ri is not None:
+            # reference semantics: <= 0 disables the CG rescaling sweep
+            self._rescale = int(ri) > 0
+        self._inner = None
+        self._inner_solver = None
+        inner_fac = fac._sub("Solver")
+        if inner_fac is not None:
+            # build the named solver on the reduced (and rescaled, in the
+            # same coordinates the outer solve uses) multiplier system
+            keep = ~self._hyb.ess_mult
+            Hff = self._hyb.hybrid_system[keep][:, keep].tocsr()
+            if self._rescale:
+                d = self._hyb.rescaling[keep]
+                d = np.where(np.abs(d) > 0, d, 1.0)
+                Hff = (sp.diags(d) @ Hff @ sp.diags(d)).tocsr()
+            st = SolverState(state.seqs, [], state.level, state.ess_attrs)
+            self._inner_solver = inner_fac.build_solver(Hff, st)
+
+            def inner(H, g, rtol):
+                x = self._inner_solver.solve(g)
+                return x, getattr(self._inner_solver, "iterations", 0)
+            self._inner = inner
 
     def solve(self, b):
         b = np.asarray(b)
         u, p = self._hyb.solve(b[: self._nu], b[self._nu:],
                                solver="cg", rtol=1e-8,
-                               rescale=self._rescale)
+                               rescale=self._rescale,
+                               inner=self._inner)
+        self.iterations = self._hyb.last_iterations
         return np.concatenate([u, p])
 
 

@@ -126,6 +126,37 @@ def estimate_lmax(A_scipy, dinv, iters=20, seed=0):
     return float(lam)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockJacobiSmoother:
+    """Damped block-Jacobi smoother over a block-contiguous permuted
+    system (the facet supervariables of the hybridized multiplier
+    system — see amge.hybridization._facet_blocks; point smoothers are
+    near-singular on the spectral coarse multiplier systems).  `binv`
+    is an ops.device_sparse.BlockDiagInverse."""
+    binv: object
+    sweeps: int = 1
+    omega: float = 0.7
+
+    def tree_flatten(self):
+        return (self.binv,), (self.sweeps, self.omega)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    def apply(self, A, b, x):
+        for _ in range(self.sweeps):
+            x = x + self.omega * (self.binv @ (b - A @ x))
+        return x
+
+    def apply_zero(self, A, b):
+        x = self.omega * (self.binv @ b)
+        for _ in range(self.sweeps - 1):
+            x = x + self.omega * (self.binv @ (b - A @ x))
+        return x
+
+
 def make_chebyshev(A_scipy, degree=3, ratio=0.3) -> ChebyshevSmoother:
     d = sp.csr_matrix(A_scipy).diagonal()
     d = np.where(d > 0, d, 1.0)

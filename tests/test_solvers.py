@@ -82,7 +82,11 @@ def test_hybrid_darcy_reference_parity():
         nref_parallel=1, partition="derefine", aggressive_levels=0)
     s = seqs[0]
     vols = hexfe.hex_volumes(mesh.vertices[mesh.elements])
-    for w, gold in ((0.0, 6), (1.0, 6)):
+    # the device path is SA-AMG-preconditioned PCG (round 5); at this
+    # tiny size the SA hierarchy collapses to an exact coarse inverse,
+    # so the golden is 1 outer iteration per refinement sweep — the
+    # pinned value still locks the path's behavior against regression
+    for w, gold in ((0.0, 1), (1.0, 1)):
         hyb = HybridHdivL2(s, W_weight=w)
         hyb.solve(np.zeros(s.dof[2].ndofs), vols, solver="device",
                   rtol=1e-8, rescale=True)
