@@ -49,6 +49,7 @@ operator spectra — and through explicit entity remaps in the tests):
 """
 
 import os
+import time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -1470,6 +1471,30 @@ _CHUNK_SIZE = int(os.environ.get("PARELAG_STRUCT_CHUNK", 8192))
 _STAGE_CHUNK_JITS = {}
 
 
+#: per-stage wall-clock accounting for the chunked driver:
+#: name -> [seconds, n_chunks, n_calls].  Dispatch-only times unless
+#: PARELAG_STC_SYNC=1 forces a device round-trip per stage (true
+#: attribution; perturbs pipelining — diagnostics only).
+STAGE_TIMES = {}
+
+
+def reset_stage_times():
+    STAGE_TIMES.clear()
+
+
+def _stc_dispatch_mode():
+    """Chunk dispatch strategy (PARELAG_STC_DISPATCH):
+      loop  — one jitted call per chunk, index chunks shipped per call;
+      slice — index tables shipped ONCE per stage; each chunk call
+              dynamic-slices them on device (one traced scalar per
+              dispatch — removes the per-chunk h2d index transfers,
+              which serialize on the ~30ms-RTT axon tunnel);
+      map   — the whole chunk loop runs as ONE lax.map dispatch per
+              stage (fewest dispatches; recompiles per level since the
+              chunk count is baked into the program)."""
+    return os.environ.get("PARELAG_STC_DISPATCH", "slice")
+
+
 def _run_stage_chunked(name, fn, spec, n, chunk, mode):
     """Run a batched stage over n entities in fixed-size device chunks.
 
@@ -1487,59 +1512,133 @@ def _run_stage_chunked(name, fn, spec, n, chunk, mode):
     outputs that are sliced away; max-reductions are unaffected because
     entity 0's true contribution is already present).  Per-entity
     outputs concatenate to length n; scalar outputs max-reduce."""
+    t_begin = time.perf_counter()
     chunk = max(1, min(int(chunk), int(n)))   # never pad past n
     spec = [("g", e[1], np.arange(n, dtype=np.int64)) if e[0] == "d"
             else e for e in spec]
     kinds = tuple(e[0] for e in spec)
     statics = tuple(e[1] for e in spec if e[0] == "s")
-    key = (name, mode)
-    if key not in _STAGE_CHUNK_JITS:
-        def run(gfull, gidx):
+    dispatch = _stc_dispatch_mode() if n > chunk else "loop"
+    n_chunks = -(-n // chunk)
+
+    def make_args(gfull, idx_c):
+        args, gi, si = [], 0, 0
+        for k in kinds:
+            if k == "g":
+                args.append(gfull[gi][idx_c[gi]])
+                gi += 1
+            else:
+                args.append(statics[si])
+                si += 1
+        return args
+
+    class _mode_ctx:
+        def __enter__(self):
             global _SOLVE_MODE
-            prev, _SOLVE_MODE = _SOLVE_MODE, mode
-            saved = list(_NS_DIAG)
+            self.prev, _SOLVE_MODE = _SOLVE_MODE, mode
+            self.saved = list(_NS_DIAG)
             _NS_DIAG.clear()
-            try:
-                args, gi, si = [], 0, 0
-                with jax.default_matmul_precision("float32"):
-                    for k in kinds:
-                        if k == "g":
-                            args.append(gfull[gi][gidx[gi]])
-                            gi += 1
-                        else:
-                            args.append(statics[si])
-                            si += 1
-                    outs = fn(*args)
-                return outs, _drain_ns_diag()
-            finally:
-                _NS_DIAG.clear()
-                _NS_DIAG.extend(saved)
-                _SOLVE_MODE = prev
-        _STAGE_CHUNK_JITS[key] = jax.jit(run)
-    runj = _STAGE_CHUNK_JITS[key]
+
+        def __exit__(self, *exc):
+            global _SOLVE_MODE
+            _NS_DIAG.clear()
+            _NS_DIAG.extend(self.saved)
+            _SOLVE_MODE = self.prev
 
     gfull = [e[1] for e in spec if e[0] == "g"]
     gidx = [np.asarray(e[2]) for e in spec if e[0] == "g"]
-    chunks, ns_parts = [], []
-    for s in range(0, n, chunk):
-        idx_c = []
-        for ix in gidx:
-            part = ix[s:s + chunk]
-            if part.shape[0] < chunk:
-                pad = np.repeat(part[:1], chunk - part.shape[0], axis=0)
-                part = np.concatenate([part, pad], axis=0)
-            idx_c.append(jnp.asarray(part, dtype=jnp.int32))
-        outs, ns = runj(gfull, idx_c)
-        chunks.append(outs)
-        ns_parts.append(ns)
 
-    def merge(*leaves):
-        if leaves[0].ndim == 0:
-            return jnp.max(jnp.stack(leaves))
-        return jnp.concatenate(leaves, axis=0)[:n]
+    def padded(ix):
+        pad = n_chunks * chunk - n
+        if pad:
+            ix = np.concatenate(
+                [ix, np.repeat(ix[:1], pad, axis=0)], axis=0)
+        return ix.astype(np.int32)
 
-    merged = jax.tree_util.tree_map(merge, *chunks)
-    return merged, jnp.max(jnp.stack(ns_parts))
+    if dispatch == "map":
+        key = (name, mode, "map", n_chunks)
+        if key not in _STAGE_CHUNK_JITS:
+            def run_map(gfull, gidx_st):
+                with _mode_ctx(), jax.default_matmul_precision(
+                        "float32"):
+                    def body(idx_c):
+                        _NS_DIAG.clear()
+                        outs = fn(*make_args(gfull, idx_c))
+                        return outs, _drain_ns_diag()
+                    return jax.lax.map(body, tuple(gidx_st))
+            _STAGE_CHUNK_JITS[key] = jax.jit(run_map)
+        gidx_st = [jnp.asarray(padded(ix).reshape(
+            (n_chunks, chunk) + ix.shape[1:])) for ix in gidx]
+        merged, ns_st = _STAGE_CHUNK_JITS[key](gfull, gidx_st)
+
+        def unstack(leaf):
+            if leaf.ndim == 1:                   # stacked scalars
+                return jnp.max(leaf)
+            return leaf.reshape((-1,) + leaf.shape[2:])[:n]
+
+        merged = jax.tree_util.tree_map(unstack, merged)
+        ns_max = jnp.max(ns_st)
+    else:
+        if dispatch == "slice":
+            key = (name, mode, "slice")
+            if key not in _STAGE_CHUNK_JITS:
+                def run_slice(gfull, gidx_dev, start):
+                    with _mode_ctx(), jax.default_matmul_precision(
+                            "float32"):
+                        idx_c = [jax.lax.dynamic_slice_in_dim(
+                            ix, start, chunk, axis=0)
+                            for ix in gidx_dev]
+                        outs = fn(*make_args(gfull, idx_c))
+                        return outs, _drain_ns_diag()
+                _STAGE_CHUNK_JITS[key] = jax.jit(run_slice)
+            runj = _STAGE_CHUNK_JITS[key]
+            # one h2d per index table per stage, not one per chunk
+            gidx_dev = [jnp.asarray(padded(ix)) for ix in gidx]
+            calls = [(lambda s=s: runj(gfull, gidx_dev,
+                                       jnp.int32(s * chunk)))
+                     for s in range(n_chunks)]
+        else:
+            key = (name, mode, "loop")
+            if key not in _STAGE_CHUNK_JITS:
+                def run(gfull, idx_c):
+                    with _mode_ctx(), jax.default_matmul_precision(
+                            "float32"):
+                        outs = fn(*make_args(gfull, idx_c))
+                        return outs, _drain_ns_diag()
+                _STAGE_CHUNK_JITS[key] = jax.jit(run)
+            runj = _STAGE_CHUNK_JITS[key]
+            gpad = [padded(ix) for ix in gidx]
+
+            def call(s):
+                idx_c = [jnp.asarray(ix[s * chunk:(s + 1) * chunk])
+                         for ix in gpad]
+                return runj(gfull, idx_c)
+            calls = [(lambda s=s: call(s)) for s in range(n_chunks)]
+
+        chunks, ns_parts = [], []
+        for c in calls:
+            outs, ns = c()
+            chunks.append(outs)
+            ns_parts.append(ns)
+
+        def merge(*leaves):
+            if leaves[0].ndim == 0:
+                return jnp.max(jnp.stack(leaves))
+            return jnp.concatenate(leaves, axis=0)[:n]
+
+        merged = jax.tree_util.tree_map(merge, *chunks)
+        ns_max = jnp.max(jnp.stack(ns_parts))
+
+    if os.environ.get("PARELAG_STC_SYNC", "") == "1":
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(x[..., :1]) if x.ndim else
+            np.asarray(x), merged)
+    dt = time.perf_counter() - t_begin
+    rec = STAGE_TIMES.setdefault(name, [0.0, 0, 0])
+    rec[0] += dt
+    rec[1] += n_chunks
+    rec[2] += 1
+    return merged, ns_max
 
 
 def _coarsen_core_chunked(arrs, ids, cshape, jform_start, mode, chunk):
@@ -2196,6 +2295,42 @@ def global_derivative(lvl: StructuredLevel, jform):
         return assemble_d_csr(lvl.d1, d1_cols(shape), (sum(nf), sum(ne)))
     if jform == 2:
         return assemble_d_csr(lvl.d2, d2_cols(shape), (nc, sum(nf)))
+    raise ValueError(jform)
+
+
+def boundary_entity_marker(shape, jform):
+    """Boolean marker of grid-boundary entities in the global numbering
+    (verts jform=0, edges jform=1, faces jform=2) — the structured-grid
+    analog of mark_dofs_on_bndr over all 6 attributes (reference
+    DeRhamSequence MarkDofsOnSelectedBndr role for the lowest-order
+    structured chain).  An edge/vertex is boundary when any transverse
+    lattice coordinate sits at its extreme; a face when its normal
+    coordinate does."""
+    nx, ny, nz = shape
+
+    def fam(dims, bnd_axes):
+        ni, nj, nk = dims
+        m = np.zeros((nk, nj, ni), dtype=bool)
+        for ax, extent in bnd_axes:
+            sl = [slice(None)] * 3
+            sl[2 - ax] = 0
+            m[tuple(sl)] = True
+            sl[2 - ax] = extent
+            m[tuple(sl)] = True
+        return m.ravel()
+
+    if jform == 0:
+        return fam((nx + 1, ny + 1, nz + 1),
+                   [(0, nx), (1, ny), (2, nz)])
+    if jform == 1:
+        dims = ((nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1),
+                (nx + 1, ny + 1, nz))
+        tr = ([(1, ny), (2, nz)], [(0, nx), (2, nz)], [(0, nx), (1, ny)])
+        return np.concatenate([fam(dims[a], tr[a]) for a in range(3)])
+    if jform == 2:
+        dims = ((nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1))
+        nr = ([(0, nx)], [(1, ny)], [(2, nz)])
+        return np.concatenate([fam(dims[a], nr[a]) for a in range(3)])
     raise ValueError(jform)
 
 

@@ -678,7 +678,19 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
             {kk: float(vv) for kk, vv in ns_by_stage.items()})
 
     # ---- host materialization (masked columns dropped) ---- #
+    # All four ragged kept-column blocks are emitted by ARRAY ops over a
+    # (entity, capacity) keep-mask — at the (60,220,85) north star the
+    # per-AE/per-facet list-append loops this replaces were the setup's
+    # host hump (round-4 verdict item 6): 14k AEs x 6 facets of appends.
     import scipy.sparse as sp
+
+    def _ragged_sel(counts, cap):
+        """(entity, k) index pairs where k < counts[entity], row-major —
+        the same visit order as the loops this replaces."""
+        counts = np.asarray(counts, dtype=np.int64)
+        mask = np.arange(cap)[None, :] < counts[:, None]
+        return np.nonzero(mask)
+
     nk3np = np.asarray(nk3, dtype=np.int64)
     p_off = np.concatenate([[0], np.cumsum(1 + nk3np)])
     n_p_coarse = int(p_off[-1])
@@ -688,11 +700,10 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
     rows3.append(cells.ravel())
     cols3.append(np.repeat(p_off[:-1], npl))
     vals3.append(ptr3np.ravel())
-    for iae in range(n_ae):                # kept cols are few; cheap
-        for k in range(int(nk3np[iae])):
-            rows3.append(cells[iae])
-            cols3.append(np.full(npl, p_off[iae] + 1 + k))
-            vals3.append(U3np[iae, :, k])
+    ia, kk = _ragged_sel(nk3np, U3np.shape[2])
+    rows3.append(cells[ia].ravel())
+    cols3.append(np.repeat(p_off[ia] + 1 + kk, npl))
+    vals3.append(U3np[ia, :, kk].ravel())
     P3 = sp.coo_matrix(
         (np.concatenate(vals3),
          (np.concatenate(rows3), np.concatenate(cols3))),
@@ -720,40 +731,38 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
         rows2.append(ids.ravel())
         cols2.append(np.repeat(offs, nch))
         vals2.append(ptr2a.ravel())
-        for ifc in range(nfa):
-            for k in range(int(nk2np[base + ifc])):
-                rows2.append(ids[ifc])
-                cols2.append(np.full(nch, offs[ifc] + 1 + k))
-                vals2.append(u2a[ifc, :, k])
+        fi, kk = _ragged_sel(nk2np[base:base + nfa], u2a.shape[2])
+        rows2.append(ids[fi].ravel())
+        cols2.append(np.repeat(offs[fi] + 1 + kk, nch))
+        vals2.append(u2a[fi, :, kk].ravel())
     # interior blocks: extension columns in [6*(1+K2) ext | K3 rt] +
     # null bubbles
     Pintnp = np.asarray(Pint, dtype=np.float64)
     bubnp = np.asarray(bubU, dtype=np.float64)
     int_faces = faces[:, :nu_int]
     K2b = K2
-    for iae in range(n_ae):
-        # ext columns: facet j's block = [PV col j] + [null cols]
-        for j in range(6):
-            gfc = afacets[iae, j]
-            c0 = u_off_f[gfc]
-            rows2.append(int_faces[iae])
-            cols2.append(np.full(nu_int, c0))
-            vals2.append(Pintnp[iae, :, j])
-            for k in range(int(nk2np[gfc])):
-                rows2.append(int_faces[iae])
-                cols2.append(np.full(nu_int, c0 + 1 + k))
-                vals2.append(Pintnp[iae, :, 6 + j * K2b + k])
-        # rt columns
-        a0 = u_off_i[iae]
-        for k in range(int(nk3np[iae])):
-            rows2.append(int_faces[iae])
-            cols2.append(np.full(nu_int, a0 + k))
-            vals2.append(Pintnp[iae, :, 6 * (1 + K2b) + k])
-        # null bubbles
-        for k in range(int(n_nullnp[iae])):
-            rows2.append(int_faces[iae])
-            cols2.append(np.full(nu_int, a0 + nk3np[iae] + k))
-            vals2.append(bubnp[iae, :, k])
+    # ext PV columns: every (iae, j) pair
+    gfc_all = afacets                           # (n_ae, 6)
+    rows2.append(np.repeat(int_faces, 6, axis=0).ravel())
+    cols2.append(np.repeat(u_off_f[gfc_all.ravel()], nu_int))
+    vals2.append(np.swapaxes(Pintnp[:, :, :6], 1, 2).ravel())
+    # ext kept columns: (iae, j, k) with k < nk2[afacets[iae, j]]
+    iae_j, kk = _ragged_sel(nk2np[gfc_all.ravel()], K2b)
+    ia, jj = iae_j // 6, iae_j % 6
+    rows2.append(int_faces[ia].ravel())
+    cols2.append(np.repeat(u_off_f[gfc_all.ravel()[iae_j]] + 1 + kk,
+                           nu_int))
+    vals2.append(Pintnp[ia, :, 6 + jj * K2b + kk].ravel())
+    # rt columns: (iae, k) with k < nk3
+    ia, kk = _ragged_sel(nk3np, Pintnp.shape[2] - 6 * (1 + K2b))
+    rows2.append(int_faces[ia].ravel())
+    cols2.append(np.repeat(u_off_i[ia] + kk, nu_int))
+    vals2.append(Pintnp[ia, :, 6 * (1 + K2b) + kk].ravel())
+    # null bubbles: (iae, k) with k < n_null
+    ia, kk = _ragged_sel(n_nullnp, bubnp.shape[2])
+    rows2.append(int_faces[ia].ravel())
+    cols2.append(np.repeat(u_off_i[ia] + nk3np[ia] + kk, nu_int))
+    vals2.append(bubnp[ia, :, kk].ravel())
     P2 = sp.coo_matrix(
         (np.concatenate(vals2),
          (np.concatenate(rows2), np.concatenate(cols2))),
