@@ -304,12 +304,16 @@ class DiaMatrix:
 
     _TILE = 8192
 
+    _MAX_RHS = 64            # multi-RHS VMEM scratch bound (s, L) per tile
+
     def matvec(self, x):
         n, m = self.shape
         lo, hi = self.span
-        if (x.ndim == 1 and x.dtype == self.data.dtype
-                and self._pallas_ok()):
-            return self._matvec_pallas(x)
+        if x.dtype == self.data.dtype:
+            if x.ndim == 1 and self._pallas_ok():
+                return self._matvec_pallas(x)
+            if x.ndim == 2 and self._pallas_multirhs_ok(x.shape[1]):
+                return self._matvec_pallas_multirhs(x)
         pad_shape = (lo + m + hi,) + x.shape[1:]
         xpad = jnp.zeros(pad_shape, x.dtype).at[lo:lo + m].set(x)
         out_dtype = jnp.result_type(self.data.dtype, x.dtype)
@@ -320,22 +324,53 @@ class DiaMatrix:
             y = y + (row[:, None] * w if x.ndim == 2 else row * w)
         return y
 
-    def _pallas_ok(self):
-        from parelag_tpu.ops.pallas_kernels import (
-            pallas_dia_supported, dia_xpad_len)
+    def _shape_ok(self):
         n, m = self.shape
         # the kernel's xpad is sized from the ROW tiling: every tile read
         # must be provably in bounds, which requires m <= npad and every
         # offset within [-lo, hi] of the row span (wide operators with
         # m > n can push offs.max() past hi for padded slots)
         npad = -(-n // self._TILE) * self._TILE
-        if m > npad or m > n:
+        return m <= npad and m <= n
+
+    def _pallas_ok(self):
+        from parelag_tpu.ops.pallas_kernels import (
+            pallas_dia_supported, dia_xpad_len)
+        if not self._shape_ok():
             return False
+        n, m = self.shape
+        npad = -(-n // self._TILE) * self._TILE
         # padded x must stay VMEM-resident (~budget half of 16 MB)
         if dia_xpad_len(npad, self.span[0], self.offs, self._TILE) \
                 * self.data.dtype.itemsize > 8 * 2 ** 20:
             return False
         return pallas_dia_supported()
+
+    def _pallas_multirhs_ok(self, s):
+        from parelag_tpu.ops.pallas_kernels import (
+            pallas_dia_multirhs_supported)
+        if s > self._MAX_RHS or not self._shape_ok():
+            return False
+        # x stays in HBM for this kernel (DMA'd per tile) — no whole-x
+        # VMEM bound; only the per-tile (s, L) scratch must fit
+        return pallas_dia_multirhs_supported()
+
+    def _matvec_pallas_multirhs(self, x):
+        from parelag_tpu.ops.pallas_kernels import (
+            dia_spmv_multirhs_pallas, dia_xpad_len)
+        n, m = self.shape
+        lo, hi = self.span
+        T = self._TILE
+        data = self.data
+        npad = data.shape[1]
+        if npad % T:                          # foreign (unpadded) table
+            npad = -(-npad // T) * T
+            data = jnp.pad(data, ((0, 0), (0, npad - self.data.shape[1])))
+        s = x.shape[1]
+        xlen = dia_xpad_len(npad, lo, self.offs, T)
+        xpadT = jnp.zeros((s, xlen), x.dtype).at[:, lo:lo + m].set(x.T)
+        y = dia_spmv_multirhs_pallas(data, self.offs, xpadT, lo, n, tile=T)
+        return y[:, :n].T
 
     def _matvec_pallas(self, x):
         from parelag_tpu.ops.pallas_kernels import (
@@ -357,11 +392,16 @@ class DiaMatrix:
         """`sweeps` fused (weighted-)Jacobi sweeps
         x <- x + dinv_omega * (b - A x) — one pallas dispatch per sweep
         (the dispatch-count lever of the latency-bound V-cycle; see
-        pallas_kernels.dia_jacobi_sweep_pallas).  Falls back to the
-        generic path (returns None) when the pallas kernel can't run."""
+        pallas_kernels.dia_jacobi_sweep_pallas).  b may be (n,) or
+        (n, s) multi-RHS (transposed-layout kernel: the coefficient
+        table is read once for all s).  Falls back to the generic path
+        (returns None) when the pallas kernel can't run."""
         n, m = self.shape
-        if not (n == m and b.ndim == 1 and b.dtype == self.data.dtype
-                and self._pallas_ok()):
+        if not (n == m and b.dtype == self.data.dtype):
+            return None
+        if b.ndim == 2:
+            return self._jacobi_sweeps_multirhs(b, x, dinv_omega, sweeps)
+        if not self._pallas_ok():
             return None
         from parelag_tpu.ops.pallas_kernels import (
             dia_jacobi_sweep_pallas, dia_xpad_len)
@@ -381,6 +421,32 @@ class DiaMatrix:
                 self.data, self.offs, xpad, bpad, dpad, lo, n, tile=T)
             xpad = jnp.zeros(xlen, b.dtype).at[lo:lo + n].set(xn[:n])
         return xpad[lo:lo + n]
+
+    def _jacobi_sweeps_multirhs(self, b, x, dinv_omega, sweeps):
+        n = self.shape[0]
+        s = b.shape[1]
+        if not self._pallas_multirhs_ok(s):
+            return None
+        from parelag_tpu.ops.pallas_kernels import (
+            dia_jacobi_sweep_multirhs_pallas, dia_xpad_len)
+        lo, hi = self.span
+        T = self._TILE
+        npad = self.data.shape[1]
+        if npad % T:
+            return None                      # foreign (unpadded) table
+        xlen = dia_xpad_len(npad, lo, self.offs, T)
+        bpadT = jnp.zeros((s, npad), b.dtype).at[:, :n].set(b.T)
+        dpad = jnp.zeros(npad, b.dtype).at[:n].set(
+            dinv_omega.astype(b.dtype))
+        xpadT = (jnp.zeros((s, xlen), b.dtype) if x is None
+                 else jnp.zeros((s, xlen), b.dtype
+                                ).at[:, lo:lo + n].set(x.T))
+        for _ in range(sweeps):
+            xn = dia_jacobi_sweep_multirhs_pallas(
+                self.data, self.offs, xpadT, bpadT, dpad, lo, n, tile=T)
+            xpadT = jnp.zeros((s, xlen), b.dtype
+                              ).at[:, lo:lo + n].set(xn[:, :n])
+        return xpadT[:, lo:lo + n].T
 
     def __matmul__(self, x):
         return self.matvec(x)

@@ -325,6 +325,154 @@ def dia_jacobi_sweep_pallas(data, offs, xpad, bpad, dpad, lo, n,
     )(xpad, bpad, dpad, data)
 
 
+def dia_spmv_multirhs_pallas(data, offs, xpadT, lo, n, tile=8192,
+                             interpret=False):
+    """Multi-RHS DIA SpMV: y[q, i] = sum_d data[d, i]
+    * xpadT[q, lo + offs[d] + i], offsets STATIC.
+
+    xpadT is TRANSPOSED (s, xlen) so the shifted slices ride the LANE
+    dimension exactly like the proven 1D kernel (round-5 Mosaic
+    alignment fix); the coefficient table is read ONCE for all s
+    right-hand sides, so the s-RHS matvec costs ~1x the 1-RHS HBM
+    traffic (the table dominates), not s-x. x stays in HBM (pltpu.ANY)
+    and each row tile DMAs one aligned (s, L) superblock into VMEM
+    scratch — whole-x VMEM residency would cap s*n at the VMEM budget.
+    Returns y (s, npad); caller slices [:, :n]."""
+    nd, npad = data.shape
+    s = xpadT.shape[0]
+    assert npad % tile == 0 and tile % _DIA_ALIGN == 0
+    grid = (npad // tile,)
+    offs = tuple(int(o) for o in offs)
+    L = dia_superblock_len(lo, offs, tile)
+    assert xpadT.shape[1] >= npad - tile + L, "xpadT too short for kernel"
+
+    def _acc(blk, d_ref):
+        s0 = lo + offs[0]
+        acc = d_ref[0:1, :] * jax.lax.slice_in_dim(
+            blk, s0, s0 + tile, axis=1)
+        for d in range(1, nd):
+            sd = lo + offs[d]
+            acc = acc + d_ref[d:d + 1, :] * jax.lax.slice_in_dim(
+                blk, sd, sd + tile, axis=1)
+        return acc
+
+    if _HAS_PLTPU and not interpret:
+        def kernel(x_hbm, d_ref, y_ref, xs, sem):
+            base = pl.program_id(0) * tile
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(base, L)], xs, sem)
+            cp.start()
+            cp.wait()
+            y_ref[:] = _acc(xs[:], d_ref)
+
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),        # xpadT HBM
+                pl.BlockSpec((nd, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((s, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((s, npad), data.dtype),
+            scratch_shapes=[pltpu.VMEM((s, L), data.dtype),
+                            pltpu.SemaphoreType.DMA(())],
+        )(xpadT, data)
+
+    def kernel_i(x_ref, d_ref, y_ref):
+        base = pl.program_id(0) * tile
+        y_ref[:] = _acc(x_ref[:, pl.ds(base, L)], d_ref)
+
+    return pl.pallas_call(
+        kernel_i,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(xpadT.shape, lambda i: (0, 0)),
+            pl.BlockSpec((nd, tile), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((s, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((s, npad), data.dtype),
+        interpret=interpret,
+    )(xpadT, data)
+
+
+def dia_jacobi_sweep_multirhs_pallas(data, offs, xpadT, bpadT, dpad, lo,
+                                     n, tile=8192, interpret=False):
+    """ONE fused (weighted-)Jacobi sweep over a DIA operator for s
+    simultaneous right-hand sides (transposed layout, see
+    dia_spmv_multirhs_pallas):
+
+        x'[q, i] = xpadT[q, lo+i] + dpad[i] * (bpadT[q, i]
+                   - sum_d data[d, i] * xpadT[q, lo + offs[d] + i])
+
+    bpadT (s, npad), dpad (npad,) shared across RHS. Returns (s, npad)."""
+    nd, npad = data.shape
+    s = xpadT.shape[0]
+    assert npad % tile == 0 and tile % _DIA_ALIGN == 0
+    grid = (npad // tile,)
+    offs = tuple(int(o) for o in offs)
+    L = dia_superblock_len(lo, offs, tile)
+    assert xpadT.shape[1] >= npad - tile + L, "xpadT too short for kernel"
+
+    def _update(blk, b_ref, d_ref, a_ref):
+        s0 = lo + offs[0]
+        acc = a_ref[0:1, :] * jax.lax.slice_in_dim(
+            blk, s0, s0 + tile, axis=1)
+        for d in range(1, nd):
+            sd = lo + offs[d]
+            acc = acc + a_ref[d:d + 1, :] * jax.lax.slice_in_dim(
+                blk, sd, sd + tile, axis=1)
+        return (jax.lax.slice_in_dim(blk, lo, lo + tile, axis=1)
+                + d_ref[:] * (b_ref[:] - acc))
+
+    if _HAS_PLTPU and not interpret:
+        def kernel(x_hbm, b_ref, d_ref, a_ref, y_ref, xs, sem):
+            base = pl.program_id(0) * tile
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(base, L)], xs, sem)
+            cp.start()
+            cp.wait()
+            y_ref[:] = _update(xs[:], b_ref, d_ref, a_ref)
+
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),        # xpadT HBM
+                pl.BlockSpec((s, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nd, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((s, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((s, npad), data.dtype),
+            scratch_shapes=[pltpu.VMEM((s, L), data.dtype),
+                            pltpu.SemaphoreType.DMA(())],
+        )(xpadT, bpadT, dpad, data)
+
+    def kernel_i(x_ref, b_ref, d_ref, a_ref, y_ref):
+        base = pl.program_id(0) * tile
+        y_ref[:] = _update(x_ref[:, pl.ds(base, L)], b_ref, d_ref, a_ref)
+
+    return pl.pallas_call(
+        kernel_i,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(xpadT.shape, lambda i: (0, 0)),
+            pl.BlockSpec((s, tile), lambda i: (0, i)),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((nd, tile), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((s, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((s, npad), data.dtype),
+        interpret=interpret,
+    )(xpadT, bpadT, dpad, data)
+
+
 _FORCE_DISABLED = False
 # probe memo: a True result is permanent; a False result is RETRIED
 # (bounded, backoff) because the axon tunnel drops intermittently and a
@@ -332,6 +480,7 @@ _FORCE_DISABLED = False
 # whole process onto the XLA fallback (observed: a flaky-tunnel bench
 # run recorded pallas=false while a probe minutes later returned True)
 _PROBE = {"result": None, "fails": 0, "next_try": 0.0}
+_PROBE_MR = {"result": None, "fails": 0, "next_try": 0.0}
 _PROBE_MAX_FAILS = 4
 _PROBE_RETRY_S = 90.0
 
@@ -347,6 +496,7 @@ def disable_pallas():
     global _FORCE_DISABLED
     _FORCE_DISABLED = True
     _PROBE.update(result=None, fails=0, next_try=0.0)
+    _PROBE_MR.update(result=None, fails=0, next_try=0.0)
 
 
 def pallas_dia_supported() -> bool:
@@ -379,4 +529,39 @@ def pallas_dia_supported() -> bool:
     if not ok:
         _PROBE["fails"] += 1
         _PROBE["next_try"] = now + _PROBE_RETRY_S
+    return ok
+
+
+def pallas_dia_multirhs_supported() -> bool:
+    """Probe the multi-RHS DIA kernel (DMA superblock variant) on the
+    current default backend — value-checked like the 1D probe so a
+    lowering that compiles but mis-slices or mis-DMAs cannot pass."""
+    import time as _time
+    if _FORCE_DISABLED:
+        return False
+    if _PROBE_MR["result"] is True:
+        return True
+    now = _time.monotonic()
+    if _PROBE_MR["result"] is False and (
+            _PROBE_MR["fails"] >= _PROBE_MAX_FAILS
+            or now < _PROBE_MR["next_try"]):
+        return False
+    try:
+        n, lo, offs, s = 8192, 1, (-1, 0, 1), 2
+        data = jnp.ones((3, n), jnp.float32)
+        xlen = dia_xpad_len(n, lo, offs, n)
+        xh = np.zeros((s, xlen), np.float32)
+        xh[0, lo:lo + n] = np.arange(n, dtype=np.float32)
+        xh[1, lo:lo + n] = 2.0 * np.arange(n, dtype=np.float32) + 1.0
+        y = np.asarray(dia_spmv_multirhs_pallas(
+            data, offs, jnp.asarray(xh), lo, n))
+        ref = sum(xh[:, lo + o:lo + o + n] for o in offs)
+        ok = bool(np.abs(y[:, :n] - ref).max()
+                  <= 1e-3 * np.abs(ref).max())
+    except Exception:
+        ok = False
+    _PROBE_MR["result"] = ok
+    if not ok:
+        _PROBE_MR["fails"] += 1
+        _PROBE_MR["next_try"] = now + _PROBE_RETRY_S
     return ok
