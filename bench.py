@@ -272,12 +272,23 @@ def _structured_chain(nx, min_coarse=256, dtype=np.float32,
     # fast and solve more accurately direct (advisor r3)
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     mode = "ns" if on_tpu else "direct"
+    stc.reset_stage_times()
     lvl0 = stc.fine_level(shape, dtype=dtype)
     with stc.solve_mode(mode):
         levels, outs = stc.coarsen_chain(lvl0, nlev,
                                          jform_start=jform_start)
     stc.force_outputs(*levels, *outs)
     return levels, outs
+
+
+def _stage_split():
+    """Per-stage wall-clock split of the last structured-chain run
+    (round-4 verdict #5: the flagship 96^3 setup budget was
+    unattributed): {stage: [seconds, chunks, calls]}, largest first."""
+    from parelag_tpu.amge import structured as stc
+    items = sorted(stc.STAGE_TIMES.items(), key=lambda kv: -kv[1][0])
+    return {k: [round(v[0], 2), int(v[1]), int(v[2])]
+            for k, v in items}
 
 
 def _build_h1_structured(nx, min_coarse=256, dtype=np.float32):
@@ -423,9 +434,12 @@ def lane_h1(nx, n_rhs=None, cycle_cfg=None):
             transfer_dtype=jnp.bfloat16)
     ndofs = A.shape[0]
     setup_s = time.time() - t0
+    setup_stages = _stage_split() if setup_backend == "structured" \
+        else None
     print(f"[h1] setup[{setup_backend}] {setup_s:.1f}s ndofs={ndofs} "
           f"levels={len(H.levels)} "
-          f"fmt={type(H.levels[0].A).__name__}", file=sys.stderr)
+          f"fmt={type(H.levels[0].A).__name__} "
+          f"stages={setup_stages}", file=sys.stderr)
 
     bj = jnp.asarray(b.astype(dtype))
     if n_rhs:
@@ -457,6 +471,10 @@ def lane_h1(nx, n_rhs=None, cycle_cfg=None):
                iters=niter, rel_res=rel, solve_s=dt,
                value=thr, unit="dof_iter_per_s", setup_s=setup_s,
                setup_backend=setup_backend)
+    if setup_stages:
+        out["setup_stages"] = setup_stages
+        out["setup_dispatch"] = os.environ.get(
+            "PARELAG_STC_DISPATCH", "slice")
     if rel > 1e-5:
         # f32 floor honesty (round-4 verdict weak #5)
         out["rel_res_floor"] = rel
@@ -595,8 +613,12 @@ def lane_setup(nx, backends=("host", "device", "structured")):
             nd = (nx + 1) ** 3
             out["structured_setup_s"] = dt
             out["structured_dof_per_s"] = nd / dt
+            out["structured_stages"] = _stage_split()
+            out["structured_dispatch"] = os.environ.get(
+                "PARELAG_STC_DISPATCH", "slice")
             print(f"[setup] backend=structured {dt:.1f}s "
-                  f"({nd / dt:.0f} dof/s)", file=sys.stderr)
+                  f"({nd / dt:.0f} dof/s) "
+                  f"stages={out['structured_stages']}", file=sys.stderr)
         except Exception as e:           # pragma: no cover
             print(f"[setup] backend=structured failed: {e}",
                   file=sys.stderr)
@@ -1027,8 +1049,38 @@ def _pick_factors(cells, target=4):
     return tuple(out)
 
 
+def measure_host_structured_anchor(cells, spect_tol=0.002,
+                                   max_evects=5):
+    """Measured host anchor for the spe10_structured lanes: the SAME
+    structured spectral engine on the host CPU backend (direct f64
+    stage solves — the reference's per-rank LAPACK execution model).
+    Minutes-scale at the (60,220,85) north star, so it runs OFFLINE
+    (`python bench.py host-anchor-sps CELLS`) and lands in the anchors
+    cache with provenance — never in the bench's critical path."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from parelag_tpu.models.spe10 import synthetic_spe10_field
+    from parelag_tpu.amge import structured_spectral as sps
+
+    field = synthetic_spe10_field(tuple(cells), seed=0)
+    coeff = field.inv_perm.mean(-1).transpose(2, 1, 0).ravel()
+    f = _pick_factors(cells)
+    t0 = time.time()
+    out = sps.spectral_coarsen_darcy(
+        tuple(cells), f, coeff, h=field.sizes, spect_tol=spect_tol,
+        max_evects=max_evects, dtype=np.float64)
+    setup_s = time.time() - t0
+    return dict(metric="spe10_structured_host_anchor",
+                cells=list(cells), factors=list(f),
+                kind="host_structured_direct_f64",
+                ndofs_u=int(out.P2.shape[0]),
+                coarse_u=int(out.P2.shape[1]), setup_s=setup_s)
+
+
 def lane_spe10_structured(cells, spect_tol=0.002, max_evects=5,
-                          host_anchor_s=None, coarse_solve=None):
+                          host_anchor_s=None, host_anchor_kind=None,
+                          coarse_solve=None):
     """SPE10 north star, device-resident setup: the structured
     spectral Hdiv-L2 engine (amge/structured_spectral.py — per-AE
     spectral eigenproblems, trace SVDs and saddle extensions as
@@ -1064,6 +1116,8 @@ def lane_spe10_structured(cells, spect_tol=0.002, max_evects=5,
     if host_anchor_s:
         res["host_anchor_setup_s"] = host_anchor_s
         res["vs_baseline"] = host_anchor_s / setup_s
+        if host_anchor_kind:
+            res["host_anchor_kind"] = host_anchor_kind
     if coarse_solve is None:
         # the quality check solves the FINE saddle direct on the host —
         # only cheap at small sizes (parity at scale is carried by
@@ -1274,12 +1328,19 @@ def main(degraded=None):
              host_anchor_s=anchor.get("setup_s") if anchor else None)
     if SCALE == "full":
         anchor_f = _anchor_get("spe10_(60, 220, 85)")
+        kind_f = "host_generic" if anchor_f else None
+        if anchor_f is None:
+            # same-engine host anchor (measured offline via
+            # `python bench.py host-anchor-sps 60 220 85`)
+            anchor_f = _anchor_get("spe10_structured_host_(60, 220, 85)")
+            kind_f = (anchor_f or {}).get("kind")
         if anchor_f is not None:
             print(json.dumps({"lane": "spe10_full", "cached": True,
                               **anchor_f}), file=sys.stderr, flush=True)
         run_lane("spe10_structured_full", lane_spe10_structured,
                  (60, 220, 85),
-                 host_anchor_s=(anchor_f or {}).get("setup_s"))
+                 host_anchor_s=(anchor_f or {}).get("setup_s"),
+                 host_anchor_kind=kind_f)
 
     # ---- the rest, in decreasing record value ---- #
     # 64^3 pins the README/DESIGN setup-time claims (verdict r3 #8)
@@ -1338,6 +1399,13 @@ def _device_reachable(timeout_s=150, window_s=2700):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "host-anchor-sps":
+        cells = (tuple(int(v) for v in sys.argv[2:5])
+                 if len(sys.argv) >= 5 else (60, 220, 85))
+        rec = measure_host_structured_anchor(cells)
+        _anchor_put(f"spe10_structured_host_{cells}", rec)
+        print(json.dumps(rec))
+        sys.exit(0)
     if _device_reachable():
         main()
     else:

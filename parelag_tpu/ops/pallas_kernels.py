@@ -481,7 +481,10 @@ _FORCE_DISABLED = False
 # run recorded pallas=false while a probe minutes later returned True)
 _PROBE = {"result": None, "fails": 0, "next_try": 0.0}
 _PROBE_MR = {"result": None, "fails": 0, "next_try": 0.0}
-_PROBE_MAX_FAILS = 4
+# 12 fails x 90s backoff covers ~18 min of tunnel flakiness: a bench
+# run observed the 4-fail budget exhausted by transient contention and
+# the whole flagship lane then rode the XLA fallback (pallas=false)
+_PROBE_MAX_FAILS = 12
 _PROBE_RETRY_S = 90.0
 
 

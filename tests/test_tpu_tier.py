@@ -416,9 +416,14 @@ print("sps_quality_saved", float(out.ns_res))
     P3c = sp_.coo_matrix((z["p3_val"], (z["p3_row"], z["p3_col"])),
                          shape=tuple(z["p3_shape"])).tocsr()
 
-    # host f64 reference spaces + the shared error functional
-    out_h = sps.spectral_coarsen_darcy(cells, f, coeff, h=h,
-                                       spect_tol=0.002, max_evects=5)
+    # host reference spaces (f32 direct: the SAME dtype as the chip run
+    # isolates the backend/solve strategy — the f32 keep-floor keeps
+    # fewer modes than f64 by design, measured err 0.179 vs 0.122 here,
+    # so an f64 reference would test the dtype, not the chip) + the
+    # shared error functional
+    out_h = sps.spectral_coarsen_darcy(cells, f, coeff.astype(np.float32),
+                                       h=h, spect_tol=0.002,
+                                       max_evects=5, dtype=np.float32)
     nc, nf, _, _ = st.grid_counts(cells)
     ref = st.fine_local_masses(h)
     M2 = st.assemble_global(
@@ -443,8 +448,9 @@ print("sps_quality_saved", float(out.ns_res))
         return float(np.sqrt(du @ (M2 @ du)) / np.sqrt(uf @ (M2 @ uf)))
 
     err_chip = upscale_err(P2c.astype(np.float64), P3c.astype(np.float64))
-    err_host = upscale_err(out_h.P2, out_h.P3)
-    assert abs(err_chip - err_host) < 5e-4 + 5e-2 * err_host, \
+    err_host = upscale_err(out_h.P2.astype(np.float64),
+                           out_h.P3.astype(np.float64))
+    assert abs(err_chip - err_host) < 5e-4 + 1e-2 * err_host, \
         (err_chip, err_host)
 
 
