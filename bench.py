@@ -1060,6 +1060,15 @@ def measure_host_structured_anchor(cells, spect_tol=0.002,
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    if jax.default_backend() != "cpu":
+        # the module-level compile-cache setup already initialized the
+        # axon backend set; drop it so the platform pin takes effect
+        # (otherwise the f64 host stages compile ONTO the TPU and die:
+        # "Only F32 and C64 types are implemented in LuDecomposition")
+        import jax.extend.backend as _jeb
+        _jeb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
     from parelag_tpu.models.spe10 import synthetic_spe10_field
     from parelag_tpu.amge import structured_spectral as sps
 
