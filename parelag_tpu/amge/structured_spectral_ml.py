@@ -47,10 +47,15 @@ from parelag_tpu.amge import structured as _st
 from parelag_tpu.amge import structured_spectral as _sp
 
 
-# eigenvalue shift planted on padded (inactive) slots of the spectral
-# stage: far above any physical mode so padded directions are never
-# kept, far below f32 overflow so the eigh stays accurate
-_PAD_EIG = 1.0e8
+# multiplier on the Gershgorin bound of the ACTIVE transformed Schur
+# block: padded (inactive) slots get a planted eigenvalue this factor
+# above every physical mode, so they are never among the kept smallest.
+# The pad must stay SCALE-AWARE: a fixed huge shift (1e8) makes the f32
+# eigh's absolute eigenvalue noise (~eps * ||A||) swamp the O(1) active
+# eigenvalues — measured on the chip as kept-mode collapse (46 vs 70
+# coarse u dofs at (12,20,8)); 16x the active bound keeps the noise at
+# ~16*eps relative, far under the 2e-3 spectral keep threshold.
+_PAD_EIG_FACTOR = 16.0
 
 
 @dataclass
@@ -295,11 +300,10 @@ def _spectral_stage_blk(mch, bch, wch, qbdr, wmask, qmask_bdr,
     nn = npl + nbdofs
     rmask = jnp.concatenate(
         [wmask.reshape(n, -1), qmask_bdr.reshape(n, -1)], axis=1)
-    # padded directions: plant a large eigenvalue so they are never
-    # among the kept smallest and never contaminate w_act_max
-    S = S + (1.0 - rmask)[:, :, None] * (
-        jnp.eye(nn, dtype=dt)[None] * jnp.asarray(_PAD_EIG, dt)
-        * (1.0 - rmask)[:, None, :])
+    # zero inactive rows/cols of S so the only thing on padded slots is
+    # the planted shift (applied to St below, AFTER the Cholesky
+    # transform, where its scale can be tied to the active spectrum)
+    S = S * rmask[:, :, None] * rmask[:, None, :]
 
     def blk_solve_T(L_blocks, V, base, k, s):
         """V <- blkdiag(L)^-1 V on rows [base, base + k*s)."""
@@ -315,6 +319,14 @@ def _spectral_stage_blk(mch, bch, wch, qbdr, wmask, qmask_bdr,
     St = blk_solve_T(Lw, St, 0, ncell, capP)
     St = blk_solve_T(Lq, St, npl, nbd, capF)
     St = 0.5 * (St + St.transpose(0, 2, 1))
+    # scale-aware pad on the inactive slots: Gershgorin bound of the
+    # active block puts every planted eigenvalue above the physical
+    # range without inflating ||St|| (see _PAD_EIG_FACTOR note)
+    bound = jnp.max(jnp.sum(jnp.abs(St), axis=2) * rmask, axis=1)
+    pad = _PAD_EIG_FACTOR * jnp.maximum(bound, 1.0)
+    St = St + (1.0 - rmask)[:, :, None] * (
+        jnp.eye(nn, dtype=dt)[None] * pad[:, None, None]
+        * (1.0 - rmask)[:, None, :])
     w, Vt = jnp.linalg.eigh(St)
 
     # back-transform: V = L^-T Vt

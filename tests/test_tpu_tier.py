@@ -454,6 +454,101 @@ print("sps_quality_saved", float(out.ns_res))
         (err_chip, err_host)
 
 
+@needs_tpu
+def test_structured_spectral_ml_on_device(tmp_path):
+    """The MULTILEVEL block spectral engine
+    (amge/structured_spectral_ml.py) recursing ON THE CHIP: a 2-level
+    chain in ns/f32 mode with every stage guard green, coarse dims
+    tracking the host f32 direct chain, and the composed prolongation's
+    Darcy upscaling error matching the host chain's (reference:
+    recursive Coarsen() with per-level spectral targets,
+    DeRhamSequence.cpp:572-692)."""
+    import numpy as np
+    import scipy.sparse as sp_
+    import scipy.sparse.linalg as spla
+    from parelag_tpu.amge import structured as st
+    from parelag_tpu.amge import structured_spectral_ml as ml
+    from parelag_tpu.models.spe10 import synthetic_spe10_field
+
+    cells, facs = (12, 20, 8), ((3, 4, 2), (2, 5, 2))
+    field = synthetic_spe10_field(cells, seed=0)
+    coeff = field.inv_perm.mean(-1).transpose(2, 1, 0).ravel()
+    h = field.sizes
+    out_npz = tmp_path / "sps_ml_chip.npz"
+
+    r = _run(_PREAMBLE + rf"""
+import numpy as np
+from parelag_tpu.amge import structured as stc
+from parelag_tpu.amge import structured_spectral_ml as ml
+from parelag_tpu.models.spe10 import synthetic_spe10_field
+cells, facs = (12, 20, 8), ((3, 4, 2), (2, 5, 2))
+field = synthetic_spe10_field(cells, seed=0)
+coeff = field.inv_perm.mean(-1).transpose(2, 1, 0).ravel()
+with stc.solve_mode("ns"):
+    levels, outs = ml.spectral_coarsen_darcy_chain(
+        cells, facs, coeff.astype(np.float32), h=field.sizes,
+        spect_tol=0.002, max_evects=4, dtype=np.float32)
+Pu = (outs[0].P2 @ outs[1].P2).tocoo()
+Pp = (outs[0].P3 @ outs[1].P3).tocoo()
+np.savez(r"{out_npz}",
+         pu_row=Pu.row, pu_col=Pu.col, pu_val=Pu.data,
+         pu_shape=Pu.shape, pp_row=Pp.row, pp_col=Pp.col,
+         pp_val=Pp.data, pp_shape=Pp.shape,
+         ns_res=max(o.ns_res for o in outs))
+print("sps_ml_saved", max(float(o.ns_res) for o in outs))
+""", timeout=2400)
+    _check(r, "sps_ml_saved")
+
+    z = np.load(out_npz)
+    assert float(z["ns_res"]) < 5e-4, float(z["ns_res"])
+    Puc = sp_.coo_matrix((z["pu_val"], (z["pu_row"], z["pu_col"])),
+                         shape=tuple(z["pu_shape"])).tocsr()
+    Ppc = sp_.coo_matrix((z["pp_val"], (z["pp_row"], z["pp_col"])),
+                         shape=tuple(z["pp_shape"])).tocsr()
+
+    # host f32 direct chain (same dtype isolates the backend; borderline
+    # keep flips compound across levels, so dims get a 3% band and the
+    # error the multilevel f32 band from test_structured_spectral_ml)
+    with st.solve_mode("direct"):
+        _, outs_h = ml.spectral_coarsen_darcy_chain(
+            cells, facs, coeff.astype(np.float32), h=h,
+            spect_tol=0.002, max_evects=4, dtype=np.float32)
+    Puh = (outs_h[0].P2 @ outs_h[1].P2).astype(np.float64)
+    Pph = (outs_h[0].P3 @ outs_h[1].P3).astype(np.float64)
+    assert abs(Puc.shape[1] - Puh.shape[1]) <= max(
+        3, 0.03 * Puh.shape[1]), (Puc.shape, Puh.shape)
+    assert abs(Ppc.shape[1] - Pph.shape[1]) <= max(
+        3, 0.03 * Pph.shape[1]), (Ppc.shape, Pph.shape)
+
+    nc, nf, _, _ = st.grid_counts(cells)
+    ref = st.fine_local_masses(h)
+    M2 = st.assemble_global(
+        np.asarray(coeff)[:, None, None] * ref[(0, 2)][None],
+        st.cell_faces(cells), sum(nf))
+    W = sp_.diags(np.full(nc, float(ref[(0, 3)][0, 0]))).tocsr()
+    _, _, d2 = st.fine_derivative_values(cells, h)
+    D2 = st.assemble_d_csr(d2, st.d2_cols(cells), (nc, sum(nf)))
+    B = (W @ D2).tocsr()
+    rhs = np.concatenate([np.zeros(sum(nf)), W.diagonal()])
+    A = sp_.bmat([[M2, B.T], [B, None]], format="csc")
+    x = spla.spsolve(A, rhs)
+    uf = x[:sum(nf)]
+
+    def upscale_err(P2, P3):
+        Ac = sp_.bmat([[(P2.T @ M2 @ P2), (P3.T @ B @ P2).T],
+                       [(P3.T @ B @ P2), None]], format="csc")
+        xc = spla.spsolve(Ac, np.concatenate(
+            [np.zeros(P2.shape[1]), P3.T @ W.diagonal()]))
+        uc = P2 @ xc[:P2.shape[1]]
+        du = uc - uf
+        return float(np.sqrt(du @ (M2 @ du)) / np.sqrt(uf @ (M2 @ uf)))
+
+    err_chip = upscale_err(Puc.astype(np.float64), Ppc.astype(np.float64))
+    err_host = upscale_err(Puh, Pph)
+    assert abs(err_chip - err_host) < 5e-3 + 1.5e-1 * err_host, \
+        (err_chip, err_host)
+
+
 # ------------------------------------------------------------------ #
 # 8. device eigh (spectral targets) on hardware
 # ------------------------------------------------------------------ #
