@@ -88,6 +88,74 @@ def test_block_two_level_vs_oneshot(shape, f_oneshot, facs, max_evects):
         assert (col_norms > 1e-12).all()
 
 
+def test_block_chain_parity_vs_generic_recursion():
+    """THE reference oracle: the generic engine's recursive Coarsen()
+    with per-level spectral targets (the spe10_darcy loop,
+    DeRhamSequence.cpp:572-692) on the same cartesian partitions must
+    produce the same coarse dimensions and the same Darcy upscaling
+    error to digits.  Each engine's error is evaluated against its own
+    fine operators (the functional is numbering-free)."""
+    import scipy.sparse as sp
+    from parelag_tpu.mesh.mesh import hex_grid_mesh
+    from parelag_tpu.topology.topology import AgglomeratedTopology
+    from parelag_tpu.amge.fespace import DeRhamSequenceFE
+    from parelag_tpu.amge.spectral import (
+        compute_local_hdiv_l2_spectral_targets)
+    from parelag_tpu.partitioning.partitioners import cartesian_partition
+
+    shape, facs, me, tol = (8, 8, 8), [(2, 2, 2), (2, 2, 2)], 5, 0.002
+    coeff = _coeff_field(shape, seed=3)
+
+    # generic recursive chain (topology levels FIRST, then the
+    # sequence recursion — the spe10_darcy construction order)
+    mesh = hex_grid_mesh(*shape)
+    topos = [AgglomeratedTopology.from_mesh(mesh)]
+    cur = shape
+    for f in facs:
+        topos.append(topos[-1].coarsen_local_partitioning(
+            cartesian_partition(cur, f)))
+        cur = tuple(s // ff for s, ff in zip(cur, f))
+    seq0 = DeRhamSequenceFE(topos[0], mesh)
+    seq0.jform_start = 2
+    cgrid = np.asarray(coeff).reshape(
+        shape[2], shape[1], shape[0]).transpose(2, 1, 0)
+
+    def kinv(p):
+        i = np.clip((p[..., 0] * shape[0]).astype(int), 0, shape[0] - 1)
+        j = np.clip((p[..., 1] * shape[1]).astype(int), 0, shape[1] - 1)
+        k = np.clip((p[..., 2] * shape[2]).astype(int), 0, shape[2] - 1)
+        return cgrid[i, j, k]
+
+    seq0.replace_mass_integrator(2, kinv)
+    seq0.set_upscaling_targets(0)
+    seqs = [seq0]
+    for _ in facs:
+        s = seqs[-1]
+        s.agglomerate_dofs()
+        tr, l2 = compute_local_hdiv_l2_spectral_targets(s, tol, me)
+        s.set_local_targets(1, 2, tr)
+        s.set_local_targets(0, 3, l2)
+        seqs.append(s.coarsen())
+    M2g = seqs[0].compute_mass_operator(2)
+    Wg = seqs[0].compute_mass_operator(3)
+    D2g = seqs[0].D[2].tocsr()
+    Pu_g = sp.csr_matrix(seqs[0].P[2]) @ sp.csr_matrix(seqs[1].P[2])
+    Pp_g = sp.csr_matrix(seqs[0].P[3]) @ sp.csr_matrix(seqs[1].P[3])
+    e_g = _darcy_upscale_err(M2g, Wg, D2g, Pu_g, Pp_g)
+
+    levels, outs = ml.spectral_coarsen_darcy_chain(
+        shape, facs, coeff, spect_tol=tol, max_evects=me)
+    Pu_b = outs[0].P2 @ outs[1].P2
+    Pp_b = outs[0].P3 @ outs[1].P3
+    M2, W, D2 = _structured_ops(shape, coeff)
+    e_b = _darcy_upscale_err(M2, W, D2, Pu_b, Pp_b)
+
+    assert Pu_b.shape[1] == Pu_g.shape[1], (Pu_b.shape, Pu_g.shape)
+    assert Pp_b.shape[1] == Pp_g.shape[1], (Pp_b.shape, Pp_g.shape)
+    # measured 9.3656848e-01 both
+    assert abs(e_b - e_g) < 1e-8 + 1e-6 * e_g, (e_b, e_g)
+
+
 def test_block_three_level_chain():
     """3-level recursion: shapes/capacities thread through, per-level
     prolongations compose, error grows monotonically but stays bounded
