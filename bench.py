@@ -436,6 +436,15 @@ def lane_h1(nx, n_rhs=None, cycle_cfg=None):
     setup_s = time.time() - t0
     setup_stages = _stage_split() if setup_backend == "structured" \
         else None
+    setup_warm_s = None
+    if setup_backend == "structured":
+        # warm re-run of the coarsening chain alone (stage executables
+        # resident): separates remote compile/upload/tunnel stalls from
+        # the engine's steady-state (measured 285s cold / 28s warm at
+        # 96^3); reported alongside the cold number, never replacing it
+        t0w = time.time()
+        _structured_chain(nx, dtype=dtype)
+        setup_warm_s = time.time() - t0w
     print(f"[h1] setup[{setup_backend}] {setup_s:.1f}s ndofs={ndofs} "
           f"levels={len(H.levels)} "
           f"fmt={type(H.levels[0].A).__name__} "
@@ -475,6 +484,9 @@ def lane_h1(nx, n_rhs=None, cycle_cfg=None):
         out["setup_stages"] = setup_stages
         out["setup_dispatch"] = os.environ.get(
             "PARELAG_STC_DISPATCH", "slice")
+    if setup_warm_s is not None:
+        out["setup_warm_s"] = setup_warm_s
+        out["setup_warm_stages"] = _stage_split()
     if rel > 1e-5:
         # f32 floor honesty (round-4 verdict weak #5)
         out["rel_res_floor"] = rel
@@ -1116,15 +1128,30 @@ def lane_spe10_structured(cells, spect_tol=0.002, max_evects=5,
             cells, f, coeff.astype(dtype), h=field.sizes,
             spect_tol=spect_tol, max_evects=max_evects, dtype=dtype)
     setup_s = time.time() - t0
+    # warm re-run: the same setup with every stage executable already
+    # resident (in-process jit cache).  The cold number carries remote
+    # compile + executable upload + any tunnel stalls (measured: a 96^3
+    # H1 chain is 285s cold / 28s warm with the SAME device work);
+    # vs_baseline stays on the COLD number — the warm one records the
+    # engine's steady-state so the two causes stay separable.
+    t0 = time.time()
+    with stc.solve_mode(mode):
+        sps.spectral_coarsen_darcy(
+            cells, f, coeff.astype(dtype), h=field.sizes,
+            spect_tol=spect_tol, max_evects=max_evects, dtype=dtype)
+    setup_warm_s = time.time() - t0
     nu = int(out_sp.P2.shape[0])
     res = dict(metric="spe10_structured_spectral_setup",
                cells=list(cells), factors=list(f), mode=mode,
                ndofs_u=nu, coarse_u=int(out_sp.P2.shape[1]),
                coarse_p=int(out_sp.P3.shape[1]), setup_s=setup_s,
-               value=nu / setup_s, unit="dof_per_s")
+               setup_warm_s=setup_warm_s,
+               value=nu / setup_s, unit="dof_per_s",
+               warm_dof_per_s=nu / setup_warm_s)
     if host_anchor_s:
         res["host_anchor_setup_s"] = host_anchor_s
         res["vs_baseline"] = host_anchor_s / setup_s
+        res["vs_baseline_warm"] = host_anchor_s / setup_warm_s
         if host_anchor_kind:
             res["host_anchor_kind"] = host_anchor_kind
     if coarse_solve is None:
@@ -1162,6 +1189,52 @@ def lane_spe10_structured(cells, spect_tol=0.002, max_evects=5,
         res["u_l2_rel"] = float(np.sqrt(du @ (M2 @ du))
                                 / np.sqrt(uf @ (M2 @ uf)))
     return res
+
+
+def lane_spe10_ml(cells=(32, 32, 16), facs=((4, 4, 2), (2, 2, 2)),
+                  spect_tol=0.002, max_evects=4):
+    """MULTILEVEL device-resident spectral recursion
+    (amge/structured_spectral_ml.py): a 2-level heterogeneous Hdiv-L2
+    chain runs ON the chip — level 2 coarsens the level-1 coarse
+    operators through the same three batched stages on fixed slot
+    capacities (reference: recursive Coarsen(),
+    DeRhamSequence.cpp:572-692).  Parity oracle:
+    tests/test_structured_spectral_ml.py (digit parity vs the generic
+    recursive engine; chip lane in test_tpu_tier.py)."""
+    import jax
+    from parelag_tpu.models.spe10 import synthetic_spe10_field
+    from parelag_tpu.amge import structured as stc
+    from parelag_tpu.amge import structured_spectral_ml as ml
+
+    field = synthetic_spe10_field(cells, seed=0)
+    coeff = field.inv_perm.mean(-1).transpose(2, 1, 0).ravel()
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    mode = "ns" if on_tpu else "direct"
+    dtype = np.float32
+    t0 = time.time()
+    with stc.solve_mode(mode):
+        levels, outs = ml.spectral_coarsen_darcy_chain(
+            cells, [tuple(f) for f in facs], coeff.astype(dtype),
+            h=field.sizes, spect_tol=spect_tol,
+            max_evects=max_evects, dtype=dtype)
+    setup_s = time.time() - t0
+    t0 = time.time()
+    with stc.solve_mode(mode):
+        ml.spectral_coarsen_darcy_chain(
+            cells, [tuple(f) for f in facs], coeff.astype(dtype),
+            h=field.sizes, spect_tol=spect_tol,
+            max_evects=max_evects, dtype=dtype)
+    setup_warm_s = time.time() - t0
+    nu = int(outs[0].P2.shape[0])
+    return dict(metric="spe10_structured_ml_setup",
+                cells=list(cells), factors=[list(f) for f in facs],
+                mode=mode, nlevels=len(levels),
+                ndofs_u=nu,
+                coarse_u=[int(o.P2.shape[1]) for o in outs],
+                coarse_p=[int(o.P3.shape[1]) for o in outs],
+                ns_res=float(max(o.ns_res for o in outs)),
+                setup_s=setup_s, setup_warm_s=setup_warm_s,
+                value=nu / setup_s, unit="dof_per_s")
 
 
 def host_phase_probe():
@@ -1350,6 +1423,10 @@ def main(degraded=None):
                  (60, 220, 85),
                  host_anchor_s=(anchor_f or {}).get("setup_s"),
                  host_anchor_kind=kind_f)
+    # multilevel device recursion (round-5: structured_spectral_ml)
+    run_lane("spe10_ml", lane_spe10_ml,
+             (32, 32, 16) if SCALE == "full" else (8, 8, 4),
+             ((4, 4, 2), (2, 2, 2)))
 
     # ---- the rest, in decreasing record value ---- #
     # 64^3 pins the README/DESIGN setup-time claims (verdict r3 #8)
