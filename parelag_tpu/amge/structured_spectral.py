@@ -384,6 +384,77 @@ def _ext_saddle_solve_ns(M_ii, B_ii, T, rhs, nu_int, ncell,
     return Y
 
 
+def _ext_spot_check(shape, h, coeff, l2_weight, cells, fslot,
+                    slot_facet, nu_int, ptr_bdr, pb_slot, U3np,
+                    Pintnp, K2, n_spot):
+    """f64 host oracle for the extension stage on `n_spot` AEs (spread
+    deterministically over the grid): rebuild each AE's Lagrange saddle
+    from analytic f64 inputs plus the SAME upstream trace data the
+    device stage consumed (ptr_bdr/pb_slot/U3), solve it directly, and
+    return the worst relative M_ii-energy error of any kept Pint
+    column.  Cost: n_spot dense (nu_int+ncell+1)^2 f64 solves — O(ms)
+    against a minutes-scale setup."""
+    n_ae, ncell = cells.shape
+    nbd = ptr_bdr.shape[1]
+    nu = nu_int + nbd
+    K3 = U3np.shape[2]
+    k_ext = 6 * (1 + K2)
+    ref64 = _st.fine_local_masses(h, np.float64)
+    m02_ref = np.asarray(ref64[(0, 2)], dtype=np.float64)
+    m03_ref = float(np.asarray(ref64[(0, 3)])[0, 0])
+    _, _, d2np = _st.fine_derivative_values(shape, h, np.float64)
+    coeff64 = np.asarray(coeff, dtype=np.float64)
+    w64 = (np.asarray(l2_weight, dtype=np.float64)
+           if l2_weight is not None else None)
+    rows = np.arange(nbd)
+    cols_extra = (6 + np.asarray(slot_facet)[:, None] * K2
+                  + np.arange(K2)[None, :])
+    spots = np.unique(np.linspace(0, n_ae - 1, n_spot).astype(np.int64))
+    worst = 0.0
+    for e in spots:
+        ce = cells[e]
+        m02_e = coeff64[ce][:, None, None] * m02_ref[None]
+        m03_e = (w64[ce] if w64 is not None
+                 else np.ones(ncell)) * m03_ref
+        d2_e = d2np[ce]
+        M = np.zeros((nu, nu))
+        Dloc = np.zeros((ncell, nu))
+        for i in range(ncell):
+            sl = fslot[i]
+            M[np.ix_(sl, sl)] += m02_e[i]
+            Dloc[i, sl] = d2_e[i]
+        B = m03_e[:, None] * Dloc
+        Pb = np.zeros((nbd, k_ext))
+        Pb[rows, slot_facet] = np.asarray(ptr_bdr[e], dtype=np.float64)
+        Pb[rows[:, None], cols_extra] = np.asarray(
+            pb_slot[e], dtype=np.float64)
+        M_ii, M_ib = M[:nu_int, :nu_int], M[:nu_int, nu_int:]
+        B_ii, B_ib = B[:, :nu_int], B[:, nu_int:]
+        nsys = nu_int + ncell + 1
+        rhs = np.zeros((nsys, k_ext + K3))
+        rhs[:nu_int, :k_ext] = -(M_ib @ Pb)
+        rhs[nu_int:nu_int + ncell, :k_ext] = -(B_ib @ Pb)
+        rhs[nu_int:nu_int + ncell, k_ext:] = m03_e[:, None] * U3np[e]
+        A = np.zeros((nsys, nsys))
+        A[:nu_int, :nu_int] = M_ii
+        A[nu_int:nu_int + ncell, :nu_int] = B_ii
+        A[:nu_int, nu_int:nu_int + ncell] = B_ii.T
+        A[-1, nu_int:nu_int + ncell] = m03_e
+        A[nu_int:nu_int + ncell, -1] = m03_e
+        try:
+            X = np.linalg.solve(A, rhs)
+        except np.linalg.LinAlgError:       # pragma: no cover
+            X = np.linalg.lstsq(A, rhs, rcond=None)[0]
+        P64 = X[:nu_int]
+        D = Pintnp[e][:, :k_ext + K3] - P64
+        e_col = np.einsum("ik,ij,jk->k", D, M_ii, D)
+        ref_col = np.einsum("ik,ij,jk->k", P64, M_ii, P64)
+        scale = max(float(ref_col.max()), 1e-30)
+        worst = max(worst, float(np.sqrt(
+            np.clip(e_col, 0.0, None).max() / scale)))
+    return worst
+
+
 def _extension_stage(m02_ch, m03_ch, d2_ch, ptr_bdr, pb_slot, t2_u,
                      rt_cols, fslot, slot_facet, nu_int, null_tol):
     """Hdiv interior Lagrange extension with RangeT bubbles and null
@@ -492,12 +563,13 @@ class SpectralDarcyOut:
     n_ae_u_dofs: object   # (n_ae,) rt + null interior Hdiv dofs
     n_ae_p_dofs: object   # (n_ae,) 1 + kept L2 dofs
     ns_res: float = 0.0
+    ext_spot_err: float = 0.0  # f64 spot-oracle energy error (worst AE)
 
 
 def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
                            spect_tol=0.002, max_evects=5,
                            svd_tol=1e-9, kcap2=None, dtype=np.float64,
-                           chunk=8192):
+                           chunk=8192, spot_check=3, spot_tol=None):
     """One spectral Hdiv-L2 coarsening of the fine grid `shape` with
     per-axis factors `f` and per-cell Hdiv coefficient `coeff` (SPE10
     kinv; the L2 mass keeps unit weight like the reference examples).
@@ -512,6 +584,10 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
         h = tuple(1.0 / s for s in shape)
     dt = np.dtype(dtype)
     mode = _st._SOLVE_MODE
+    if spot_tol is None:
+        # calibrated against measured spot errors (f64 direct ~1e-13;
+        # f32 ns with refinement — see tests/test_structured_spectral)
+        spot_tol = 1e-8 if dt.itemsize == 8 else 2e-3
     nc, nf, ne, nv = _st.grid_counts(shape)
     ncells_ae = int(np.prod(f))
     n_ae = int(np.prod(cshape))
@@ -677,6 +753,26 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
             float(v), f"stage {k} solve did not converge",
             {kk: float(vv) for kk, vv in ns_by_stage.items()})
 
+    # ---- coarse-operator quality invariant (f64 spot oracle) ---- #
+    # The backward-residual guard above has a 4.5x silent band between
+    # its tolerance and the measured f32 floor; this closes it with a
+    # FORWARD-error check: a handful of AEs' extension saddles are
+    # re-solved on the host in f64 and the device Pint columns are
+    # compared in the M_ii ENERGY norm — the quantity the two-level
+    # preconditioner actually feels.  Mirrors the reference's
+    # CheckInvariants spirit (DeRhamSequence.cpp CheckD/CheckTrueD) at
+    # the stage where f32 degradation would otherwise pass silently.
+    ext_spot = 0.0
+    if spot_check:
+        ext_spot = _ext_spot_check(
+            shape, h, coeff, l2_weight, cells, fslot,
+            slot_facet, nu_int, ptr_bdr, pb_slot,
+            np.asarray(U3, dtype=np.float64), np.asarray(
+                Pint, dtype=np.float64), K2, int(spot_check))
+        assert ext_spot < spot_tol, (
+            ext_spot, "extension spot oracle: device Pint deviates "
+            "from the f64 host solution in energy norm", spot_tol)
+
     # ---- host materialization (masked columns dropped) ---- #
     # All four ragged kept-column blocks are emitted by ARRAY ops over a
     # (entity, capacity) keep-mask — at the (60,220,85) north star the
@@ -771,4 +867,4 @@ def spectral_coarsen_darcy(shape, f, coeff, h=None, l2_weight=None,
     return SpectralDarcyOut(
         cshape=cshape, f=tuple(f), P2=P2, P3=P3,
         n_facet_dofs=1 + nk2np, n_ae_u_dofs=nk3np + n_nullnp,
-        n_ae_p_dofs=1 + nk3np, ns_res=ns_res)
+        n_ae_p_dofs=1 + nk3np, ns_res=ns_res, ext_spot_err=ext_spot)

@@ -171,3 +171,39 @@ def test_spectral_homogeneous_minimal():
     # against PV, so no facet gains a second dof
     assert (out.n_facet_dofs == 1).all()
     assert (out.n_ae_p_dofs <= 2).all()
+
+
+def test_ext_spot_oracle_default_on_and_catches_degradation(monkeypatch):
+    """Verdict r4 weak #8: the backward-residual guard had a 4.5x band
+    in which a degraded extension passed silently.  The f64 spot oracle
+    (sps._ext_spot_check) closes it with a FORWARD energy-norm check:
+    (a) it runs by default and reports an error far inside the guard
+    band; (b) an artificially degraded saddle solve — 0.5% relative
+    noise on the interior block, inside what the residual guard alone
+    could miss — trips the assertion."""
+    shape, f = (8, 8, 4), (4, 4, 2)
+    coeff = _coeff_field(shape, seed=3).astype(np.float32)
+    with st.solve_mode("ns"):
+        out = sps.spectral_coarsen_darcy(shape, f, coeff,
+                                         dtype=np.float32)
+    assert 0.0 < out.ext_spot_err < 2e-3, out.ext_spot_err
+
+    orig = sps._ext_saddle_solve_ns
+
+    def degraded(M_ii, B_ii, T, rhs, nu_int, ncell, refine=4):
+        Y = orig(M_ii, B_ii, T, rhs, nu_int, ncell, refine)
+        import jax.numpy as jnp
+        key = __import__("jax").random.PRNGKey(0)
+        noise = __import__("jax").random.normal(
+            key, Y[:, :nu_int].shape, Y.dtype)
+        scale = 5e-3 * jnp.abs(Y[:, :nu_int]).max()
+        return Y.at[:, :nu_int].add(scale * noise)
+
+    monkeypatch.setattr(sps, "_ext_saddle_solve_ns", degraded)
+    # the stage runner caches COMPILED programs by stage key; drop them
+    # so the degraded solve actually traces into the new program
+    st._STAGE_CHUNK_JITS.clear()
+    with st.solve_mode("ns"):
+        with pytest.raises(AssertionError, match="spot oracle"):
+            sps.spectral_coarsen_darcy(shape, f, coeff,
+                                       dtype=np.float32)
