@@ -43,11 +43,20 @@ import time
 
 import numpy as np
 
-from parelag_tpu.utils.compile_cache import enable_persistent_compile_cache
-
-enable_persistent_compile_cache()
-
 SCALE = os.environ.get("BENCH_SCALE", "full")
+
+
+def _enable_cache():
+    # NOT at module import: enable_persistent_compile_cache calls
+    # jax.default_backend(), which initializes the parent's axon client
+    # BEFORE the reachability probe runs — and a probe subprocess whose
+    # parent already holds a tunnel session starves past any timeout
+    # (measured r5: child blocked in ep_poll >150s for 5 straight
+    # attempts while fresh-process probes answered in 7-65s).  The
+    # probe must run from a jax-uninitialized parent.
+    from parelag_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
 
 
 def _slope_time(run_once, warm=5, n1=10, n2=30, attempts=2):
@@ -1081,6 +1090,7 @@ def measure_host_structured_anchor(cells, spect_tol=0.002,
         _jeb.clear_backends()
         jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu", jax.default_backend()
+    _enable_cache()
     from parelag_tpu.models.spe10 import synthetic_spe10_field
     from parelag_tpu.amge import structured_spectral as sps
 
@@ -1314,6 +1324,7 @@ def _anchor_put(key, rec):
 
 
 def main(degraded=None):
+    _enable_cache()
     big = 96 if SCALE == "full" else 24
     darcy_nx = 32 if SCALE == "full" else 12
     n_rhs = 16
@@ -1434,19 +1445,22 @@ def main(degraded=None):
     run_lane("darcy_hyb", lane_darcy_hybridized, darcy_nx)
     run_lane("maxwell", lane_maxwell, 24 if SCALE == "full" else 8)
     run_lane("ho_p2", lane_ho, 16 if SCALE == "full" else 6, p=2)
-    if SCALE == "full" and _anchor_get("spe10_(30, 55, 21)") is None:
-        # measure the generic-engine anchor LAST, inside whatever budget
-        # remains, and cache it for every later run
+    run_lane("dist", lane_dist, 8)
+    if SCALE == "full" and _anchor_get("spe10_(30, 55, 21)") is None \
+            and time.time() - t_start < 0.6 * deadline_s:
+        # measure the generic-engine anchor LAST (after every record
+        # lane) and cache it for later runs; its duration is the least
+        # predictable of any lane (full generic host setup), so it gets
+        # a stricter start gate than the per-lane deadline check
         rec = run_lane("spe10", lane_spe10, (30, 55, 21))
         if rec:
             _anchor_put("spe10_(30, 55, 21)", rec)
-    run_lane("dist", lane_dist, 8)
     print(json.dumps({"lane": "host_phase_end", **host_phase_probe()}),
           file=sys.stderr, flush=True)
     emit_final()
 
 
-def _device_reachable(timeout_s=150, window_s=2700):
+def _device_reachable(timeout_s=240, window_s=2700):
     """Reconnect-across-outage accelerator probe in a subprocess (a
     down axon tunnel makes jax device init HANG, not fail — observed
     for hours at a stretch, but round-3's outage was transient and the

@@ -214,6 +214,17 @@ def build_hierarchy(A_scipy_levels, P_scipy_levels, smoother_factory,
     for l in range(n_lev):
         A = A_scipy_levels[l]
         if l == n_lev - 1:
+            if A.shape[0] > 16384:
+                # a dense inverse here is O(n^2) memory / O(n^3) flops —
+                # at 45k rows that is a 16 GB allocation and hours of
+                # LAPACK (observed when a stalled SA chain handed its
+                # fine level down as "coarsest").  Fail loudly: the
+                # caller's coarsening chain is broken and must be fixed.
+                raise RuntimeError(
+                    f"coarsest level has {A.shape[0]} rows — too large "
+                    "for a dense coarse inverse; the coarsening chain "
+                    "stalled (see solvers/sa_amg.py decoupled-row "
+                    "handling) or coarse_size is misconfigured")
             Ainv = np.linalg.inv(A.toarray())
             levels.append(Level(
                 A=to_dev(A), P=None, R=None,

@@ -118,6 +118,23 @@ def build_sa_hierarchy(A, theta=0.08, coarse_size=800, max_levels=12,
         n = Al.shape[0]
         if n <= coarse_size:
             break
+        # Structurally decoupled rows (no off-diagonal nonzeros — the
+        # identity padding of shape-bucketed device systems, eliminated
+        # BC rows) take NO part in the coarse space: their exact
+        # correction is the fine smoother's 1x1 block.  Letting them
+        # become singleton aggregates drags the whole pad block down
+        # every level and poisons the stall metric — measured on the
+        # 131072-padded 95232-multiplier system: the chain stalled at
+        # 44772 rows and the dense coarse inverse tried to allocate
+        # 16 GB (r5; the lane hung for 20+ minutes).
+        coo_al = Al.tocoo()
+        off = (coo_al.row != coo_al.col) & (coo_al.data != 0)
+        has_off = np.zeros(n, dtype=bool)
+        has_off[coo_al.row[off]] = True
+        has_off[coo_al.col[off]] = True
+        n_active = int(has_off.sum())
+        if n_active <= coarse_size:
+            break
         # RAP'd coarse operators are denser with decayed off-diagonals;
         # a fixed theta can empty the strength graph (all-singleton
         # aggregation). Relax theta until the level coarsens.
@@ -125,16 +142,25 @@ def build_sa_hierarchy(A, theta=0.08, coarse_size=800, max_levels=12,
         for _attempt in range(4):
             Af, S = strength_filter(Al, th)
             agg = aggregate(S)
-            nc = int(agg.max()) + 1 if agg.size else 0
-            if nc and nc <= n / min_coarsen:
+            agg = np.where(has_off, agg, -1)
+            used = np.unique(agg[agg >= 0])
+            remap = np.full(int(agg.max()) + 1 if used.size else 0, -1,
+                            np.int64)
+            remap[used] = np.arange(used.size)
+            agg = np.where(agg >= 0, remap[np.clip(agg, 0, None)], -1)
+            nc = int(used.size)
+            if nc and nc <= n_active / min_coarsen:
                 break
             th *= 0.3
-        if nc == 0 or nc > n / min_coarsen:
+        if nc == 0 or nc > n_active / min_coarsen:
             break
-        # tentative piecewise-constant prolongation, columns normalized
-        cnt = np.bincount(agg, minlength=nc).astype(np.float64)
+        # tentative piecewise-constant prolongation, columns normalized;
+        # decoupled rows get zero P rows (excluded above)
+        sel = np.nonzero(agg >= 0)[0]
+        cnt = np.bincount(agg[sel], minlength=nc).astype(np.float64)
         T = sp.csr_matrix(
-            (1.0 / np.sqrt(cnt[agg]), (np.arange(n), agg)), shape=(n, nc))
+            (1.0 / np.sqrt(cnt[agg[sel]]), (sel, agg[sel])),
+            shape=(n, nc))
         d = Af.diagonal()
         dinv = 1.0 / np.where(d != 0, d, 1.0)
         rho = _rho_dinv_a(Af, dinv)
