@@ -459,6 +459,19 @@ def lane_h1(nx, n_rhs=None, cycle_cfg=None):
           f"fmt={type(H.levels[0].A).__name__} "
           f"stages={setup_stages}", file=sys.stderr)
 
+    # fresh Pallas probe budget for the solve: transient tunnel errors
+    # during the minutes-scale setup can exhaust the probe's fail latch
+    # and pin the whole solve onto the XLA fallback (r5: pallas=false
+    # recorded while a standalone probe minutes later passed).  The
+    # engagement decision happens at TRACE time (DiaMatrix.__matmul__
+    # branches in Python), so capture the flag NOW — the record must
+    # reflect what the traced solve actually uses, not a later retry.
+    from parelag_tpu.ops.device_sparse import DiaMatrix
+    from parelag_tpu.ops.pallas_kernels import reset_pallas_probe
+    reset_pallas_probe()
+    A0 = H.levels[0].A
+    pallas_engaged = bool(isinstance(A0, DiaMatrix) and A0._pallas_ok())
+
     bj = jnp.asarray(b.astype(dtype))
     if n_rhs:
         rng = np.random.RandomState(0)
@@ -507,14 +520,18 @@ def lane_h1(nx, n_rhs=None, cycle_cfg=None):
     # whether the DIA kernels actually lower + engage on this chip, so a
     # silent XLA fallback can never masquerade as the Pallas path again
     try:
-        from parelag_tpu.ops.device_sparse import DiaMatrix
-        from parelag_tpu.ops.pallas_kernels import pallas_dia_supported
-        A0 = H.levels[0].A
-        out["pallas"] = bool(pallas_dia_supported()
-                             and isinstance(A0, DiaMatrix)
-                             and A0._pallas_ok())
-    except Exception:                        # pragma: no cover
+        from parelag_tpu.ops.pallas_kernels import pallas_probe_error
+        out["pallas"] = pallas_engaged
+        if not pallas_engaged:
+            # say WHY: probe exception, format, or per-matrix gate
+            out["pallas_err"] = (
+                pallas_probe_error()
+                or ("fmt=" + type(A0).__name__
+                    if not isinstance(A0, DiaMatrix) else
+                    "per-matrix gate (_pallas_ok) refused"))
+    except Exception as e:                   # pragma: no cover
         out["pallas"] = False
+        out["pallas_err"] = repr(e)[:200]
     # roofline accounting: byte model of one PCG iteration = fine SpMV
     # (f32) + bf16 V(2,2)-cycle + ~10 vector passes for the CG updates,
     # against the measured achievable HBM bandwidth of this chip

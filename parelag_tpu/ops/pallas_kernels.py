@@ -479,8 +479,9 @@ _FORCE_DISABLED = False
 # transient connection error during the first probe must not pin the
 # whole process onto the XLA fallback (observed: a flaky-tunnel bench
 # run recorded pallas=false while a probe minutes later returned True)
-_PROBE = {"result": None, "fails": 0, "next_try": 0.0}
-_PROBE_MR = {"result": None, "fails": 0, "next_try": 0.0}
+_PROBE = {"result": None, "fails": 0, "next_try": 0.0, "last_error": ""}
+_PROBE_MR = {"result": None, "fails": 0, "next_try": 0.0,
+             "last_error": ""}
 # 12 fails x 90s backoff covers ~18 min of tunnel flakiness: a bench
 # run observed the 4-fail budget exhausted by transient contention and
 # the whole flagship lane then rode the XLA fallback (pallas=false)
@@ -500,6 +501,22 @@ def disable_pallas():
     _FORCE_DISABLED = True
     _PROBE.update(result=None, fails=0, next_try=0.0)
     _PROBE_MR.update(result=None, fails=0, next_try=0.0)
+
+
+def reset_pallas_probe():
+    """Clear the probe memos (NOT the force-disable flag): gives a
+    solve phase a fresh fail budget after a flaky setup phase exhausted
+    it — a latched False from transient tunnel errors during a
+    minutes-scale setup must not pin the whole solve onto the XLA
+    fallback (r5: flagship recorded pallas=false while a standalone
+    probe minutes later returned True with maxerr 0.0)."""
+    _PROBE.update(result=None, fails=0, next_try=0.0)
+    _PROBE_MR.update(result=None, fails=0, next_try=0.0)
+
+
+def pallas_probe_error() -> str:
+    """Last probe exception (diagnostic for bench records)."""
+    return _PROBE["last_error"] or _PROBE_MR["last_error"]
 
 
 def pallas_dia_supported() -> bool:
@@ -526,8 +543,11 @@ def pallas_dia_supported() -> bool:
             data, offs, jnp.asarray(xh), lo, n))
         ref = sum(xh[lo + o:lo + o + n] for o in offs)
         ok = bool(np.abs(y - ref).max() <= 1e-3 * np.abs(ref).max())
-    except Exception:
+        if not ok:
+            _PROBE["last_error"] = "value mismatch vs shifted-sum ref"
+    except Exception as e:
         ok = False
+        _PROBE["last_error"] = repr(e)[:300]
     _PROBE["result"] = ok
     if not ok:
         _PROBE["fails"] += 1
@@ -561,8 +581,11 @@ def pallas_dia_multirhs_supported() -> bool:
         ref = sum(xh[:, lo + o:lo + o + n] for o in offs)
         ok = bool(np.abs(y[:, :n] - ref).max()
                   <= 1e-3 * np.abs(ref).max())
-    except Exception:
+        if not ok:
+            _PROBE_MR["last_error"] = "value mismatch vs shifted-sum ref"
+    except Exception as e:
         ok = False
+        _PROBE_MR["last_error"] = repr(e)[:300]
     _PROBE_MR["result"] = ok
     if not ok:
         _PROBE_MR["fails"] += 1
